@@ -1,0 +1,395 @@
+"""SeqSet: the sequence-set engine.
+
+Re-implements the reference's central class (SeqSet.hpp, 11k LoC) as a host
+orchestrator whose hot sweeps (k-mer probing, chaining, banded DP) are
+dispatched in batches; the greedy commit order stays serial to preserve the
+reference's output contract.
+
+This module holds the data model, tuning state, reference-FASTA ingestion
+with IMGT CDR coordinate inference, and gene/chain classification.
+Assembly/annotation methods live in sibling modules and are attached to this
+class (split for maintainability; the reference keeps everything in one
+class).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from trust4_tpu.dna import dna_to_aa
+from trust4_tpu.io.fastx import read_fastx
+from trust4_tpu.ops.kmer_index import KmerIndex
+
+# Gene types (SeqSet.hpp:5076-5100): 0=V 1=D 2=J 3=C
+GENE_V, GENE_D, GENE_J, GENE_C = 0, 1, 2, 3
+# Chain types (SeqSet.hpp:5132-5155)
+CHAIN_NAMES = ["IGH", "IGK", "IGL", "TRA", "TRB", "TRG", "TRD"]
+
+
+def get_gene_type(name: str) -> int:
+    """V/D/J/C classification from an allele name (SeqSet.hpp:5076-5100)."""
+    if name.startswith("No"):  # "Novel"
+        return -1
+    if len(name) < 4:
+        return 3
+    c = name[3]
+    if c == "V":
+        return 0
+    if c == "D":
+        return 1 if len(name) > 4 and name[4].isdigit() else 3
+    if c == "J":
+        return 2
+    if c == "L" and get_chain_type(name) == 2:
+        return -1  # IGLL genes
+    return 3
+
+
+def get_chain_type(name: str) -> int:
+    """IGH0 IGK1 IGL2 TRA3 TRB4 TRG5 TRD6, else 8 (SeqSet.hpp:5132-5155)."""
+    if not name:
+        return 8
+    if name[0] == "I" and len(name) > 2:
+        return {"H": 0, "K": 1, "L": 2}.get(name[2], 8)
+    if name[0] == "T" and len(name) > 2:
+        return {"A": 3, "B": 4, "G": 5, "D": 6}.get(name[2], 8)
+    return 8
+
+
+def is_same_gene_allele(a: str, b: str) -> bool:
+    """Names equal up to the first '*' on either side (SeqSet.hpp:5102-5116)."""
+    i = 0
+    while i < len(a) and i < len(b) and a[i] != "*" and b[i] != "*":
+        if a[i] != b[i]:
+            return False
+        i += 1
+    return True
+
+
+def is_same_chain_type(a: str, b: str) -> bool:
+    return len(a) >= 3 and len(b) >= 3 and a[:3] == b[:3]
+
+
+@dataclass
+class SeqWrapper:
+    """One reference allele or novel contig (reference: _seqWrapper)."""
+
+    name: str
+    consensus: str
+    is_ref: bool = False
+    pos_weight: Optional[np.ndarray] = None  # (L, 4) int32
+    min_left_ext_anchor: int = 0
+    min_right_ext_anchor: int = 0
+    # info[0..2]: CDR1/2 (a,b) and CDR3 anchor for refs; rough V/J/C coords
+    # during scaffolding (each entry is [a, b, c])
+    info: List[List[int]] = field(
+        default_factory=lambda: [[-1, -1, -1], [-1, -1, -1], [-1, -1, -1]]
+    )
+    barcode: int = -1
+    num_read: int = 0
+    index: bool = True
+    pos_weight_compressed: bool = False
+
+    @property
+    def consensus_len(self) -> int:
+        return len(self.consensus)
+
+    def weight_sum(self) -> int:
+        if self.pos_weight is None:
+            return 0
+        return int(self.pos_weight.sum())
+
+
+@dataclass
+class Hit:
+    idx: int  # seq index
+    offset: int  # position in seq
+    read_offset: int
+    strand: int
+    repeats: int = 0
+
+
+@dataclass
+class Overlap:
+    """A read/contig-vs-seq overlap candidate (reference: _overlap)."""
+
+    seq_idx: int = -1
+    read_start: int = -1
+    read_end: int = -1
+    seq_start: int = -1
+    seq_end: int = -1
+    strand: int = 1
+    match_cnt: int = 0  # matched bases counted TWICE
+    indel_cnt: int = 0
+    similarity: float = 0.0
+    hit_coords: Optional[List[Tuple[int, int]]] = None
+    info: Optional[List[int]] = None
+    info_from_hits: int = 0
+
+    def sort_key(self):
+        # Priority: matchCnt desc, similarity desc, read span desc, then
+        # deterministic tie-breaks (SeqSet.hpp:103-127).
+        return (
+            -self.match_cnt,
+            -self.similarity,
+            -(self.read_end - self.read_start),
+            self.seq_idx,
+            self.strand,
+            self.read_start,
+            self.read_end,
+            self.seq_start,
+            self.seq_end,
+        )
+
+
+def compute_nomatch_gap_limit(kmer_length: int) -> int:
+    """Max unexplained gap between anchors (SeqSet.hpp:2476-2482)."""
+    read_accuracy = 0.8
+    kmer_hit_prob = read_accuracy**kmer_length
+    return int(kmer_length * (math.log(0.01) / math.log(1 - kmer_hit_prob))) + 1
+
+
+class SeqSet:
+    def __init__(self, kmer_length: int):
+        self.kmer_length = kmer_length
+        self.radius = 10
+        self.hit_len_required = 31
+        self.is_long_seq_set = False
+        self.novel_seq_similarity = 0.9
+        self.ref_seq_similarity = 0.75
+        self.repeat_similarity = 0.95
+        self.gap_n = 7
+        self.nomatch_gap_limit = compute_nomatch_gap_limit(kmer_length)
+        self.seqs: List[Optional[SeqWrapper]] = []
+        self.seq_index = KmerIndex()
+        self.prev_add_info = None
+        # barcode -> seq idx list isn't needed; reference scans
+
+    def size(self) -> int:
+        return len(self.seqs)
+
+    def set_radius(self, r: int) -> None:
+        self.radius = r
+
+    def set_hit_len_required(self, l: int) -> None:
+        self.hit_len_required = l
+
+    def set_novel_seq_similarity(self, s: float) -> None:
+        self.novel_seq_similarity = s
+
+    def set_is_long_seq_set(self, v: bool) -> None:
+        self.is_long_seq_set = v
+
+    def set_consider_barcode_in_index_hash(self, s: bool) -> None:
+        self.seq_index.set_consider_barcode(s)
+
+    # ------------------------------------------------------------------
+    # Reference FASTA ingestion (SeqSet.hpp:2673-2984, InputRefFa)
+    # ------------------------------------------------------------------
+
+    def input_ref_fa(
+        self,
+        filename: str,
+        is_imgt: bool = False,
+        imgt_additional_gap: Optional[str] = None,
+    ) -> None:
+        existing: Dict[str, int] = {}
+        # motif-shift votes per chain: shifts 0-4 plus 5 = undetermined
+        shift_count = [[0] * 6 for _ in range(7)]
+
+        for rec in read_fastx(filename):
+            name = rec.id
+            # Skip "/OR" paralogs for non-D genes (SeqSet.hpp:2693-2700).
+            if get_gene_type(name) != 1 and "/OR" in name:
+                continue
+
+            raw = rec.seq
+            # Strip IMGT '.' gaps, uppercase, map non-ACGT to N
+            # (SeqSet.hpp:2715-2735).
+            chars = []
+            for ch in raw:
+                if ch == ".":
+                    continue
+                if "a" <= ch <= "z":
+                    ch = ch.upper()
+                if not ("A" <= ch <= "Z") or (ch not in "ACGTN"):
+                    ch = "N"
+                chars.append(ch)
+            consensus = "".join(chars)
+
+            if consensus in existing:
+                # Merge duplicate sequences' names with '|'
+                # (SeqSet.hpp:2738-2768); skip exact name duplicates.
+                prev = self.seqs[existing[consensus]]
+                if name in prev.name:
+                    continue
+                prev.name = prev.name + "|" + name
+                continue
+
+            sw = SeqWrapper(name=name, consensus=consensus, is_ref=True)
+            sid = len(self.seqs)
+            existing[consensus] = sid
+            self.seqs.append(sw)
+
+            gene_type = get_gene_type(name)
+            seq_len = len(raw)
+            if is_imgt and gene_type == 0 and seq_len >= 66 * 3:
+                self._imgt_v_cdr_coords(sw, raw, shift_count)
+            elif is_imgt and gene_type == 2:
+                # J gene: find the [WF]-G-x-x-G motif in the *gapped* seq
+                # (SeqSet.hpp:2836-2855).
+                found = -1
+                for i in range(0, seq_len - 11):
+                    aa0 = dna_to_aa(raw[i], raw[i + 1], raw[i + 2])
+                    if aa0 in "WF":
+                        if (
+                            dna_to_aa(raw[i + 3], raw[i + 4], raw[i + 5]) == "G"
+                            and dna_to_aa(raw[i + 9], raw[i + 10], raw[i + 11]) == "G"
+                        ):
+                            found = i
+                            break
+                if found >= 0:
+                    sw.info[2][0] = sw.info[2][1] = found
+                else:
+                    sw.info[2][0] = sw.info[2][1] = -1
+
+            self.seq_index.build_from_read(
+                sw.consensus, self.kmer_length, sid, -1
+            )
+
+        if is_imgt:
+            self._apply_imgt_gap_shifts(shift_count, imgt_additional_gap)
+
+    def _imgt_v_cdr_coords(
+        self, sw: SeqWrapper, gapped: str, shift_count
+    ) -> None:
+        """CDR1/2/3 anchors from IMGT gapped codon coordinates
+        (SeqSet.hpp:2771-2834): CDR1 codons 27-38, CDR2 56-65, CDR3 anchor
+        codon 104, counting non-gap bases."""
+        seq_len = len(gapped)
+        k = 0
+        i = 0
+        while i < 3 * (27 - 1):
+            if gapped[i] != ".":
+                k += 1
+            i += 1
+        sw.info[0][0] = k
+        while i < 3 * 38:
+            if gapped[i] != ".":
+                k += 1
+            i += 1
+        sw.info[0][1] = k - 1
+        if sw.info[0][0] > sw.info[0][1]:
+            sw.info[0][0] = sw.info[0][1] = -1
+
+        while i < 3 * (56 - 1):
+            if gapped[i] != ".":
+                k += 1
+            i += 1
+        sw.info[1][0] = k
+        while i < 3 * 65:
+            if gapped[i] != ".":
+                k += 1
+            i += 1
+        sw.info[1][1] = k - 1
+        if sw.info[1][0] > sw.info[1][1]:
+            sw.info[1][0] = sw.info[1][1] = -1
+
+        if seq_len >= 3 * (104 - 1) + 1:
+            while i < 3 * (104 - 1):
+                if gapped[i] != ".":
+                    k += 1
+                i += 1
+            sw.info[2][0] = sw.info[2][1] = k
+        else:
+            sw.info[2][0] = sw.info[2][1] = -1
+
+        # Vote on whether the codon-104 anchor hits a Cys motif
+        # (SeqSet.hpp:2809-2834).
+        cons = sw.consensus
+        a = sw.info[2][0]
+        chain = get_chain_type(sw.name)
+        if chain >= 7:
+            return
+
+        def aa_at(pos: int) -> str:
+            if pos < 0 or pos + 2 >= len(cons):
+                return "?"
+            return dna_to_aa(cons[pos], cons[pos + 1], cons[pos + 2])
+
+        if (
+            a != -1
+            and aa_at(a) != "C"
+            and aa_at(a - 6) != "Y"
+            and (aa_at(a - 3) != "Y" or aa_at(a) == "Y")
+        ):
+            # C++ for-loop exit value: 1..4 when a shifted Cys is found,
+            # 5 when not found or out of range (SeqSet.hpp:2820-2831).
+            i_shift = 1
+            while i_shift <= 4:
+                if a + 3 * i_shift + 2 < len(cons):
+                    if aa_at(a + 3 * i_shift) == "C":
+                        break
+                else:
+                    i_shift = 4
+                i_shift += 1
+            shift_count[chain][i_shift] += 1
+        else:
+            shift_count[chain][0] += 1
+
+    def _apply_imgt_gap_shifts(
+        self, shift_count, imgt_additional_gap: Optional[str]
+    ) -> None:
+        """Species-specific extra-gap correction (SeqSet.hpp:2867-2982)."""
+        chain_names = ["IGHV", "IGKV", "IGLV", "TRAV", "TRBV", "TRGV", "TRDV"]
+        for ci in range(7):
+            total = sum(shift_count[ci])
+            if total == 0 or shift_count[ci][0] > total // 2:
+                continue
+
+            additional_gaps: List[int] = []
+            if imgt_additional_gap:
+                # Parse "TRAV:7,83;..." picking the segment for this chain.
+                for seg in imgt_additional_gap.split(";"):
+                    if seg.startswith(chain_names[ci] + ":"):
+                        for tok in seg[5:].split(","):
+                            tok = tok.strip()
+                            if tok.isdigit():
+                                additional_gaps.append(int(tok))
+                        break
+
+            shift = 5
+            for j in range(1, 5):
+                if shift_count[ci][j] > total // 2:
+                    shift = j
+                    break
+            additional_gap_valid = shift < 5 and len(additional_gaps) == shift
+
+            for sw in self.seqs:
+                if sw is None or get_chain_type(sw.name) != ci:
+                    continue
+                if get_gene_type(sw.name) != 0:
+                    continue
+                if additional_gap_valid:
+                    for k in range(2):
+                        a_adj = b_adj = 0
+                        for g in additional_gaps:
+                            # reference compares against info[0] for both CDRs
+                            if sw.info[0][0] > g * 3:
+                                a_adj += 3
+                            if sw.info[0][1] > g * 3:
+                                b_adj += 3
+                        sw.info[k][0] += a_adj
+                        sw.info[k][1] += b_adj
+                else:
+                    sw.info[0][0] = sw.info[0][1] = -1
+                    sw.info[1][0] = sw.info[1][1] = -1
+                if shift < 5:
+                    sw.info[2][0] += 3 * shift
+                    sw.info[2][1] += 3 * shift
+                else:
+                    sw.info[2][0] = -1
+                    sw.info[2][1] = -1

@@ -1,0 +1,73 @@
+"""Streaming FASTA/FASTQ reader matching the reference ingest semantics.
+
+Reference: ReadFiles.hpp + kseq.h.  The record id is the header token up to
+the first whitespace; a trailing ``/1`` or ``/2`` is stripped
+(ReadFiles.hpp:179-185).  Multiple files chain transparently; ``.gz`` inputs
+are decompressed on the fly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+
+@dataclass
+class FastxRecord:
+    id: str
+    seq: str
+    qual: Optional[str] = None
+    comment: Optional[str] = None
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "rt")
+
+
+def _strip_mate_suffix(name: str) -> str:
+    if len(name) >= 2 and name[-2] == "/" and name[-1] in "12":
+        return name[:-2]
+    return name
+
+
+def _parse_header(line: str) -> tuple[str, Optional[str]]:
+    body = line[1:].rstrip("\n").rstrip("\r")
+    for i, c in enumerate(body):
+        if c in " \t":
+            return _strip_mate_suffix(body[:i]), body[i + 1 :]
+    return _strip_mate_suffix(body), None
+
+
+def _read_one_file(path: str) -> Iterator[FastxRecord]:
+    with _open(path) as f:
+        line = f.readline()
+        while line:
+            if line[0] == ">":
+                rid, comment = _parse_header(line)
+                seq_parts = []
+                line = f.readline()
+                while line and line[0] not in ">@":
+                    seq_parts.append(line.strip())
+                    line = f.readline()
+                yield FastxRecord(rid, "".join(seq_parts), None, comment)
+            elif line[0] == "@":
+                rid, comment = _parse_header(line)
+                seq = f.readline().strip()
+                f.readline()  # '+'
+                qual = f.readline().rstrip("\n").rstrip("\r")
+                yield FastxRecord(rid, seq, qual, comment)
+                line = f.readline()
+            else:
+                line = f.readline()
+
+
+def read_fastx(paths) -> Iterator[FastxRecord]:
+    """Iterate records over one path or a sequence of paths."""
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    for p in paths:
+        yield from _read_one_file(p)

@@ -1,0 +1,119 @@
+"""Dynamic k-mer -> postings index for the growing contig store.
+
+Host-side equivalent of the reference's mutable index (KmerIndex.hpp).
+Postings are (seq_idx, offset) in insertion order — ordering is part of the
+determinism contract because downstream hit sorting is stable only up to this
+order.
+
+Two reference quirks are reproduced exactly:
+
+* consecutive-duplicate suppression when building from a read: a window is
+  inserted when it differs from the previous window's code OR it is the
+  window starting at position 1 (``i == kl`` in KmerIndex.hpp:132), which
+  also means a read whose first window code equals the initial rolling state
+  (all-A) skips that first window;
+* with barcode hashing enabled, a probe with barcode b only sees postings
+  whose barcode is congruent to b modulo the bucket count 1,000,003
+  (KmerIndex.hpp:29-33) — per-cell isolation with rare aliasing.
+
+The static germline index used by the TPU probe kernel is a different,
+immutable structure (see ref_index.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from trust4_tpu.ops.kmer import kmer_codes
+
+KINDEX_HASH_MAX = 1000003
+
+_EMPTY: List[Tuple[int, int]] = []
+
+
+class KmerIndex:
+    def __init__(self, consider_barcode: bool = False):
+        self.consider_barcode = consider_barcode
+        # key -> list of (seq_idx, offset)
+        self._index: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+
+    def set_consider_barcode(self, s: bool) -> None:
+        self.consider_barcode = s
+
+    def _key(self, code: int, barcode: int) -> Tuple[int, int]:
+        if self.consider_barcode:
+            return (code, (code + barcode + 1) % KINDEX_HASH_MAX)
+        return (code, (code % KINDEX_HASH_MAX))
+
+    def clear(self) -> None:
+        self._index.clear()
+
+    def insert(self, code: int, idx: int, offset: int, barcode: int) -> None:
+        self._index.setdefault(self._key(code, barcode), []).append((idx, offset))
+
+    def search(self, code: int, barcode: int) -> List[Tuple[int, int]]:
+        return self._index.get(self._key(code, barcode), _EMPTY)
+
+    def remove(self, code: int, idx: int, offset: int, barcode: int) -> None:
+        lst = self._index.get(self._key(code, barcode))
+        if not lst:
+            return
+        for i, (a, b) in enumerate(lst):
+            if a == idx and b == offset:
+                del lst[i]
+                # Reference only erases emptied barcode-hashed entries
+                # (KmerIndex.hpp:98-99); emptied lists behave identically
+                # either way for search.
+                if not lst:
+                    del self._index[self._key(code, barcode)]
+                return
+
+    # --- read-level builders (KmerIndex.hpp:118-201) ---
+
+    def _windows(self, s: str, kl: int):
+        codes, valid = kmer_codes(s, kl)
+        return codes, valid
+
+    def build_from_read(
+        self, s: str, kl: int, sid: int, barcode: int, shift: int = 0
+    ) -> None:
+        codes, valid = self._windows(s, kl)
+        n = len(codes)
+        for w in range(n):
+            if not valid[w]:
+                continue
+            # Reference inserts when i == kl (window 1) or the rolling code
+            # differs from the previous position's rolling code — which
+            # advances every position regardless of validity (N packs as 0).
+            # Window 0 compares against the restart state 0, so an all-A
+            # first window is skipped.
+            if w != 1:
+                prev = 0 if w == 0 else int(codes[w - 1])
+                if int(codes[w]) == prev:
+                    continue
+            self.insert(int(codes[w]), sid, w + shift, barcode)
+
+    def remove_from_read(
+        self, s: str, kl: int, sid: int, barcode: int, offset: int = 0
+    ) -> None:
+        codes, valid = self._windows(s, kl)
+        for w in range(len(codes)):
+            if valid[w]:
+                self.remove(int(codes[w]), sid, w + offset, barcode)
+
+    def update_from_read(
+        self, s: str, kl: int, barcode: int, shift: int, old_id: int, new_id: int
+    ) -> None:
+        codes, valid = self._windows(s, kl)
+        for w in range(len(codes)):
+            if not valid[w]:
+                continue
+            lst = self._index.get(self._key(int(codes[w]), barcode))
+            if not lst:
+                continue
+            for i, (a, b) in enumerate(lst):
+                if a == old_id and b == w:
+                    lst[i] = (new_id, b + shift)
+                    break
