@@ -23,6 +23,7 @@ import numpy as np
 from trust4_tpu.dna import dna_to_aa
 from trust4_tpu.io.fastx import read_fastx
 from trust4_tpu.ops.kmer_index import KmerIndex
+from trust4_tpu.engine.types import SeqWrapper, Hit, Overlap
 
 # Gene types (SeqSet.hpp:5076-5100): 0=V 1=D 2=J 3=C
 GENE_V, GENE_D, GENE_J, GENE_C = 0, 1, 2, 3
@@ -73,78 +74,6 @@ def is_same_chain_type(a: str, b: str) -> bool:
     return len(a) >= 3 and len(b) >= 3 and a[:3] == b[:3]
 
 
-@dataclass
-class SeqWrapper:
-    """One reference allele or novel contig (reference: _seqWrapper)."""
-
-    name: str
-    consensus: str
-    is_ref: bool = False
-    pos_weight: Optional[np.ndarray] = None  # (L, 4) int32
-    min_left_ext_anchor: int = 0
-    min_right_ext_anchor: int = 0
-    # info[0..2]: CDR1/2 (a,b) and CDR3 anchor for refs; rough V/J/C coords
-    # during scaffolding (each entry is [a, b, c])
-    info: List[List[int]] = field(
-        default_factory=lambda: [[-1, -1, -1], [-1, -1, -1], [-1, -1, -1]]
-    )
-    barcode: int = -1
-    num_read: int = 0
-    index: bool = True
-    pos_weight_compressed: bool = False
-
-    @property
-    def consensus_len(self) -> int:
-        return len(self.consensus)
-
-    def weight_sum(self) -> int:
-        if self.pos_weight is None:
-            return 0
-        return int(self.pos_weight.sum())
-
-
-@dataclass
-class Hit:
-    idx: int  # seq index
-    offset: int  # position in seq
-    read_offset: int
-    strand: int
-    repeats: int = 0
-
-
-@dataclass
-class Overlap:
-    """A read/contig-vs-seq overlap candidate (reference: _overlap)."""
-
-    seq_idx: int = -1
-    read_start: int = -1
-    read_end: int = -1
-    seq_start: int = -1
-    seq_end: int = -1
-    strand: int = 1
-    match_cnt: int = 0  # matched bases counted TWICE
-    indel_cnt: int = 0
-    similarity: float = 0.0
-    hit_coords: Optional[List[Tuple[int, int]]] = None
-    info: Optional[List[int]] = None
-    info_from_hits: int = 0
-
-    def sort_key(self):
-        # Priority: matchCnt desc, similarity desc, read span desc, then
-        # deterministic tie-breaks (SeqSet.hpp:103-127).
-        return (
-            -self.match_cnt,
-            -self.similarity,
-            -(self.read_end - self.read_start),
-            self.seq_idx,
-            self.strand,
-            self.read_start,
-            self.read_end,
-            self.seq_start,
-            self.seq_end,
-        )
-
-
 def compute_nomatch_gap_limit(kmer_length: int) -> int:
     """Max unexplained gap between anchors (SeqSet.hpp:2476-2482)."""
     read_accuracy = 0.8
@@ -152,7 +81,10 @@ def compute_nomatch_gap_limit(kmer_length: int) -> int:
     return int(kmer_length * (math.log(0.01) / math.log(1 - kmer_hit_prob))) + 1
 
 
-class SeqSet:
+from trust4_tpu.engine import overlap as _overlap_mod
+
+
+class SeqSet(_overlap_mod.OverlapMixin):
     def __init__(self, kmer_length: int):
         self.kmer_length = kmer_length
         self.radius = 10

@@ -1,0 +1,82 @@
+"""Shared engine data types (reference: SeqSet.hpp:19-136)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SeqWrapper:
+    """One reference allele or novel contig (reference: _seqWrapper)."""
+
+    name: str
+    consensus: str
+    is_ref: bool = False
+    pos_weight: Optional[np.ndarray] = None  # (L, 4) int32
+    min_left_ext_anchor: int = 0
+    min_right_ext_anchor: int = 0
+    # info[0..2]: CDR1/2 (a,b) and CDR3 anchor for refs; rough V/J/C coords
+    # during scaffolding (each entry is [a, b, c])
+    info: List[List[int]] = field(
+        default_factory=lambda: [[-1, -1, -1], [-1, -1, -1], [-1, -1, -1]]
+    )
+    barcode: int = -1
+    num_read: int = 0
+    index: bool = True
+    pos_weight_compressed: bool = False
+
+    @property
+    def consensus_len(self) -> int:
+        return len(self.consensus)
+
+    def weight_sum(self) -> int:
+        if self.pos_weight is None:
+            return 0
+        return int(self.pos_weight.sum())
+
+
+@dataclass
+class Hit:
+    idx: int  # seq index
+    offset: int  # position in seq
+    read_offset: int
+    strand: int
+    repeats: int = 0
+
+
+@dataclass
+class Overlap:
+    """A read/contig-vs-seq overlap candidate (reference: _overlap)."""
+
+    seq_idx: int = -1
+    read_start: int = -1
+    read_end: int = -1
+    seq_start: int = -1
+    seq_end: int = -1
+    strand: int = 1
+    match_cnt: int = 0  # matched bases counted TWICE
+    indel_cnt: int = 0
+    similarity: float = 0.0
+    hit_coords: Optional[List[Tuple[int, int]]] = None
+    info: Optional[List[int]] = None
+    info_from_hits: int = 0
+
+    def sort_key(self):
+        # Priority: matchCnt desc, similarity desc, read span desc, then
+        # deterministic tie-breaks (SeqSet.hpp:103-127).
+        return (
+            -self.match_cnt,
+            -self.similarity,
+            -(self.read_end - self.read_start),
+            self.seq_idx,
+            self.strand,
+            self.read_start,
+            self.read_end,
+            self.seq_start,
+            self.seq_end,
+        )
+
+

@@ -1,0 +1,110 @@
+"""Candidate read extraction from FASTQ (reference: FastqExtractor.cpp).
+
+A read(-pair) is a candidate when either mate is not low-complexity and has a
+chained k-mer hit against the V/D/J/C reference (HasHitInSet).  The candidate
+filter is the batched k-mer probe kernel on TPU; this host version mirrors
+the reference exactly for the golden path (single-thread semantics).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+from trust4_tpu.dna import NUC_TO_NUM
+from trust4_tpu.engine.seqset import SeqSet
+from trust4_tpu.io.fastx import FastxRecord, read_fastx
+
+
+def is_low_complexity(seq: str) -> bool:
+    """FastqExtractor.cpp:105-127."""
+    cnt = [0, 0, 0, 0, 0]
+    n = len(seq)
+    for c in seq:
+        if c == "N":
+            cnt[4] += 1
+        else:
+            v = NUC_TO_NUM[ord(c) - 65]
+            cnt[v] += 1
+    if (
+        cnt[0] >= n // 2
+        or cnt[1] >= n // 2
+        or cnt[2] >= n // 2
+        or cnt[3] >= n // 2
+        or cnt[4] >= n // 10
+    ):
+        return True
+    low = sum(1 for i in range(4) if cnt[i] <= 2)
+    return low >= 2
+
+
+def is_good_candidate(read: str, ref_set: SeqSet) -> bool:
+    """FastqExtractor.cpp:129-134."""
+    return not is_low_complexity(read) and ref_set.has_hit_in_set(read, 0) != 0
+
+
+def compute_hit_len_required(paths, has_mate: bool) -> int:
+    """Adaptive hit length from the first 1000 reads
+    (FastqExtractor.cpp:436-454)."""
+    hit_len = 27 if has_mate else 23
+    total = 0
+    n = 0
+    for rec in read_fastx(paths):
+        total += len(rec.seq)
+        n += 1
+        if n >= 1000:
+            break
+    if n == 0:
+        raise ValueError("Read file is empty.")
+    if total // (n * 5) > hit_len:
+        hit_len = total // (n * 5)
+    if hit_len > 101:
+        hit_len = 101
+    return hit_len
+
+
+def extract_candidates(
+    ref_fa: str,
+    read1,
+    read2=None,
+    kmer_length: int = 9,
+    ref_set: Optional[SeqSet] = None,
+) -> Iterator[Tuple[FastxRecord, Optional[FastxRecord]]]:
+    """Yield candidate read(-pair)s in input order."""
+    if ref_set is None:
+        ref_set = SeqSet(kmer_length)
+        ref_set.input_ref_fa(ref_fa)
+    ref_set.set_hit_len_required(compute_hit_len_required(read1, read2 is not None))
+
+    it1 = read_fastx(read1)
+    it2 = read_fastx(read2) if read2 is not None else None
+    for r1 in it1:
+        r2 = next(it2) if it2 is not None else None
+        good = is_good_candidate(r1.seq, ref_set)
+        if not good and r2 is not None:
+            good = is_good_candidate(r2.seq, ref_set)
+        if good:
+            yield r1, r2
+
+
+def run_extractor(
+    ref_fa: str, read1, read2=None, out_prefix: str = "out", kmer_length: int = 9
+) -> Tuple[str, Optional[str]]:
+    """Write *_toassemble FASTQs like the reference extractor binary."""
+    if read2 is not None:
+        p1 = f"{out_prefix}_1.fq"
+        p2 = f"{out_prefix}_2.fq"
+        with open(p1, "w") as f1, open(p2, "w") as f2:
+            for r1, r2 in extract_candidates(ref_fa, read1, read2, kmer_length):
+                f1.write(f"@{r1.id}\n{r1.seq}\n+\n{r1.qual}\n")
+                f2.write(f"@{r2.id}\n{r2.seq}\n+\n{r2.qual}\n")
+        return p1, p2
+    p1 = f"{out_prefix}.fq"
+    with open(p1, "w") as f1:
+        for r1, _ in extract_candidates(ref_fa, read1, None, kmer_length):
+            if r1.qual is not None:
+                f1.write(f"@{r1.id}\n{r1.seq}\n+\n{r1.qual}\n")
+            else:
+                f1.write(f">{r1.id}\n{r1.seq}\n")
+    return p1, None
