@@ -1,0 +1,50 @@
+"""End-to-end assembler parity: _raw.out byte-identical to the reference
+assembler on the bundled example (golden captured from the reference binary;
+reference: main.cpp, trust-example-test.sh)."""
+
+import os
+import subprocess
+
+import pytest
+
+from trust4_tpu.pipeline.assembler import Assembler
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def assembled(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("asm")
+    asm = Assembler(
+        os.path.join(GOLDEN, "..", "..", ".refbuild", "hg38_bcrtcr.fa")
+        if os.path.exists(
+            os.path.join(GOLDEN, "..", "..", ".refbuild", "hg38_bcrtcr.fa")
+        )
+        else "/root/reference/hg38_bcrtcr.fa",
+        output_prefix=str(tmp / "t"),
+    )
+    sr = asm.ingest(
+        [os.path.join(GOLDEN, "gold_toassemble_1.fq")],
+        [os.path.join(GOLDEN, "gold_toassemble_2.fq")],
+    )
+    sr = asm.prepare(sr)
+    idx = asm.assemble(sr)
+    return asm, sr, idx
+
+
+def test_raw_out_parity(assembled, tmp_path):
+    asm, sr, idx = assembled
+    out = tmp_path / "raw.out"
+    with open(out, "w") as fp:
+        asm.output_seqset(asm.seq_set, fp)
+    golden = open(os.path.join(GOLDEN, "gold_raw.out")).read()
+    assert out.read_text() == golden
+
+
+def test_assembled_reads_parity(assembled, tmp_path):
+    asm, sr, idx = assembled
+    out = tmp_path / "reads.fa"
+    with open(out, "w") as fp:
+        asm.output_assembled_reads(sr, idx, fp)
+    golden = open(os.path.join(GOLDEN, "gold_assembled_reads.fa")).read()
+    assert out.read_text() == golden

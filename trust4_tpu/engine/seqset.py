@@ -74,6 +74,26 @@ def is_same_chain_type(a: str, b: str) -> bool:
     return len(a) >= 3 and len(b) >= 3 and a[:3] == b[:3]
 
 
+def is_name_compatible(a: str, b: str) -> bool:
+    """Merged contig names must keep V<D<J<C order: the max gene type in a
+    must not exceed the min gene type in b (SeqSet.hpp:3370-3419)."""
+    max_a = -1
+    for part in a.split("+"):
+        if not part:
+            continue
+        gt = get_gene_type(part)
+        if gt > max_a:
+            max_a = gt
+    min_b = 10
+    for part in b.split("+"):
+        if not part:
+            continue
+        gt = get_gene_type(part)
+        if gt < min_b and gt != -1:
+            min_b = gt
+    return max_a <= min_b
+
+
 def compute_nomatch_gap_limit(kmer_length: int) -> int:
     """Max unexplained gap between anchors (SeqSet.hpp:2476-2482)."""
     read_accuracy = 0.8
@@ -82,9 +102,15 @@ def compute_nomatch_gap_limit(kmer_length: int) -> int:
 
 
 from trust4_tpu.engine import overlap as _overlap_mod
+from trust4_tpu.engine import assemble as _assemble_mod
+from trust4_tpu.engine import annotate as _annotate_mod
 
 
-class SeqSet(_overlap_mod.OverlapMixin):
+class SeqSet(
+    _overlap_mod.OverlapMixin,
+    _assemble_mod.AssembleMixin,
+    _annotate_mod.AnnotateMixin,
+):
     def __init__(self, kmer_length: int):
         self.kmer_length = kmer_length
         self.radius = 10

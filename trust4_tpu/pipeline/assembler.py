@@ -1,0 +1,925 @@
+"""The assembler stage: candidate reads -> contigs (_raw.out/_final.out).
+
+Re-implements the reference assembler binary (reference: main.cpp:628-2331)
+as a host-side driver over the SeqSet engine.  The greedy read order — minCnt
+desc, medianCnt desc, avgCnt desc, len desc, read, id (main.cpp:103-125) —
+is the serialization contract for reproducible assemblies.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from trust4_tpu.align import host as align_host
+from trust4_tpu.dna import revcomp
+from trust4_tpu.engine.seqset import SeqSet
+from trust4_tpu.engine.types import Overlap
+from trust4_tpu.io.fastx import read_fastx
+from trust4_tpu.ops.kmer_count import KmerCount
+
+
+@dataclass
+class SortRead:
+    """One processed read record (reference: main.cpp:62-126, _sortRead)."""
+
+    id: str = ""
+    read: Optional[str] = None
+    qual: Optional[str] = None
+    min_cnt: int = 0
+    median_cnt: int = 0
+    avg_cnt: float = 0.0
+    barcode_min_cnt: int = 0
+    barcode_median_cnt: int = 0
+    barcode_avg_cnt: float = 0.0
+    len: int = 0
+    strand: int = 0
+    mate_idx: int = -1
+    info: int = -1
+    barcode: int = -1
+    umi: int = -1
+    gene_overlap: Optional[List[Overlap]] = None
+
+    def sort_key(self):
+        return (
+            -self.min_cnt,
+            -self.median_cnt,
+            -self.avg_cnt,
+            -self.len,
+            self.read,
+            self.id,
+        )
+
+
+def is_low_complexity(seq: str) -> bool:
+    """main.cpp:183-205."""
+    cnt = [0, 0, 0, 0, 0]
+    for c in seq:
+        if c == "N":
+            cnt[4] += 1
+        else:
+            cnt["ACGT".index(c)] += 1
+    n = len(seq)
+    if (
+        cnt[0] >= n / 2
+        or cnt[1] >= n / 2
+        or cnt[2] >= n / 2
+        or cnt[3] >= n / 2
+        or cnt[4] >= n / 10
+    ):
+        return True
+    low = sum(1 for i in range(4) if cnt[i] <= 2)
+    return low >= 2
+
+
+def process_read(
+    r1: SortRead,
+    r2: SortRead,
+    count_kmer: bool,
+    kmer_count: KmerCount,
+    reads: List[SortRead],
+) -> None:
+    """Read-through/mate-merge preprocessing (main.cpp:224-449)."""
+    r_weight = 1
+    if r2.read is not None:
+        flen = len(r2.read)
+        slen = len(r1.read)
+        r2.read = revcomp(r2.read)
+        if r2.qual is not None:
+            r2.qual = r2.qual[::-1]
+        min_overlap = min((flen + slen) // 10, 31)
+        min_overlap2 = min((flen + slen) // 20, 31)
+
+        overlap_size, offset, best_match = align_host.is_mate_overlap(
+            r2.read, r1.read, min_overlap, check_tandem=False
+        )
+        if overlap_size >= 0:
+            # Read-through: keep only the overlapped portion with per-base
+            # max-quality vote.
+            read = list(r1.read[:overlap_size])
+            if r1.qual is not None:
+                qual = list(r1.qual[:overlap_size])
+                for j in range(overlap_size):
+                    if r2.qual[j + offset] > qual[j] or read[j] == "N":
+                        read[j] = r2.read[j + offset]
+                        qual[j] = r2.qual[j + offset]
+                r1.qual = "".join(qual)
+            r1.read = "".join(read)
+            r2.read = None
+        else:
+            overlap_size, offset, best_match = align_host.is_mate_overlap(
+                r1.read, r2.read, min_overlap2
+            )
+            if overlap_size >= 0:
+                if best_match >= 0.95 * overlap_size:
+                    # Merge into one fragment, weight 2.
+                    length = offset + flen
+                    r = [""] * length
+                    q = [""] * length
+                    for j in range(flen):
+                        r[offset + j] = r2.read[j]
+                        q[offset + j] = r2.qual[j]
+                    for j in range(min(slen, length)):
+                        if j < offset or r1.qual[j] >= chr(ord(q[j]) - 14) or r[j] == "N":
+                            r[j] = r1.read[j]
+                            q[j] = r1.qual[j]
+                    r2.read = None
+                    r1.read = "".join(r)
+                    r1.qual = "".join(q)
+                    r_weight += 1
+                else:
+                    use_first = True
+                    if r1.qual is not None:
+                        avg_r = sum(
+                            ord(r1.qual[j]) - 32 for j in range(offset, slen)
+                        ) / overlap_size
+                        avg_mate = sum(
+                            ord(r2.qual[j]) - 32
+                            for j in range(flen - 1, flen - overlap_size - 1, -1)
+                        ) / overlap_size
+                        if avg_r + 10 < avg_mate:
+                            use_first = False
+                    if use_first:
+                        r2.read = None
+                    else:
+                        # Keep the mate: back to original orientation, but the
+                        # quality stays reversed (reference quirk,
+                        # main.cpp:371-380).
+                        r1.read = revcomp(r2.read)
+                        r1.qual = r2.qual
+                        r2.read = None
+            else:
+                # No overlap: mate goes back to original orientation.
+                r2.read = revcomp(r2.read)
+                if r2.qual is not None:
+                    r2.qual = r2.qual[::-1]
+
+    if not is_low_complexity(r1.read):
+        reads.append(r1)
+        if count_kmer:
+            kmer_count.add_count(r1.read)
+        if r_weight == 2:
+            wr = SortRead(
+                id=r1.id + ".1",
+                read=r1.read,
+                qual=r1.qual,
+                barcode=r1.barcode,
+                umi=r1.umi,
+            )
+            reads.append(wr)
+            if count_kmer:
+                kmer_count.add_count(wr.read)
+
+    if r2.read is not None and not is_low_complexity(r2.read):
+        reads.append(r2)
+        if count_kmer:
+            kmer_count.add_count(r2.read)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+class Assembler:
+    """trust4-binary equivalent (reference: main.cpp main())."""
+
+    def __init__(
+        self,
+        ref_fa: str,
+        output_prefix: str = "trust",
+        index_kmer_length: int = 9,
+        trim_level: int = 1,
+        constant_gene_end: int = 200,
+        min_hit_len: int = -1,
+        skip_mate_extension: bool = False,
+        contig_min_cov: int = 0,
+        keep_missing_barcode: bool = False,
+    ):
+        self.index_kmer_length = index_kmer_length
+        self.change_kmer_length_threshold = 4096
+        self.seq_set = SeqSet(index_kmer_length)
+        self.ref_set = SeqSet(9)
+        self.ref_set.input_ref_fa(ref_fa)
+        self.kmer_count = KmerCount(21)
+        self.output_prefix = output_prefix
+        self.trim_level = trim_level
+        self.constant_gene_end = constant_gene_end
+        self.min_hit_len = min_hit_len
+        self.skip_mate_extension = skip_mate_extension
+        self.contig_min_cov = contig_min_cov
+        self.keep_missing_barcode = keep_missing_barcode
+        self.barcode_int_to_str: List[str] = []
+        self.has_barcode = False
+        self.has_umi = False
+        self.has_mate = False
+        self.first_read_len = -1
+
+        if trim_level > 1:
+            self.ref_set.change_kmer_length(7)
+        self.ref_set.set_hit_len_required(17)
+
+    # -- ingestion ------------------------------------------------------
+
+    def ingest(
+        self,
+        read_files: List[str],
+        mate_files: Optional[List[str]] = None,
+        barcode_files: Optional[List[str]] = None,
+        umi_files: Optional[List[str]] = None,
+    ) -> List[SortRead]:
+        """Stream reads, merge mates, count 21-mers (main.cpp:787-917)."""
+        sorted_reads: List[SortRead] = []
+        barcode_str_to_int: Dict[str, int] = {}
+        umi_str_to_int: Dict[str, int] = {}
+        self.has_mate = bool(mate_files)
+        self.has_barcode = bool(barcode_files)
+        self.has_umi = bool(umi_files)
+
+        mate_iter = iter(read_fastx(mate_files)) if mate_files else None
+        barcode_iter = iter(read_fastx(barcode_files)) if barcode_files else None
+        umi_iter = iter(read_fastx(umi_files)) if umi_files else None
+
+        for rec in read_fastx(read_files):
+            barcode = -1
+            umi = -1
+            if barcode_iter is not None:
+                brec = next(barcode_iter)
+                if brec.seq == "missing_barcode" and not self.keep_missing_barcode:
+                    if mate_iter is not None:
+                        next(mate_iter)
+                    if umi_iter is not None:
+                        next(umi_iter)
+                    continue
+                barcode = barcode_str_to_int.setdefault(
+                    brec.seq, len(self.barcode_int_to_str)
+                )
+                if barcode == len(self.barcode_int_to_str):
+                    self.barcode_int_to_str.append(brec.seq)
+            if umi_iter is not None:
+                urec = next(umi_iter)
+                umi = umi_str_to_int.setdefault(urec.seq, len(umi_str_to_int))
+
+            nr = SortRead(
+                id=rec.id, read=rec.seq, qual=rec.qual, barcode=barcode, umi=umi
+            )
+            if self.first_read_len == -1:
+                self.first_read_len = len(rec.seq)
+            mate_r = SortRead(barcode=barcode, umi=umi)
+            if mate_iter is not None:
+                mrec = next(mate_iter, None)
+                if mrec is None:
+                    raise RuntimeError(
+                        "The two mate-pair read files have different number of reads."
+                    )
+                mate_r.id = mrec.id
+                mate_r.read = mrec.seq
+                mate_r.qual = mrec.qual
+            process_read(nr, mate_r, True, self.kmer_count, sorted_reads)
+        return sorted_reads
+
+    # -- per-read stats + trimming + sorting ---------------------------
+
+    def prepare(self, sorted_reads: List[SortRead]) -> List[SortRead]:
+        """Stats/trim, mate re-link, sorting, quick annotation
+        (main.cpp:919-1221)."""
+        max_read_len = 0
+        for r in sorted_reads:
+            r.len = len(r.read)
+            max_read_len = max(max_read_len, r.len)
+        if not sorted_reads:
+            return sorted_reads
+        self.kmer_count.max_read_len = max(
+            self.kmer_count.max_read_len, max_read_len
+        )
+
+        for r in sorted_reads:
+            qual = r.qual if self.trim_level != 0 else None
+            read, _, min_cnt, median_cnt, avg_cnt, _ = (
+                self.kmer_count.get_count_stats_and_trim(r.read, qual)
+            )
+            r.read = read if read else None
+            r.qual = None
+            r.min_cnt = min_cnt
+            r.median_cnt = median_cnt
+            r.avg_cnt = avg_cnt
+
+        kept = [r for r in sorted_reads if r.read is not None]
+        for r in kept:
+            r.len = len(r.read)
+        sorted_reads = kept
+        log(f"Found {len(sorted_reads)} reads.")
+
+        for i, r in enumerate(sorted_reads):
+            r.info = i
+            r.mate_idx = -1
+        i = 0
+        while i < len(sorted_reads) - 1:
+            if sorted_reads[i].id == sorted_reads[i + 1].id:
+                sorted_reads[i].mate_idx = i + 1
+                sorted_reads[i + 1].mate_idx = i
+                i += 1
+            i += 1
+
+        sorted_reads.sort(key=lambda r: r.sort_key())
+
+        # Quick annotation with consecutive-duplicate reuse
+        # (main.cpp:1084-1093).
+        if self.trim_level > 1:
+            self.ref_set.set_radius(0)
+        prev_read = None
+        prev_overlap = None
+        for r in sorted_reads:
+            if prev_read is None or r.read != prev_read:
+                _, go, _ = self.ref_set.annotate_read(r.read, 0)
+                prev_overlap = go
+                prev_read = r.read
+            r.gene_overlap = [Overlap(**o.__dict__) for o in prev_overlap]
+
+        if self.has_barcode:
+            self._barcode_kmer_pass(sorted_reads, max_read_len)
+
+        # Reconnect mate indices after the sort (main.cpp:1209-1221).
+        origin_to_sorted = [0] * len(sorted_reads)
+        for i, r in enumerate(sorted_reads):
+            origin_to_sorted[r.info] = i
+        for r in sorted_reads:
+            if r.mate_idx != -1:
+                r.mate_idx = origin_to_sorted[r.mate_idx]
+
+        if self.trim_level > 1 and not self.has_barcode:
+            for r in sorted_reads:
+                go = r.gene_overlap
+                if go[0].seq_idx != -1 and go[0].similarity > 0.95:
+                    r.barcode = go[0].seq_idx
+                    if r.mate_idx != -1:
+                        sorted_reads[r.mate_idx].barcode = go[0].seq_idx
+
+        self._trim_before_v(sorted_reads)
+        self._trim_after_c(sorted_reads)
+
+        if self.first_read_len > 200:
+            for r in sorted_reads:
+                if r.read is not None and r.len < self.first_read_len / 3:
+                    r.read = None
+            self.seq_set.set_is_long_seq_set(True)
+
+        # Compact + remap mate idx (main.cpp:1504-1526).
+        origin_to_sorted = [-1] * len(sorted_reads)
+        kept = []
+        for i, r in enumerate(sorted_reads):
+            if r.read is not None:
+                origin_to_sorted[i] = len(kept)
+                kept.append(r)
+        for r in kept:
+            if r.mate_idx != -1:
+                r.mate_idx = origin_to_sorted[r.mate_idx]
+        return kept
+
+    def _barcode_kmer_pass(self, sorted_reads: List[SortRead], max_read_len: int):
+        """Per-barcode 21-mer counting + resort (main.cpp:1123-1193)."""
+        sorted_reads.sort(key=lambda r: self._barcode_key(r))
+        i = 0
+        n = len(sorted_reads)
+        while i < n:
+            j = i + 1
+            while j < n and sorted_reads[j].barcode == sorted_reads[i].barcode:
+                j += 1
+            bc_count = KmerCount(21)
+            bc_count.max_read_len = max_read_len
+            for k in range(i, j):
+                bc_count.add_count(sorted_reads[k].read)
+            for k in range(i, j):
+                r = sorted_reads[k]
+                _, _, r.barcode_min_cnt, r.barcode_median_cnt, r.barcode_avg_cnt, _ = (
+                    bc_count.get_count_stats_and_trim(r.read, None)
+                )
+            sorted_reads[i:j] = sorted(
+                sorted_reads[i:j], key=lambda r: self._barcode_key(r)
+            )
+            i = j
+
+    @staticmethod
+    def _barcode_key(r: SortRead):
+        """CompReadWithBarcode (main.cpp:128-136): barcode asc (when set),
+        then barcodeMinCnt desc, then the base order."""
+        return (
+            r.barcode if r.barcode != -1 else -(1 << 60),
+            -r.barcode_min_cnt if r.barcode != -1 else 0,
+        ) + r.sort_key()
+
+    def _trim_before_v(self, sorted_reads: List[SortRead]) -> None:
+        """Trim bases before the V-gene start (main.cpp:1262-1356)."""
+        ref_set = self.ref_set
+        for r in sorted_reads:
+            if r.read is None:
+                continue
+            go = r.gene_overlap
+            if go[0].seq_idx == -1:
+                continue
+            may_trim = False
+            if go[0].seq_start < 31 and go[0].similarity > 0.9:
+                may_trim = True
+            if (
+                go[0].similarity > 0.95
+                and go[0].seq_start
+                <= ref_set.seqs[go[0].seq_idx].consensus_len / 3
+            ):
+                may_trim = True
+            if self.trim_level > 1:
+                may_trim = True
+            if not may_trim:
+                continue
+            trim_base = go[0].read_start
+            if (
+                self.trim_level > 1
+                and ref_set.seqs[go[0].seq_idx].name[0] == "T"
+                and go[0].similarity < 0.97
+            ):
+                trim_base = (go[0].read_start + go[0].read_end) // 2
+            if trim_base <= 0:
+                continue
+            if (
+                go[2].seq_idx != -1
+                and go[2].read_start < trim_base
+                and self.trim_level <= 1
+            ):
+                continue
+            if (
+                go[3].seq_idx != -1
+                and go[3].read_start < trim_base
+                and self.trim_level <= 1
+            ):
+                continue
+            if r.len - trim_base < 31:
+                r.read = None
+                continue
+            if go[0].strand >= 0:
+                r.read = r.read[trim_base:]
+            else:
+                r.read = r.read[: r.len - trim_base]
+            for j in range(4):
+                if go[j].seq_idx == -1:
+                    continue
+                go[j].read_start -= trim_base
+                go[j].read_end -= trim_base
+                if go[j].read_start < 0:
+                    go[j].read_start = 0
+                if go[j].read_end < 0:
+                    go[j].read_end = 0
+                    go[j].seq_idx = -1
+            r.len -= trim_base
+
+    def _trim_after_c(self, sorted_reads: List[SortRead]) -> None:
+        """Trim bases after the C gene (main.cpp:1360-1464)."""
+        ref_set = self.ref_set
+        for r in sorted_reads:
+            if r.read is None:
+                continue
+            go = r.gene_overlap
+            length = r.len
+            gidx = 2
+            while gidx <= 3 and go[gidx].seq_idx == -1:
+                gidx += 1
+            if gidx > 3:
+                continue
+            if gidx == 2 and ref_set.seqs[go[gidx].seq_idx].name[2] == "H":
+                gidx = 3
+                if go[gidx].seq_idx == -1:
+                    continue
+            may_trim = False
+            if gidx == 3 and go[3].seq_start < 9 and go[3].similarity > 0.95:
+                may_trim = True
+            if self.trim_level > 1:
+                may_trim = True
+            if not may_trim:
+                continue
+            trim_base = length - go[gidx].read_end - 1
+            if (
+                self.trim_level > 1
+                and ref_set.seqs[go[gidx].seq_idx].name[0] == "T"
+                and go[gidx].similarity < 0.97
+            ):
+                trim_base = (
+                    length - ((go[gidx].read_start + go[gidx].read_end) // 2) - 1
+                )
+            if trim_base <= 0:
+                continue
+            if (
+                gidx == 3
+                and go[2].seq_idx != -1
+                and go[2].read_start + trim_base >= r.len
+                and self.trim_level <= 1
+            ):
+                continue
+            if (
+                go[0].seq_idx != -1
+                and go[0].read_start + trim_base >= r.len
+                and self.trim_level <= 1
+            ):
+                continue
+            if r.len - trim_base < 31:
+                r.read = None
+                continue
+            if go[gidx].strand < 0:
+                r.read = r.read[trim_base:]
+                go[3].seq_idx = -1
+            else:
+                r.read = r.read[: length - trim_base]
+                go[3].seq_idx = -1
+            for j in range(4):
+                if go[j].seq_idx == -1:
+                    continue
+                if go[j].read_start + trim_base >= length:
+                    go[j].read_start = length - 1
+                    go[j].seq_idx = -1
+                if go[j].read_end + trim_base >= length:
+                    go[j].read_end = length - 1
+            r.len -= trim_base
+
+    # -- the main assembly loop ----------------------------------------
+
+    def assemble(self, sorted_reads: List[SortRead]) -> List[int]:
+        """Greedy assembly loop (main.cpp:1583-1940).  Returns the indices
+        of assembled reads."""
+        seq_set = self.seq_set
+        read_cnt = len(sorted_reads)
+
+        if self.first_read_len // 2 < 31:
+            seq_set.set_hit_len_required(max(21, self.first_read_len // 2))
+        if self.has_barcode:
+            seq_set.set_hit_len_required(13)
+            if not self.keep_missing_barcode:
+                seq_set.set_consider_barcode_in_index_hash(True)
+        if self.min_hit_len != -1:
+            seq_set.set_hit_len_required(self.min_hit_len)
+        if self.first_read_len > 200 or self.trim_level > 1:
+            self.change_kmer_length_threshold //= 2
+
+        rescue_read_idx: List[int] = []
+        assembled_read_idx: List[int] = []
+        good_candidate = [False] * read_cnt
+        assembled_read_cnt = 0
+        prev_add_ret = -1
+        gene_overlap = [Overlap() for _ in range(4)]
+
+        for i in range(read_cnt):
+            r = sorted_reads[i]
+            add_ret = -1
+            if (
+                i == 0
+                or r.read != sorted_reads[i - 1].read
+                or r.barcode != sorted_reads[i - 1].barcode
+            ):
+                gene_overlap = r.gene_overlap
+                # V-D-J-C order filter (main.cpp:1620-1638).
+                filtered = False
+                for j in range(4):
+                    if gene_overlap[j].seq_idx == -1:
+                        continue
+                    for l in range(j + 1, 4):
+                        if gene_overlap[l].seq_idx == -1:
+                            continue
+                        if gene_overlap[j].read_end - 10 > gene_overlap[l].read_start:
+                            filtered = True
+                            break
+                    if filtered:
+                        break
+                # C-only read filters (main.cpp:1640-1651).
+                if (
+                    gene_overlap[3].seq_idx != -1
+                    and gene_overlap[0].seq_idx == -1
+                    and gene_overlap[2].seq_idx == -1
+                ):
+                    if gene_overlap[3].seq_start >= self.constant_gene_end:
+                        filtered = True
+                    elif (
+                        self.constant_gene_end <= 200
+                        and gene_overlap[3].seq_start >= 100
+                        and (
+                            gene_overlap[3].strand == 1
+                            or gene_overlap[3].read_end
+                            - gene_overlap[3].read_start
+                            + 1
+                            < r.len
+                        )
+                    ):
+                        filtered = True
+
+                if filtered:
+                    add_ret = -1
+                else:
+                    name = ""
+                    strand = 0
+                    ambiguous_strand = False
+                    for j in range(4):
+                        if gene_overlap[j].seq_idx != -1:
+                            name = self.ref_set.seqs[
+                                gene_overlap[j].seq_idx
+                            ].name[:4]
+                            if strand != 0 and strand != gene_overlap[j].strand:
+                                ambiguous_strand = True
+                            strand = gene_overlap[j].strand
+                    if ambiguous_strand:
+                        strand = 0
+
+                    similarity_threshold = 0.9
+                    if r.min_cnt >= 20:
+                        similarity_threshold = 0.97
+                    elif r.min_cnt >= 2 or (
+                        r.min_cnt >= 5 and self.first_read_len > 200
+                    ):
+                        similarity_threshold = 0.95
+                    if name[:1] == "T" and similarity_threshold < 0.95:
+                        similarity_threshold = 0.95
+                    if self.has_barcode or self.trim_level > 1:
+                        similarity_threshold = 0.9
+
+                    min_kmer_cnt = (
+                        (r.min_cnt + r.barcode_min_cnt + 1) // 2
+                        if self.has_barcode
+                        else r.min_cnt
+                    )
+                    add_ret, strand = seq_set.add_read(
+                        r.read,
+                        name,
+                        strand,
+                        r.barcode,
+                        min_kmer_cnt,
+                        self.trim_level > 1,
+                        similarity_threshold,
+                    )
+                    if add_ret < 0:
+                        # Reference-anchor rescue (main.cpp:1703-1759).
+                        match_cnt = sum(
+                            gene_overlap[j].match_cnt // 2
+                            for j in range(4)
+                            if gene_overlap[j].seq_idx != -1
+                        )
+                        filtered = True
+                        if match_cnt >= 31:
+                            filtered = False
+                        else:
+                            if (
+                                gene_overlap[0].seq_idx != -1
+                                and gene_overlap[2].seq_idx != -1
+                                and gene_overlap[0].read_end
+                                < gene_overlap[2].read_start
+                            ):
+                                filtered = False
+                            elif gene_overlap[0].seq_idx != -1:
+                                if (
+                                    gene_overlap[0].seq_end
+                                    >= self.ref_set.seqs[
+                                        gene_overlap[0].seq_idx
+                                    ].consensus_len
+                                    - 17
+                                ):
+                                    filtered = False
+                            elif gene_overlap[2].seq_idx != -1:
+                                if gene_overlap[2].seq_start <= 17:
+                                    filtered = False
+                        first_gene = next(
+                            (
+                                j
+                                for j in range(4)
+                                if gene_overlap[j].seq_idx != -1
+                            ),
+                            -1,
+                        )
+                        if not filtered and first_gene != -1:
+                            add_ret = seq_set.input_novel_read(
+                                self.ref_set.seqs[
+                                    gene_overlap[first_gene].seq_idx
+                                ].name,
+                                r.read,
+                                gene_overlap[first_gene].strand,
+                                r.barcode,
+                            )
+                        elif good_candidate[i]:
+                            mate_strand = -sorted_reads[r.info].strand
+                            if seq_set.has_motif(r.read, mate_strand):
+                                add_ret = seq_set.input_novel_read(
+                                    "Novel", r.read, mate_strand, r.barcode
+                                )
+                    r.strand = strand
+            else:
+                if prev_add_ret != -1 and prev_add_ret != -3:
+                    add_ret = seq_set.repeat_add_read(r.read)
+                elif prev_add_ret == -3:
+                    add_ret = -3
+                r.strand = sorted_reads[i - 1].strand
+
+            if add_ret == -2:
+                rescue_read_idx.append(i)
+            elif add_ret >= 0:
+                assembled_read_cnt += 1
+                assembled_read_idx.append(i)
+                if r.mate_idx > i:
+                    good = False
+                    may_span = False
+                    if (
+                        gene_overlap[0].seq_idx != -1
+                        and gene_overlap[0].similarity >= 0.9
+                        and r.strand == 1
+                    ):
+                        good = True
+                        if (
+                            gene_overlap[2].seq_idx != -1
+                            and gene_overlap[2].read_start
+                            > gene_overlap[0].read_end
+                        ):
+                            may_span = True
+                        if (
+                            gene_overlap[3].seq_idx != -1
+                            and gene_overlap[3].read_start
+                            > gene_overlap[0].read_end
+                        ):
+                            may_span = True
+                    for j in (2, 3):
+                        if (
+                            gene_overlap[j].seq_idx != -1
+                            and gene_overlap[j].similarity >= 0.9
+                            and r.strand == -1
+                        ):
+                            good = True
+                            if (
+                                gene_overlap[0].seq_idx != -1
+                                and gene_overlap[j].read_start
+                                > gene_overlap[0].read_end
+                            ):
+                                may_span = True
+                    if may_span:
+                        good = False
+                    if good and not good_candidate[r.mate_idx]:
+                        tag = r.mate_idx
+                        for j in range(tag - 1, 0, -1):
+                            if sorted_reads[j].read == sorted_reads[tag].read:
+                                good_candidate[j] = good
+                                sorted_reads[j].info = i
+                            else:
+                                break
+                        for j in range(tag + 1, read_cnt):
+                            if sorted_reads[j].read == sorted_reads[tag].read:
+                                good_candidate[j] = good
+                                sorted_reads[j].info = i
+                            else:
+                                break
+                    if good:
+                        good_candidate[r.mate_idx] = True
+                        sorted_reads[r.mate_idx].info = i
+
+            if (
+                assembled_read_cnt > 0
+                and assembled_read_cnt % 10000 == 0
+                and not self.has_barcode
+            ):
+                seq_set.update_all_consensus()
+
+            prev_add_ret = add_ret
+
+            if (
+                seq_set.size() > self.change_kmer_length_threshold
+                and self.index_kmer_length < 16
+                and not self.has_barcode
+            ):
+                self.change_kmer_length_threshold *= 4
+                self.index_kmer_length += 2
+                seq_set.change_kmer_length(self.index_kmer_length)
+
+        seq_set.update_all_consensus()
+        log(f"Assembled {assembled_read_cnt} reads.")
+
+        # Rescue pass (main.cpp:1897-1940).
+        rescue_cnt = len(rescue_read_idx) if self.first_read_len <= 200 else 0
+        rescued = 0
+        for i in range(rescue_cnt):
+            r = sorted_reads[rescue_read_idx[i]]
+            similarity_threshold = 0.9
+            if r.min_cnt >= 20:
+                similarity_threshold = 0.97
+            elif r.min_cnt >= 2:
+                similarity_threshold = 0.95
+            add_ret, strand = seq_set.add_read(
+                r.read, "", 0, r.barcode, 1, self.trim_level > 1,
+                similarity_threshold,
+            )
+            r.strand = strand
+            if add_ret >= 0:
+                rescued += 1
+                assembled_read_idx.append(rescue_read_idx[i])
+        seq_set.update_all_consensus()
+        log(f"Rescued {rescued} reads.")
+        return assembled_read_idx
+
+    # -- output --------------------------------------------------------
+
+    def output_seqset(self, seq_set: SeqSet, fp) -> None:
+        """_raw.out/_final.out writer (SeqSet.hpp:10939-10993)."""
+        for i, sw in enumerate(seq_set.seqs):
+            if sw is None or sw.is_ref or sw.consensus is None:
+                continue
+            if (
+                not self.barcode_int_to_str
+                or sw.barcode == -1
+                or sw.barcode >= len(self.barcode_int_to_str)
+            ):
+                fp.write(f">assemble{i} {sw.name}\n{sw.consensus}\n")
+            else:
+                fp.write(
+                    f">{self.barcode_int_to_str[sw.barcode]}_{i} "
+                    f"{sw.name}\n{sw.consensus}\n"
+                )
+            w = sw.pos_weight
+            if w is not None and len(w) > 0:
+                for k in range(4):
+                    fp.write(" ".join(str(int(x)) for x in w[:, k]) + " \n")
+            else:
+                from trust4_tpu.dna import nuc_num
+
+                for k in range(4):
+                    fp.write(
+                        " ".join(
+                            str(sw.num_read) if nuc_num(c) == k else "0"
+                            for c in sw.consensus
+                        )
+                        + " \n"
+                    )
+
+    def output_assembled_reads(self, sorted_reads, assembled_read_idx, fp):
+        """_assembled_reads.fa writer (main.cpp:1995-2016)."""
+        for idx in assembled_read_idx:
+            r = sorted_reads[idx]
+            extra = ""
+            if self.has_barcode:
+                extra += f" barcode:{self.barcode_int_to_str[r.barcode]}"
+            if self.has_umi:
+                extra += f" umi:{r.umi}"
+            fp.write(
+                f">{r.id} {r.strand} {r.min_cnt} {r.median_cnt}{extra}\n{r.read}\n"
+            )
+
+    # -- full run ------------------------------------------------------
+
+    def run(
+        self,
+        read_files: List[str],
+        mate_files: Optional[List[str]] = None,
+        barcode_files: Optional[List[str]] = None,
+        umi_files: Optional[List[str]] = None,
+    ) -> None:
+        sorted_reads = self.ingest(read_files, mate_files, barcode_files, umi_files)
+        sorted_reads = self.prepare(sorted_reads)
+        if not sorted_reads:
+            for suffix in ("_raw.out", "_assembled_reads.fa", "_final.out"):
+                open(self.output_prefix + suffix, "w").close()
+            return
+        assembled_read_idx = self.assemble(sorted_reads)
+
+        with open(self.output_prefix + "_raw.out", "w") as fp:
+            self.output_seqset(self.seq_set, fp)
+        with open(self.output_prefix + "_assembled_reads.fa", "w") as fp:
+            self.output_assembled_reads(sorted_reads, assembled_read_idx, fp)
+
+        if self.skip_mate_extension or not self.has_mate or self.has_barcode:
+            with open(self.output_prefix + "_final.out", "w") as fp:
+                self.output_seqset(self.seq_set, fp)
+            return
+
+        self.mate_extension(sorted_reads, assembled_read_idx)
+
+    def mate_extension(self, sorted_reads, assembled_read_idx) -> None:
+        """Mate-pair scaffolding stage (main.cpp:2048-2312)."""
+        extended_seq = SeqSet(max(self.index_kmer_length, 17))
+        extended_seq.input_seq_set(self.seq_set, False)
+        if self.first_read_len > 200:
+            extended_seq.set_is_long_seq_set(True)
+        extended_seq.set_novel_seq_similarity(0.95)
+
+        assembled_reads = []  # (id, read, barcode, umi, Overlap|None)
+        prev_read = None
+        prev_assign = None
+        for idx in assembled_read_idx:
+            r = sorted_reads[idx]
+            if prev_read is None or r.read != prev_read:
+                prev_assign = extended_seq.assign_read(
+                    r.read, r.strand, r.barcode
+                )
+                prev_read = r.read
+            assembled_reads.append([r.id, r.read, r.barcode, r.umi, prev_assign])
+        extended_seq.set_novel_seq_similarity(0.9)
+        extended_seq.recompute_pos_weight(
+            [(ar[1], ar[4]) for ar in assembled_reads]
+        )
+
+        log("Extend assemblies by mate pair information.")
+        extended_seq.extend_seq_from_reads(assembled_reads, 17, self.ref_set)
+        extended_seq.update_all_consensus()
+
+        log("Remove redundant assemblies.")
+        extended_seq.change_kmer_length(31)
+        extended_seq.remove_redundant_seq()
+
+        with open(self.output_prefix + "_final.out", "w") as fp:
+            self.output_seqset(extended_seq, fp)
