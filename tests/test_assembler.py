@@ -48,3 +48,13 @@ def test_assembled_reads_parity(assembled, tmp_path):
         asm.output_assembled_reads(sr, idx, fp)
     golden = open(os.path.join(GOLDEN, "gold_assembled_reads.fa")).read()
     assert out.read_text() == golden
+
+
+def test_final_out_parity(assembled, tmp_path):
+    """Full mate-extension path: _final.out byte-identical (main.cpp:2048-2312,
+    SeqSet.hpp:9735-10806)."""
+    asm, sr, idx = assembled
+    asm.output_prefix = str(tmp_path / "t")
+    asm.mate_extension(sr, idx)
+    golden = open(os.path.join(GOLDEN, "gold_final.out")).read()
+    assert (tmp_path / "t_final.out").read_text() == golden

@@ -104,12 +104,14 @@ def compute_nomatch_gap_limit(kmer_length: int) -> int:
 from trust4_tpu.engine import overlap as _overlap_mod
 from trust4_tpu.engine import assemble as _assemble_mod
 from trust4_tpu.engine import annotate as _annotate_mod
+from trust4_tpu.engine import scaffold as _scaffold_mod
 
 
 class SeqSet(
     _overlap_mod.OverlapMixin,
     _assemble_mod.AssembleMixin,
     _annotate_mod.AnnotateMixin,
+    _scaffold_mod.ScaffoldMixin,
 ):
     def __init__(self, kmer_length: int):
         self.kmer_length = kmer_length

@@ -897,20 +897,35 @@ class Assembler:
             extended_seq.set_is_long_seq_set(True)
         extended_seq.set_novel_seq_similarity(0.95)
 
-        assembled_reads = []  # (id, read, barcode, umi, Overlap|None)
+        from trust4_tpu.engine.scaffold import AssignedRead
+
+        fail = Overlap()
+        fail.seq_idx = -1
+        assembled_reads = []
         prev_read = None
-        prev_assign = None
+        prev_assign = fail
         for idx in assembled_read_idx:
             r = sorted_reads[idx]
             if prev_read is None or r.read != prev_read:
-                prev_assign = extended_seq.assign_read(
-                    r.read, r.strand, r.barcode
-                )
+                # Reference keeps the overlap's original strand slot when
+                # assignment fails (assign struct reused, main.cpp:2077-2082);
+                # strand comes from the read either way.
+                a = extended_seq.assign_read(r.read, r.strand, r.barcode)
+                prev_assign = a if a is not None else fail
                 prev_read = r.read
-            assembled_reads.append([r.id, r.read, r.barcode, r.umi, prev_assign])
+            assembled_reads.append(
+                AssignedRead(
+                    id=r.id,
+                    read=r.read,
+                    barcode=r.barcode,
+                    umi=r.umi,
+                    info=idx,
+                    overlap=prev_assign,
+                )
+            )
         extended_seq.set_novel_seq_similarity(0.9)
         extended_seq.recompute_pos_weight(
-            [(ar[1], ar[4]) for ar in assembled_reads]
+            [(ar.read, ar.overlap) for ar in assembled_reads]
         )
 
         log("Extend assemblies by mate pair information.")
