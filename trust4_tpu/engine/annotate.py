@@ -745,8 +745,1220 @@ class AnnotateMixin:
 
         return gene_overlap, all_overlaps, masked
 
+    # ------------------------------------------------------------------
+    # CDR1/2/3 inference (SeqSet.hpp:6707-8392)
+    # ------------------------------------------------------------------
+
     def _annotate_cdr(self, read, contigs, gene_overlap, cdr, all_overlaps):
-        raise NotImplementedError("detail level 2 lands with the annotator binary")
+        """Infer CDR1/2 via V alignment and CDR3 via the anchor/motif
+        decision forest.  ``read`` is the M-masked consensus.  Mutates
+        gene_overlap, cdr, and all_overlaps (short-anchor rescues)."""
+        from trust4_tpu.engine.seqset import get_gene_type, is_same_chain_type
+
+        length = len(read)
+        seqs = self.seqs
+        locate_partial_min_len = 8
+
+        def ch(i: int) -> str:
+            return read[i] if 0 <= i < length else "\0"
+
+        def aa(i: int) -> str:
+            return dna_to_aa(ch(i), ch(i + 1), ch(i + 2))
+
+        v_align = None
+
+        def get_v_align():
+            nonlocal v_align
+            if v_align is None:
+                vg = gene_overlap[0]
+                cons = seqs[vg.seq_idx].consensus
+                _, v_align = align_host.global_alignment(
+                    cons[vg.seq_start : vg.seq_end + 1],
+                    read[vg.read_start : vg.read_end + 1],
+                )
+            return v_align
+
+        # -- CDR1/2 (SeqSet.hpp:6713-6770) --
+        if gene_overlap[0].seq_idx != -1 and (
+            gene_overlap[2].seq_idx == -1
+            or gene_overlap[0].read_start < gene_overlap[2].read_start
+        ):
+            vg = gene_overlap[0]
+            va = get_v_align()
+            for cdr_idx in (0, 1):
+                info = seqs[vg.seq_idx].info[cdr_idx]
+                seq_range_start, seq_range_end = info[0], info[1]
+                if vg.seq_start <= seq_range_start and vg.seq_end >= seq_range_end:
+                    i = vg.read_start - 1
+                    j = vg.seq_start - 1
+                    read_range_start = read_range_end = 0
+                    match_cnt = 0
+                    for a in va:
+                        if a != EDIT_DELETE:
+                            i += 1
+                        if a != EDIT_INSERT:
+                            j += 1
+                        if j == seq_range_start:
+                            read_range_start = i
+                        if j >= seq_range_start and a == EDIT_MATCH:
+                            match_cnt += 2
+                        if j == seq_range_end:
+                            read_range_end = i
+                            break
+                    cdr[cdr_idx].seq_idx = vg.seq_idx
+                    cdr[cdr_idx].read_start = read_range_start
+                    cdr[cdr_idx].read_end = read_range_end
+                    cdr[cdr_idx].match_cnt = match_cnt
+                    cdr[cdr_idx].similarity = match_cnt / (
+                        read_range_end - read_range_start + 1
+                        + seq_range_end - seq_range_start + 1
+                    )
+
+        # -- CDR3 (SeqSet.hpp:6775-8391) --
+        cdr3_score = 0.0
+        bound_s, bound_e = 0, length - 2
+        rng = 37
+        strong_locate_s = strong_locate_e = False
+        contig_cnt = len(contigs)
+        g0, g2, g3 = gene_overlap[0], gene_overlap[2], gene_overlap[3]
+
+        def wfgxxg_at(i: int) -> bool:
+            return (
+                aa(i) in "WF" and aa(i + 3) == "G" and aa(i + 9) == "G"
+            )
+
+        if g0.seq_idx != -1 and g2.seq_idx != -1:
+            if g2.read_end > g0.read_end:
+                start_frame = g0.seq_start % 3
+                ns = g0.read_end
+                s = ns - (ns - g0.read_start + start_frame) % 3
+                s = s + 6 if s + 6 < length else s
+                e = g2.read_start
+                e = e - 6 if e - 6 >= 0 else e
+                locate = -1
+                i = e
+                while i < g2.read_end and i + 11 < length:
+                    if wfgxxg_at(i):
+                        locate = i
+                        break
+                    i += 1
+                if locate != -1:
+                    e = locate
+                if e < s + 12:
+                    rng += 15
+                if s - rng > bound_s:
+                    bound_s = s - rng
+                if e + rng < bound_e:
+                    bound_e = e + rng
+                if locate != -1:
+                    s = s + (e - s) % 3
+                    if (
+                        s < e - 18
+                        and g0.seq_end < seqs[g0.seq_idx].consensus_len - 31
+                    ):
+                        s = e - 18
+                far = any(ch(i) == "M" for i in range(s, e + 1))
+                if far:
+                    if (
+                        seqs[g0.seq_idx].info[2][0] != -1
+                        and g0.seq_end < seqs[g0.seq_idx].info[2][0]
+                    ):
+                        s = e - 18
+                    if (
+                        seqs[g2.seq_idx].info[2][0] != -1
+                        and g2.seq_start > seqs[g0.seq_idx].info[2][0]
+                    ):
+                        e = s + 18
+            else:
+                s = 0
+                e = length
+                bound_s = 1
+        elif g2.seq_idx != -1:
+            e = g2.read_start
+            e = e - 6 if e - 6 >= 0 else e
+            s = e - 12
+            if s - 31 > bound_s:
+                bound_s = s - 31
+            locate = -1
+            i = e
+            while i < bound_e and i + 11 < length:
+                if wfgxxg_at(i):
+                    locate = i
+                    break
+                i += 1
+            if locate != -1:
+                e = locate
+                s = e - 12
+                if s < 0:
+                    s = 0
+        elif (
+            g0.seq_idx != -1
+            and g0.seq_end >= seqs[g0.seq_idx].consensus_len - 50
+        ):
+            start_frame = g0.seq_start % 3
+            s = g0.read_end + (g0.read_end - g0.read_start - start_frame) % 3
+            s = s + 6 if s + 6 < length else s
+            if s >= length:
+                s -= 3
+            e = s + 12
+            if s - 31 > bound_s:
+                bound_s = s - 31
+            locate = -1
+            if g3.seq_idx != -1:
+                bound_e = g3.read_start - 2
+            i = e
+            while i < bound_e and i + 11 < length:
+                if wfgxxg_at(i):
+                    locate = i
+                    break
+                i += 1
+            if locate != -1:
+                e = locate
+                s = e - 12
+                if s < 0:
+                    s = 0
+        else:
+            s = 0
+            e = length
+            bound_s = 1
+
+        if g2.seq_idx != -1 and bound_e > g2.read_end:
+            bound_e = g2.read_end
+        if s >= bound_s:
+            for i in range(s, bound_s - 1, -1):
+                if ch(i) == "M":
+                    bound_s = i + 1
+                    break
+        if e <= bound_e - 1:
+            for i in range(e, bound_e):
+                if ch(i) == "M":
+                    bound_e = i
+                    break
+
+        locate_s = -1
+        locate_e = -1
+        extend_s = -1
+
+        # IMGT-anchor walk along the V alignment (SeqSet.hpp:6981-7040).
+        if g0.seq_idx != -1:
+            dest = seqs[g0.seq_idx].info[2][0]
+            if dest != -1:
+                va = get_v_align()
+                i = g0.read_start - 1
+                j = g0.seq_start - 1
+                k = 0
+                n_ops = len(va)
+                while k < n_ops:
+                    if va[k] != EDIT_DELETE:
+                        i += 1
+                    if va[k] != EDIT_INSERT:
+                        j += 1
+                    if j >= dest:
+                        break
+                    k += 1
+                if k >= n_ops:
+                    k -= 1
+                    if va[k] != EDIT_DELETE:
+                        i -= 1
+                    if va[k] != EDIT_INSERT:
+                        j -= 1
+                ambiguous = False
+                for l in range(k, max(-1, k - 7), -1):
+                    if l < n_ops and va[l] in (EDIT_INSERT, EDIT_DELETE):
+                        ambiguous = True
+                        break
+                if k > 0 and not ambiguous:
+                    if j == dest:
+                        locate_s = i
+                        strong_locate_s = True
+                    elif j < dest:
+                        extend_s = i + dest - j + 5
+
+        if locate_s == -1:
+            if s + 8 >= length:
+                if (s - length + 9) % 3:
+                    s = length - 12 + (s - length + 9) % 3
+                else:
+                    s = length - 9
+
+        # YYC frame-locked then free (SeqSet.hpp:7055-7083).
+        if locate_s == -1:
+            for i in range(s, bound_s - 1, -3):
+                if aa(i) == "Y" and aa(i + 3) == "Y" and aa(i + 6) == "C":
+                    locate_s = i + 6
+                    break
+        if locate_s == -1:
+            for i in range(s, bound_s - 1, -1):
+                if aa(i) == "Y" and aa(i + 3) == "Y" and aa(i + 6) == "C":
+                    locate_s = i + 6
+                    break
+
+        # Partial exact germline match at the Cys (SeqSet.hpp:7085-7108).
+        if (
+            locate_s == -1
+            and g0.seq_idx != -1
+            and seqs[g0.seq_idx].info[2][0] != -1
+        ):
+            seq = seqs[g0.seq_idx]
+            for i in range(s, bound_s - 1, -1):
+                if aa(i + 6) == "C":
+                    gene_offset, match_len = (
+                        align_host.locate_partial_suf_pref_exact_match(
+                            seq.consensus[seq.info[2][0] :],
+                            read[i + 6 :],
+                            locate_partial_min_len,
+                        )
+                    )
+                    if gene_offset != -1 and gene_offset == 0:
+                        locate_s = i + 6
+                        strong_locate_s = True
+                        break
+
+        # YxC variants (SeqSet.hpp:7110-7151).
+        if locate_s == -1:
+            for i in range(s, bound_s - 1, -3):
+                if aa(i) == "Y" and aa(i + 6) == "C":
+                    locate_s = i + 6
+                    break
+            if locate_s == -1:
+                for i in range(s, bound_s - 1, -1):
+                    if aa(i) == "Y" and aa(i + 6) == "C":
+                        locate_s = i + 6
+                        break
+            if locate_s == -1 and g0.seq_idx != -1:
+                for i in range(s, bound_s - 1, -1):
+                    if aa(i) == "Y" and ch(i + 6) == "T" and ch(i + 7) == "G":
+                        locate_s = i + 6
+                        break
+
+        # xYC variants (SeqSet.hpp:7153-7194).
+        if locate_s == -1:
+            for i in range(s, bound_s - 1, -3):
+                if aa(i + 3) == "Y" and aa(i + 6) == "C":
+                    locate_s = i + 6
+                    break
+            if locate_s == -1:
+                for i in range(s, bound_s - 1, -1):
+                    if aa(i + 3) == "Y" and aa(i + 6) == "C":
+                        locate_s = i + 6
+                        break
+            if locate_s == -1 and g0.seq_idx != -1:
+                for i in range(s, bound_s - 1, -1):
+                    if aa(i + 3) == "Y" and ch(i + 6) == "T" and ch(i + 7) == "G":
+                        locate_s = i + 6
+                        break
+
+        # C-only (SeqSet.hpp:7196-7206).
+        if locate_s == -1 and (g0.seq_idx != -1 or s <= 18):
+            for i in range(s, bound_s - 1, -3):
+                if aa(i) == "C":
+                    locate_s = i
+                    break
+
+        # Expanded C search (SeqSet.hpp:7209-7247).
+        if locate_s == -1 and g0.seq_idx != -1 and g2.seq_idx != -1:
+            new_s = e - 12
+            if 0 <= extend_s < new_s:
+                new_s = extend_s - (extend_s - s) % 3
+            if new_s > s:
+                for i in range(new_s, s, -3):
+                    if aa(i) == "C":
+                        locate_s = i
+                        break
+                if locate_s == -1:
+                    for i in range(new_s, s, -3):
+                        if aa(i) == "Y" and ch(i + 6) == "T" and ch(i + 7) == "G":
+                            locate_s = i + 6
+                            break
+
+        # YYx (SeqSet.hpp:7259-7269).
+        if locate_s == -1 and g0.seq_idx != -1:
+            for i in range(s, bound_s - 1, -1):
+                if aa(i) == "Y" and aa(i + 3) == "Y":
+                    locate_s = i + 6
+                    break
+
+        # -- locateE (SeqSet.hpp:7271-7542) --
+        adjust_e = e
+        # J-gene IMGT anchor walk.
+        if g2.seq_idx != -1:
+            dest = seqs[g2.seq_idx].info[2][0]
+            if dest != -1:
+                jg = g2
+                cons = seqs[jg.seq_idx].consensus
+                _, jalign = align_host.global_alignment(
+                    cons[jg.seq_start : jg.seq_end + 1],
+                    read[jg.read_start : jg.read_end + 1],
+                )
+                n_ops = len(jalign)
+                i = jg.read_end + 1
+                j = jg.seq_end + 1
+                # The reference walks from the -1 terminator itself, so the
+                # sentinel consumes one (i,j) step (SeqSet.hpp:7291-7303).
+                k = n_ops
+                while k >= 0:
+                    op = jalign[k] if k < n_ops else -1
+                    if op != EDIT_DELETE:
+                        i -= 1
+                    if op != EDIT_INSERT:
+                        j -= 1
+                    if j <= dest:
+                        break
+                    k -= 1
+                ambiguous = False
+                l = k
+                if k == -1:
+                    l += 1
+                    if n_ops > 0:
+                        if jalign[0] != EDIT_DELETE:
+                            i += 1
+                        if jalign[0] != EDIT_INSERT:
+                            j += 1
+                while l < n_ops and l <= k + 6:
+                    if jalign[l] in (EDIT_INSERT, EDIT_DELETE):
+                        ambiguous = True
+                        break
+                    l += 1
+                if not ambiguous:
+                    if j == dest:
+                        locate_e = i
+                        strong_locate_e = True
+                    elif j == dest + 1 and ch(i - (j - dest)) != "M":
+                        locate_e = i - (j - dest)
+
+        if locate_s != -1:
+            adjust_e = e - (e - locate_s) % 3
+        if locate_e == -1:
+            i = adjust_e
+            while i < bound_e and i + 11 < length:
+                if wfgxxg_at(i):
+                    locate_e = i
+                    break
+                i += 3
+        if locate_e == -1:
+            i = e
+            while i < bound_e and i + 11 < length:
+                if wfgxxg_at(i):
+                    locate_e = i
+                    break
+                i += 1
+
+        if locate_e == -1:
+            # Weaker motifs (SeqSet.hpp:7375-7541).
+            if locate_s != -1:
+                adjust_e = e - (e - locate_s) % 3
+                if adjust_e + 3 < locate_s + 18:
+                    adjust_e = locate_s + 15
+
+            i = adjust_e
+            while i < bound_e and i + 11 < length:
+                if ch(i) == "T" and aa(i + 3) == "G" and aa(i + 9) == "G":
+                    locate_e = i
+                    break
+                i += 3
+
+            if (
+                locate_e == -1
+                and g2.seq_idx != -1
+                and seqs[g2.seq_idx].info[2][0] != -1
+            ):
+                seq = seqs[g2.seq_idx]
+                for i in range(e, bound_e):
+                    if aa(i) in "WF":
+                        gene_offset, match_len = (
+                            align_host.locate_partial_suf_suf_exact_match(
+                                seq.consensus[: seq.info[2][0] + 1],
+                                read[: i + 1],
+                                locate_partial_min_len,
+                            )
+                        )
+                        if (
+                            gene_offset != -1
+                            and gene_offset + match_len - 1 == seq.info[2][0]
+                        ):
+                            locate_e = i
+                            strong_locate_e = True
+                            break
+
+            if locate_e == -1:
+                i = adjust_e
+                while i < bound_e and i + 11 < length:
+                    if aa(i) in "WF" and (aa(i + 3) == "G" or aa(i + 9) == "G"):
+                        locate_e = i
+                        break
+                    i += 3
+
+            if locate_e == -1 and e + 40 > length and bound_e == length - 2:
+                i = length - 11
+                while i < bound_e and i + 5 < length:
+                    if aa(i) in "WF" and aa(i + 3) == "G":
+                        locate_e = i
+                        break
+                    i += 1
+                if locate_e == -1 and g2.seq_idx == -1:
+                    i = length - 5 - (length - 5 - locate_s) % 3
+                    while i < bound_e:
+                        if aa(i) in "WF":
+                            locate_e = i
+                            break
+                        i += 3
+
+            if locate_e == -1:
+                i = adjust_e
+                while i < bound_e:
+                    if i + 5 >= bound_e and aa(i) == "W":
+                        locate_e = i
+                        break
+                    i += 3
+            if locate_e == -1:
+                i = adjust_e
+                while i < bound_e:
+                    if i + 5 >= bound_e and aa(i) == "F":
+                        locate_e = i
+                        break
+                    i += 3
+
+        # Length sanity (SeqSet.hpp:7543-7556).
+        if locate_s != -1 and locate_e != -1:
+            if locate_e + 2 - locate_s + 1 < 18:
+                if g0.seq_idx == -1 and g2.seq_idx != -1:
+                    locate_s = -1
+                elif g0.seq_idx != -1 and g2.seq_idx == -1:
+                    locate_e = -1
+            elif locate_e + 2 - locate_s + 1 >= 180 and (
+                g0.seq_idx == -1 or g2.seq_idx == -1
+            ):
+                locate_s = locate_e = -1
+
+        # Gap in the middle: pick a side (SeqSet.hpp:7559-7578).
+        if (
+            g0.seq_idx != -1
+            and g2.seq_idx != -1
+            and seqs[g0.seq_idx].info[2][0] != -1
+            and seqs[g2.seq_idx].info[2][0] != -1
+            and locate_s != -1
+            and locate_e != -1
+        ):
+            for i in range(locate_s, locate_e + 3):
+                c = ch(i)
+                if c == "M" or c == "\0":
+                    if (
+                        strong_locate_e
+                        and g0.seq_end < seqs[g0.seq_idx].info[2][0]
+                    ):
+                        locate_s = -1
+                    if (
+                        strong_locate_s
+                        and g2.seq_start > seqs[g2.seq_idx].info[2][0]
+                    ):
+                        locate_e = -1
+                if c == "\0":
+                    break
+
+        # Partial CDR3 completion (SeqSet.hpp:7580-7647).
+        s_contig_idx = self.get_contig_idx(locate_s, contigs)
+        e_contig_idx = self.get_contig_idx(locate_e, contigs)
+        remove_locate_s = False
+        remove_locate_e = False
+        if (
+            locate_s == -1
+            and locate_e != -1
+            and g0.seq_idx == -1
+            and g2.seq_idx != -1
+            and locate_e > 15 + contigs[e_contig_idx][0]
+            and locate_e <= 60 + contigs[e_contig_idx][0]
+        ):
+            if strong_locate_e or (
+                locate_e + 11 < length and wfgxxg_at(locate_e)
+            ):
+                locate_s = locate_e % 3
+                s = locate_s
+                e = locate_e + 2
+                if e - s + 1 >= 18:
+                    flag = False
+                    i = s
+                    while i <= s + 9 and e - i + 1 >= 18:
+                        if aa(i) == "C":
+                            locate_s = i
+                            flag = True
+                            break
+                        i += 3
+                    if not flag:
+                        remove_locate_s = True
+                else:
+                    locate_s = -1
+        elif (
+            locate_s != -1
+            and locate_e == -1
+            and g0.seq_idx != -1
+            and g2.seq_idx == -1
+            and locate_s + 18 < contigs[s_contig_idx][1] + 1
+            and locate_s + 2 + 60 > contigs[s_contig_idx][1] + 1
+        ):
+            if strong_locate_s or (
+                locate_s - 6 >= 0
+                and aa(locate_s) == "C"
+                and aa(locate_s - 3) == "Y"
+                and aa(locate_s - 6) == "Y"
+            ):
+                locate_e = (
+                    (contigs[s_contig_idx][1] + 1)
+                    - 3
+                    - ((contigs[s_contig_idx][1] + 1) - 3 - locate_s) % 3
+                )
+                s = locate_s
+                e = locate_e + 2
+                if e - s + 1 >= 18:
+                    flag = False
+                    i = e
+                    while i >= e - 9 and i - s + 1 >= 18:
+                        if aa(i - 2) in "WF":
+                            locate_e = i - 2
+                            flag = True
+                            break
+                        i -= 3
+                    if not flag:
+                        remove_locate_e = True
+                else:
+                    locate_e = -1
+
+        # Short V-anchor rescue by exact anchor match (SeqSet.hpp:7650-7785).
+        s_contig_idx = self.get_contig_idx(locate_s, contigs)
+        e_contig_idx = self.get_contig_idx(locate_e, contigs)
+        force_partial = False
+        if locate_s != -1 and locate_s <= 18 and g0.seq_idx == -1:
+            anchor_seq_idx = -1
+            anchor_type = -1
+            if g2.seq_idx != -1:
+                anchor_seq_idx = g2.seq_idx
+                anchor_type = 2
+            elif g3.seq_idx != -1:
+                anchor_seq_idx = g3.seq_idx
+                anchor_type = 3
+
+            best_match_cnt = 0
+            best_hit_len = 0
+            read_start = 0
+            best_tags = []
+            for i_seq, seq in enumerate(seqs):
+                if get_gene_type(seq.name) != 0 or seq.info[2][0] == -1:
+                    continue
+                match_cnt = 0
+                hit_len = 0
+                gene_offset, match_len = (
+                    align_host.locate_partial_suf_pref_exact_match(
+                        seq.consensus[seq.info[2][0] :],
+                        read[locate_s:],
+                        locate_partial_min_len,
+                    )
+                )
+                if gene_offset == -1:
+                    gene_offset = seq.info[2][0]
+                else:
+                    gene_offset += seq.info[2][0]
+                k = locate_s - 1
+                j = gene_offset - 1
+                while k >= 0 and j >= 0:
+                    if read[k] == "M":
+                        break
+                    if seq.consensus[j] == read[k]:
+                        match_cnt += 1
+                    hit_len += 1
+                    k -= 1
+                    j -= 1
+                tmp = k + 1
+                k = locate_s
+                j = gene_offset
+                while k < length and j < seq.consensus_len:
+                    if seq.consensus[j] != read[k]:
+                        break
+                    match_cnt += 1
+                    hit_len += 1
+                    k += 1
+                    j += 1
+                if match_cnt > best_match_cnt or (
+                    match_cnt == best_match_cnt and hit_len < best_hit_len
+                ):
+                    best_match_cnt = match_cnt
+                    best_hit_len = hit_len
+                    best_tags = [(i_seq, gene_offset)]
+                    read_start = tmp
+                elif match_cnt == best_match_cnt and hit_len == best_hit_len:
+                    best_tags.append((i_seq, gene_offset))
+
+            original_locate_s = locate_s
+            if best_hit_len > 9 and best_match_cnt / best_hit_len >= 0.91:
+                started = False
+                for (tag_idx, tag_off) in best_tags:
+                    no = Overlap(
+                        seq_idx=tag_idx,
+                        read_start=read_start,
+                        read_end=read_start + best_hit_len - 1,
+                        seq_start=tag_off - (original_locate_s - read_start),
+                        match_cnt=2 * best_match_cnt,
+                    )
+                    no.seq_end = no.seq_start + best_hit_len - 1
+                    no.similarity = best_match_cnt / best_hit_len
+                    if anchor_seq_idx != -1:
+                        if no.read_end > gene_overlap[
+                            anchor_type
+                        ].read_start or not is_same_chain_type(
+                            seqs[no.seq_idx].name, seqs[anchor_seq_idx].name
+                        ):
+                            continue
+                    if not started:
+                        gene_overlap[0] = no
+                        g0 = no
+                        if seqs[tag_idx].info[2][0] != tag_off:
+                            diff = tag_off - seqs[tag_idx].info[2][0]
+                            if (
+                                locate_s - diff >= no.read_start
+                                and locate_s + diff <= no.read_end
+                            ):
+                                locate_s -= diff
+                                remove_locate_s = False
+                        if remove_locate_s and seqs[tag_idx].info[2][0] != tag_off:
+                            force_partial = True
+                        started = True
+                    all_overlaps.append(no)
+                remove_locate_s = False
+
+        # Short J-anchor rescue (SeqSet.hpp:7788-7937).
+        if locate_e != -1:
+            dist_to_end = contigs[e_contig_idx][1] - locate_e
+            if dist_to_end <= 18 and g2.seq_idx == -1:
+                anchor_seq_idx = -1
+                anchor_type = -1
+                if g0.seq_idx != -1:
+                    anchor_seq_idx = g0.seq_idx
+                    anchor_type = 0
+                elif g3.seq_idx != -1:
+                    anchor_seq_idx = g3.seq_idx
+                    anchor_type = 3
+
+                best_match_cnt = 0
+                best_tags = []
+                best_hit_len = 0
+                read_end = 0
+                for i_seq, seq in enumerate(seqs):
+                    if get_gene_type(seq.name) != 2 or seq.info[2][0] == -1:
+                        continue
+                    gene_offset = seq.info[2][0]
+                    match_cnt = 0
+                    hit_len = 0
+                    if locate_e < length:
+                        go2, match_len = (
+                            align_host.locate_partial_suf_suf_exact_match(
+                                seq.consensus[: seq.info[2][0] + 1],
+                                read[: locate_e + 1],
+                                locate_partial_min_len,
+                            )
+                        )
+                        if go2 == -1:
+                            gene_offset = seq.info[2][0]
+                        else:
+                            gene_offset = go2 + match_len - 1
+                    k = locate_e + 1
+                    j = gene_offset + 1
+                    while k < length and j < seq.consensus_len:
+                        if read[k] == "M":
+                            break
+                        if seq.consensus[j] == read[k]:
+                            match_cnt += 1
+                        hit_len += 1
+                        k += 1
+                        j += 1
+                    tmp = k - 1
+                    k = locate_e
+                    j = gene_offset
+                    while k >= 0 and j >= 0:
+                        if seq.consensus[j] != read[k]:
+                            break
+                        match_cnt += 1
+                        hit_len += 1
+                        k -= 1
+                        j -= 1
+                    if match_cnt > best_match_cnt or (
+                        match_cnt == best_match_cnt and hit_len < best_hit_len
+                    ):
+                        best_match_cnt = match_cnt
+                        best_hit_len = hit_len
+                        best_tags = [(i_seq, gene_offset)]
+                        read_end = tmp
+                    elif match_cnt == best_match_cnt and hit_len == best_hit_len:
+                        best_tags.append((i_seq, gene_offset))
+
+                if best_hit_len > 9 and best_match_cnt / best_hit_len >= 0.9:
+                    started = False
+                    original_locate_e = locate_e
+                    for (tag_idx, tag_off) in best_tags:
+                        no = Overlap(
+                            seq_idx=tag_idx,
+                            read_start=read_end - best_hit_len + 1,
+                            read_end=read_end,
+                            match_cnt=2 * best_match_cnt,
+                        )
+                        no.seq_end = tag_off + (read_end - original_locate_e)
+                        no.seq_start = no.seq_end - best_hit_len + 1
+                        no.similarity = best_match_cnt / best_hit_len
+                        if anchor_seq_idx != -1:
+                            if (
+                                anchor_type == 0
+                                and no.read_start
+                                < gene_overlap[anchor_type].read_end
+                            ) or not is_same_chain_type(
+                                seqs[no.seq_idx].name, seqs[anchor_seq_idx].name
+                            ):
+                                continue
+                        if not started:
+                            gene_overlap[2] = no
+                            g2 = no
+                            if seqs[tag_idx].info[2][0] != tag_off:
+                                diff = tag_off - seqs[tag_idx].info[2][0]
+                                if (
+                                    locate_e - diff >= no.read_start
+                                    and locate_e + diff <= no.read_end
+                                ):
+                                    locate_e -= diff
+                                    remove_locate_e = False
+                            if (
+                                remove_locate_e
+                                and seqs[tag_idx].info[2][0] != tag_off
+                            ):
+                                force_partial = True
+                            started = True
+                        all_overlaps.append(no)
+                    remove_locate_e = False
+
+        if remove_locate_s:
+            locate_s = -1
+        if remove_locate_e:
+            locate_e = -1
+
+        s_contig_idx = self.get_contig_idx(locate_s, contigs)
+        e_contig_idx = self.get_contig_idx(locate_e, contigs)
+        if (
+            locate_s != -1
+            and locate_e != -1
+            and 18 <= locate_e + 2 - locate_s + 1 < 7000
+        ):
+            s = locate_s
+            e = locate_e + 2
+            cdr[2].seq_idx = 0
+            cdr[2].read_start = s
+            cdr[2].read_end = e
+
+            left_cnt = 0
+            right_cnt = 0
+            # Anchor motif scoring (SeqSet.hpp:7962-8030).
+            if g0.seq_idx != -1 and seqs[g0.seq_idx].info[2][0] != -1:
+                ref = seqs[g0.seq_idx].consensus
+                offset = seqs[g0.seq_idx].info[2][0]
+
+                def raa(p: int) -> str:
+                    if p < 0 or p + 2 >= len(ref):
+                        return dna_to_aa(
+                            ref[p] if 0 <= p < len(ref) else "\0",
+                            ref[p + 1] if 0 <= p + 1 < len(ref) else "\0",
+                            ref[p + 2] if 0 <= p + 2 < len(ref) else "\0",
+                        )
+                    return dna_to_aa(ref[p], ref[p + 1], ref[p + 2])
+
+                if locate_s - 6 > 0 and aa(locate_s - 6) == raa(offset - 6):
+                    cdr3_score += 100.0 / 6
+                    left_cnt += 1
+                if locate_s - 3 > 0 and aa(locate_s - 3) == raa(offset - 3):
+                    cdr3_score += 100.0 / 6
+                    left_cnt += 1
+                if aa(locate_s) == raa(offset):
+                    cdr3_score += 100.0 / 6
+                    left_cnt += 1
+            else:
+                if locate_s - 6 > 0 and aa(locate_s - 6) == "Y":
+                    cdr3_score += 100.0 / 6
+                    left_cnt += 1
+                if locate_s - 3 > 0 and aa(locate_s - 3) == "Y":
+                    cdr3_score += 100.0 / 6
+                    left_cnt += 1
+                if aa(locate_s) == "C":
+                    cdr3_score += 100.0 / 6
+                    left_cnt += 1
+            if locate_e + 2 < length and aa(locate_e) in "WF":
+                cdr3_score += 100.0 / 6
+                right_cnt += 1
+            if locate_e + 5 < length and aa(locate_e + 3) == "G":
+                cdr3_score += 100.0 / 6
+                right_cnt += 1
+            if locate_e + 11 < length and aa(locate_e + 9) == "G":
+                cdr3_score += 100.0 / 6
+                right_cnt += 1
+
+            if s < 0:
+                s = e % 3
+                cdr[2].read_start = s
+                cdr3_score = 0
+            if e >= length:
+                e = length - 1 - (length - s) % 3
+                cdr[2].read_end = e
+                cdr3_score = 0
+
+            # Sanity rules (SeqSet.hpp:8047-8097).
+            if cdr3_score < 99 and (
+                (left_cnt < 3 and g0.seq_idx == -1)
+                or (right_cnt < 3 and g2.seq_idx == -1)
+            ):
+                cdr3_score = 0
+            elif (
+                e + 6 >= length
+                and locate_e + 2 < length
+                and aa(locate_e) not in "WF"
+            ):
+                cdr3_score = 0
+            elif (
+                cdr3_score < 99
+                and g0.seq_idx != -1
+                and g0.seq_start > 100
+                and g0.read_start > 100
+                and (not strong_locate_s or left_cnt < 3)
+            ):
+                cdr3_score = 0
+            elif (
+                cdr3_score < 99
+                and g0.seq_idx != -1
+                and (not strong_locate_s or left_cnt < 3)
+                and self.get_contig_idx(g0.read_end, contigs)
+                == self.get_contig_idx(s, contigs)
+                and (
+                    (
+                        seqs[g0.seq_idx].info[2][0] != -1
+                        and g0.seq_end + (s - g0.read_end) + 5
+                        < seqs[g0.seq_idx].info[2][0]
+                    )
+                    or (
+                        seqs[g0.seq_idx].info[2][0] != -1
+                        and g0.seq_end + (s - g0.read_end) + 51
+                        < seqs[g0.seq_idx].consensus_len
+                    )
+                )
+            ):
+                cdr3_score = 0
+            elif (
+                cdr3_score < 99
+                and g2.seq_idx != -1
+                and (not strong_locate_e or right_cnt < 3)
+                and self.get_contig_idx(g2.read_start, contigs)
+                == self.get_contig_idx(e, contigs)
+                and seqs[g2.seq_idx].info[2][0] != -1
+                and g2.seq_start + ((e - 2) - g2.read_start) - 5
+                > seqs[g2.seq_idx].info[2][0]
+            ):
+                cdr3_score = 0
+            elif g0.seq_idx == -1 and g2.seq_idx != -1 and s >= g2.read_start:
+                cdr3_score = 0
+            elif g0.seq_idx != -1 and g2.seq_idx == -1 and e <= g0.read_end:
+                cdr3_score = 0
+            elif g0.seq_idx == -1 and g2.seq_idx != -1:
+                i = 0
+                while i < contig_cnt and s > contigs[i][1]:
+                    i += 1
+                if i >= contig_cnt or s - 50 >= contigs[i][0]:
+                    cdr3_score = 0
+            elif g0.seq_idx != -1 and g2.seq_idx == -1:
+                i = contig_cnt - 1
+                while i >= 0 and e < contigs[i][0]:
+                    i -= 1
+                if i < 0 or (e + 50 <= contigs[i][1] and right_cnt < 3):
+                    cdr3_score = 0
+            elif force_partial:
+                cdr3_score = 0
+
+            if (
+                strong_locate_s
+                and strong_locate_e
+                and cdr3_score < 50
+                and locate_s >= 0
+                and locate_e + 2 < length
+            ):
+                cdr3_score = 50
+
+            # Gap adjustments (SeqSet.hpp:8104-8151).
+            if cdr3_score > 0:
+                n_cnt = 0
+                if ch(s) == "M":
+                    while ch(s) == "M" and s <= e:
+                        s += 3
+                    cdr[2].read_start = s
+                    cdr3_score = 0
+                    if s >= e:
+                        cdr[2].seq_idx = -1
+                        cdr[2].read_start = cdr[2].read_end = -1
+                if ch(e) == "M":
+                    while ch(e) == "M" and e >= s:
+                        e -= 3
+                    cdr[2].read_end = e
+                    cdr3_score = 0
+                    if e <= s:
+                        cdr[2].seq_idx = -1
+                        cdr[2].read_start = cdr[2].read_end = -1
+                for i in range(s, e + 1):
+                    if ch(i) == "N":
+                        n_cnt += 1
+                        if n_cnt >= 2:
+                            cdr3_score = 0
+                            break
+                    elif ch(i) == "M":
+                        cdr3_score = 0
+                        break
+
+            # Anchor-in-gap partial forcing (SeqSet.hpp:8155-8166).
+            if g0.seq_idx != -1 and seqs[g0.seq_idx].info[2][0] != -1:
+                if (
+                    g0.seq_end >= seqs[g0.seq_idx].info[2][0] + 2
+                    and s > g0.read_end
+                ):
+                    cdr3_score = 0
+            if g2.seq_idx != -1 and seqs[g2.seq_idx].info[2][0] != -1:
+                if (
+                    g2.seq_start <= seqs[g2.seq_idx].info[2][0]
+                    and e < g2.read_start
+                ):
+                    cdr3_score = 0
+
+            # Cross-contig anchor verification (SeqSet.hpp:8169-8306).
+            if cdr3_score < 100:
+                for i in range(1, contig_cnt):
+                    if contigs[i][0] <= s <= contigs[i][1]:
+                        if (
+                            g0.seq_idx != -1
+                            and g0.read_end <= contigs[i - 1][1]
+                            and left_cnt < 3
+                            and not strong_locate_s
+                        ):
+                            match_cnt = 0
+                            hit_len = 0
+                            seq_idx = g0.seq_idx
+                            if seqs[seq_idx].info[2][0] != -1:
+                                cons = seqs[seq_idx].consensus
+                                right_match = 0
+                                j = s
+                                k = seqs[seq_idx].info[2][0]
+                                while j < length and k < len(cons):
+                                    if read[j] == cons[k]:
+                                        right_match += 1
+                                        if right_match / (j - s + 1) >= 0.75:
+                                            match_cnt = right_match
+                                            hit_len = j - s + 1
+                                    j += 1
+                                    k += 1
+                                j = s - 1
+                                k = seqs[seq_idx].info[2][0] - 1
+                                while j >= 0 and k >= 0:
+                                    if read[j] == "M":
+                                        break
+                                    if read[j] == cons[k]:
+                                        match_cnt += 1
+                                    hit_len += 1
+                                    j -= 1
+                                    k -= 1
+                            similarity = 0.9
+                            if seqs[seq_idx].name[0] == "I":
+                                similarity = 0.8
+                            if hit_len <= 9 or match_cnt / hit_len < similarity:
+                                cdr3_score = 0
+                            break
+                        break
+                for i in range(contig_cnt - 2, 0, -1):
+                    if contigs[i][0] <= e <= contigs[i][1]:
+                        if (
+                            g2.seq_idx != -1
+                            and g2.read_start >= contigs[i + 1][0]
+                            and right_cnt < 3
+                            and not strong_locate_e
+                        ):
+                            match_cnt = 0
+                            hit_len = 0
+                            seq_idx = g2.seq_idx
+                            if seqs[seq_idx].info[2][0] != -1:
+                                cons = seqs[seq_idx].consensus
+                                left_match = 0
+                                j = e
+                                k = seqs[seq_idx].info[2][0] + 2
+                                while j >= 0 and k >= 0:
+                                    if k < len(cons) and read[j] == cons[k]:
+                                        left_match += 1
+                                        if left_match / (e - j + 1) >= 0.75:
+                                            match_cnt = left_match
+                                            hit_len = e - j + 1
+                                    j -= 1
+                                    k -= 1
+                                j = e + 1
+                                k = seqs[seq_idx].info[2][0] + 3
+                                while j < length and k < len(cons):
+                                    if read[j] == "M":
+                                        break
+                                    if read[j] == cons[k]:
+                                        match_cnt += 1
+                                    hit_len += 1
+                                    j += 1
+                                    k += 1
+                            similarity = 0.9
+                            if seqs[seq_idx].name[0] == "I":
+                                similarity = 0.8
+                            if hit_len <= 9 or match_cnt / hit_len < similarity:
+                                cdr3_score = 0
+                            break
+                        break
+
+        # Trailing partial-CDR3 fallbacks (SeqSet.hpp:8309-8389).
+        elif (
+            locate_s == -1
+            and locate_e != -1
+            and g2.seq_idx != -1
+            and (
+                g0.seq_idx == -1
+                or self.get_contig_idx(g0.read_start, contigs)
+                != self.get_contig_idx(g2.read_start, contigs)
+            )
+            and locate_e > 15 + contigs[e_contig_idx][0]
+            and locate_e <= 60 + contigs[e_contig_idx][0]
+        ):
+            if strong_locate_e or (
+                locate_e + 11 < length and wfgxxg_at(locate_e)
+            ):
+                while locate_e + 2 >= length:
+                    locate_e -= 3
+                locate_s = (
+                    contigs[e_contig_idx][0]
+                    + (locate_e - contigs[e_contig_idx][0]) % 3
+                )
+                cdr3_score = 0
+                s = locate_s
+                e = locate_e + 2
+                if e - s + 1 >= 18:
+                    i = s
+                    while i <= s + 9 and e - i + 1 >= 18:
+                        if aa(i) == "C":
+                            s = i
+                            break
+                        i += 3
+                    if s + 2 < g2.read_start:
+                        cdr[2].seq_idx = 0
+                        cdr[2].read_start = s
+                        cdr[2].read_end = e
+        elif (
+            locate_s != -1
+            and locate_e == -1
+            and g0.seq_idx != -1
+            and (
+                g2.seq_idx == -1
+                or self.get_contig_idx(g0.read_start, contigs)
+                != self.get_contig_idx(g2.read_start, contigs)
+            )
+            and locate_s + 18 < contigs[s_contig_idx][1] + 1
+            and locate_s + 2 + 60 > contigs[s_contig_idx][1] + 1
+        ):
+            if strong_locate_s or (
+                locate_s - 6 >= 0
+                and aa(locate_s) == "C"
+                and aa(locate_s - 3) == "Y"
+                and aa(locate_s - 6) == "Y"
+            ):
+                while locate_s < 0:
+                    locate_s += 3
+                locate_e = (
+                    contigs[s_contig_idx][1]
+                    - 2
+                    - (contigs[s_contig_idx][1] - 2 - locate_s) % 3
+                )
+                cdr3_score = 0
+                s = locate_s
+                e = locate_e + 2
+                if e - s + 1 >= 18:
+                    i = e
+                    while i >= e - 9 and i - s + 1 >= 18:
+                        if aa(i - 2) in "WF":
+                            e = i
+                            break
+                        i -= 3
+                    if e - 2 > g0.read_end:
+                        cdr[2].seq_idx = 0
+                        cdr[2].read_start = s
+                        cdr[2].read_end = e
+
+        cdr[2].similarity = cdr3_score / 100.0
+
+    # ------------------------------------------------------------------
+    # D gene (SeqSet.hpp:5906-6009)
+    # ------------------------------------------------------------------
 
     def annotate_read_d_gene(self, read, gene_overlap, cdr, secondary):
-        raise NotImplementedError("detail level 2 lands with the annotator binary")
+        from trust4_tpu.engine.seqset import get_gene_type
+
+        seqs = self.seqs
+        if cdr[2].seq_idx == -1 or cdr[2].similarity == 0:
+            return -1
+        if gene_overlap[0].seq_idx != -1:
+            anchor_seq_idx = gene_overlap[0].seq_idx
+        elif gene_overlap[2].seq_idx != -1:
+            anchor_seq_idx = gene_overlap[2].seq_idx
+        else:
+            return -1
+        aname = seqs[anchor_seq_idx].name
+        if aname[2] not in "HBD":
+            return -1
+
+        d_overlaps: List[Overlap] = []
+        cdr3 = read[cdr[2].read_start : cdr[2].read_end + 1]
+        for i, sw in enumerate(seqs):
+            if not (
+                sw.is_ref
+                and get_gene_type(sw.name) == 1
+                and sw.name[0] == aname[0]
+                and sw.name[2] == aname[2]
+                and sw.name[1] == aname[1]
+            ):
+                continue
+            score, seq_start, read_start, align = align_host.local_alignment(
+                sw.consensus, cdr3
+            )
+            if score >= 5 * align_host.SCORE_MATCH_LOCAL:
+                read_start += cdr[2].read_start
+                read_end = read_start - 1
+                seq_end = seq_start - 1
+                match_cnt = 0
+                for a in align:
+                    if a != EDIT_INSERT:
+                        seq_end += 1
+                    if a != EDIT_DELETE:
+                        read_end += 1
+                    if a == EDIT_MATCH:
+                        match_cnt += 1
+                if (
+                    gene_overlap[0].seq_idx != -1
+                    and gene_overlap[0].read_end >= read_end
+                ) or (
+                    gene_overlap[2].seq_idx != -1
+                    and gene_overlap[2].read_start <= read_start
+                ):
+                    continue
+                no = Overlap(
+                    seq_idx=i,
+                    seq_start=seq_start,
+                    seq_end=seq_end,
+                    read_start=read_start,
+                    read_end=read_end,
+                    match_cnt=2 * match_cnt,
+                )
+                no.similarity = no.match_cnt / (
+                    seq_end - seq_start + 1 + read_end - read_start + 1
+                )
+                d_overlaps.append(no)
+
+        if not d_overlaps:
+            return -1
+        best = 0
+        for i in range(1, len(d_overlaps)):
+            if self.is_better_gene_match(d_overlaps[i], d_overlaps[best], 1.0):
+                best = i
+        gene_overlap[1] = d_overlaps[best]
+        return d_overlaps[best].seq_idx
