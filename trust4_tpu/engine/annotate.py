@@ -1888,6 +1888,66 @@ class AnnotateMixin:
         cdr[2].similarity = cdr3_score / 100.0
 
     # ------------------------------------------------------------------
+    # CDR3 imputation (SeqSet.hpp:5478-5903) — TCR only
+    # ------------------------------------------------------------------
+
+    def impute_cdr3(self, read, gene_overlap, cdr, secondary) -> Optional[str]:
+        """Splice germline sequence to complete a partial TCR CDR3
+        (SeqSet.hpp:5851-5903).  Returns the new consensus or None."""
+        seqs = self.seqs
+        g0, g2 = gene_overlap[0], gene_overlap[2]
+        if (
+            cdr[2].seq_idx == -1
+            or cdr[2].similarity != 0
+            or g0.seq_idx == -1
+            or g2.seq_idx == -1
+            or seqs[g0.seq_idx].info[2][0] == -1
+            or seqs[g2.seq_idx].info[2][0] == -1
+            or g0.read_end >= g2.read_start
+        ):
+            return None
+        if seqs[g0.seq_idx].name[0] != "T":
+            return None
+
+        v_in_anchor = (
+            seqs[g0.seq_idx].info[2][0] >= g0.seq_start
+            and seqs[g0.seq_idx].info[2][0] + 2 <= g0.seq_end
+        )
+        j_in_anchor = (
+            seqs[g2.seq_idx].info[2][0] >= g2.seq_start
+            and seqs[g2.seq_idx].info[2][0] + 2 <= g2.seq_end
+        )
+        ret = None
+        if v_in_anchor and j_in_anchor:
+            has_gap = any(
+                read[j] == "N" and j + 1 < len(read) and read[j + 1] == "N"
+                for j in range(cdr[2].read_start, cdr[2].read_end + 1)
+            )
+            if has_gap:
+                ret = self._impute_internal_cdr3(read, gene_overlap, cdr, secondary)
+            else:
+                ret = self._impute_anchor_cdr3(read, gene_overlap, cdr, secondary)
+        elif v_in_anchor or j_in_anchor:
+            for j in range(cdr[2].read_start, cdr[2].read_end + 1):
+                if read[j] == "N":
+                    return None
+            ret = self._impute_anchor_cdr3(read, gene_overlap, cdr, secondary)
+
+        if ret is not None:
+            self.annotate_read_d_gene(ret, gene_overlap, cdr, secondary)
+        return ret
+
+    def _impute_anchor_cdr3(self, read, gene_overlap, cdr, secondary):
+        raise NotImplementedError(
+            "TCR CDR3 anchor imputation (SeqSet.hpp:5478-5734) pending"
+        )
+
+    def _impute_internal_cdr3(self, read, gene_overlap, cdr, secondary):
+        raise NotImplementedError(
+            "TCR CDR3 internal-gap imputation (SeqSet.hpp:5736-5849) pending"
+        )
+
+    # ------------------------------------------------------------------
     # D gene (SeqSet.hpp:5906-6009)
     # ------------------------------------------------------------------
 

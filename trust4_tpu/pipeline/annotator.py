@@ -1,0 +1,678 @@
+"""The annotator stage: contigs -> gene calls, CDR3s, read realignment, EM.
+
+Re-implements the reference annotator binary (reference: Annotator.cpp) on
+top of the SeqSet engine: IMGT realignment of every contig (detail 2),
+global-abundance tie-breaking, read realignment with per-contig CDR3-variant
+EM, and the _annot.fa/_cdr3.out writers.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from trust4_tpu.align import host as align_host
+from trust4_tpu.dna import revcomp, nuc_num
+from trust4_tpu.engine.seqset import SeqSet, get_gene_type
+from trust4_tpu.engine.scaffold import AssignedRead
+from trust4_tpu.engine.types import Overlap
+from trust4_tpu.utils.cxxsort import cxx_sort
+
+
+@dataclass
+class Annotation:
+    """reference: Annotator.cpp:69-81, struct _annotate."""
+
+    gene_overlap: List[Overlap] = field(
+        default_factory=lambda: [Overlap() for _ in range(4)]
+    )
+    cdr: List[Overlap] = field(
+        default_factory=lambda: [Overlap() for _ in range(3)]
+    )
+    secondary: List[Overlap] = field(default_factory=list)
+    is_full_length: int = 0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def get_align_stats(align, update, stats=(0, 0, 0)):
+    m, mm, ind = stats if update else (0, 0, 0)
+    for a in align:
+        if a == 0:
+            m += 1
+        elif a == 1:
+            mm += 1
+        else:
+            ind += 1
+    return m, mm, ind
+
+
+def is_same_fragment(id1: str, id2: str, s1: str, s2: str) -> bool:
+    """Annotator.cpp:168-185: same id, or merged-pair '.1' twin."""
+    if id1 == id2:
+        return True
+    l1, l2 = len(id1), len(id2)
+    if (l1 == l2 - 2 and id2.endswith(".1")) or (
+        l2 == l1 - 2 and id1.endswith(".1")
+    ):
+        if s1 == s2:
+            return True
+    return False
+
+
+def is_cdr3_compatible(r: AssignedRead, cdr3_seq: str, cdr3_coord: Overlap) -> bool:
+    """Annotator.cpp:142-166."""
+    o = r.overlap
+    if o.seq_start <= cdr3_coord.read_start:
+        r_offset = o.read_start + cdr3_coord.read_start - o.seq_start
+        c_offset = 0
+    else:
+        r_offset = o.read_start
+        c_offset = o.seq_start - cdr3_coord.read_start
+    i = 0
+    read = r.read
+    while i + r_offset < len(read) and i + c_offset < len(cdr3_seq):
+        if read[i + r_offset] != cdr3_seq[i + c_offset]:
+            return False
+        i += 1
+    return True
+
+
+def abundance_estimation(compat: List[List[int]], counts: List[float]) -> None:
+    """Per-contig EM over CDR3 variants (Annotator.cpp:188-255).  ``counts``
+    is updated in place."""
+    end_d = 1e-6
+    c_cnt = len(counts)
+    r_cnt = len(compat)
+    abundance = [0.0] * c_cnt
+    for row in compat:
+        if len(row) == 1:
+            abundance[row[0]] += 1
+    sum_ = sum(abundance)
+    if sum_ == 0 and c_cnt > 0:
+        counts[0] = r_cnt
+        for i in range(1, c_cnt):
+            counts[i] = 0
+        return
+    for i in range(c_cnt):
+        abundance[i] /= sum_
+    for _ in range(1000):
+        d = 0.0
+        for i in range(c_cnt):
+            counts[i] = 0
+        for row in compat:
+            sum_ = sum(abundance[c] for c in row)
+            if sum_ == 0:
+                continue
+            for c in row:
+                counts[c] += abundance[c] / sum_
+        sum_ = sum(counts)
+        for i in range(c_cnt):
+            tmp = abundance[i]
+            abundance[i] = counts[i] / sum_
+            diff = abs(tmp - abundance[i])
+            if diff > d:
+                d = diff
+        if d < end_d:
+            return
+
+
+class Annotator:
+    def __init__(
+        self,
+        imgt_fa: str,
+        output_prefix: str = "trust",
+        imgt_additional_gap: Optional[str] = None,
+        include_partial: bool = True,
+        impute: bool = True,
+        need_rc: bool = False,
+    ):
+        self.ref_set = SeqSet(7)
+        self.ref_set.input_ref_fa(imgt_fa, True, imgt_additional_gap)
+        self.ref_set.set_hit_len_required(17)
+        self.ref_set.set_radius(10)
+        self.seq_set = SeqSet(17)
+        self.output_prefix = output_prefix
+        self.include_partial = include_partial
+        self.impute = impute
+        self.need_rc = need_rc
+        self.annotations: List[Annotation] = []
+
+    # -- input ---------------------------------------------------------
+
+    def load_assembly(self, final_out_path: str) -> None:
+        """Parse trust4 _final.out (consensus + 4xL posWeight rows,
+        Annotator.cpp:573-619)."""
+        with open(final_out_path) as fp:
+            lines = fp.read().splitlines()
+        i = 0
+        while i < len(lines):
+            header = lines[i]
+            if not header.startswith(">"):
+                i += 1
+                continue
+            name = header[1:].split(" ")[0]
+            seq = lines[i + 1]
+            w = np.zeros((len(seq), 4), dtype=np.int32)
+            for k in range(4):
+                row = lines[i + 2 + k].split()
+                w[: len(row), k] = [int(x) for x in row]
+            self.seq_set.input_novel_seq(name, seq, w)
+            i += 6
+
+    def load_fasta(self, path: str) -> None:
+        from trust4_tpu.io.fastx import read_fastx
+
+        for rec in read_fastx(path):
+            self.seq_set.input_novel_read(rec.id, rec.seq, 1, -1)
+
+    # -- annotation ----------------------------------------------------
+
+    def annotate_all(self) -> None:
+        """Annotator.cpp:640-696."""
+        seq_set, ref_set = self.seq_set, self.ref_set
+        seq_cnt = seq_set.size()
+        self.annotations = []
+        for i in range(seq_cnt):
+            ann = Annotation()
+            if self.need_rc:
+                strand = ref_set.has_hit_in_set(seq_set.seqs[i].consensus, 1)
+                if strand == -1:
+                    self._reverse_complement_in_seq_set(i)
+            _, ann.gene_overlap, ann.cdr = ref_set.annotate_read(
+                seq_set.seqs[i].consensus, 2, ann.secondary
+            )
+            if self.impute:
+                new_consensus = ref_set.impute_cdr3(
+                    seq_set.seqs[i].consensus,
+                    ann.gene_overlap,
+                    ann.cdr,
+                    ann.secondary,
+                )
+                if new_consensus is not None:
+                    self._set_seq_consensus(i, new_consensus)
+            self.annotations.append(ann)
+
+        self._annotation_tie_break()
+        for i in range(seq_cnt):
+            self.annotations[i].is_full_length = self._is_complete_vdj(i)
+
+    def _reverse_complement_in_seq_set(self, idx: int) -> None:
+        sw = self.seq_set.seqs[idx]
+        sw.consensus = revcomp(sw.consensus)
+        from trust4_tpu.engine.assemble import new_pos_weight_from_seq
+
+        sw.pos_weight = new_pos_weight_from_seq(sw.consensus)
+
+    def _set_seq_consensus(self, idx: int, nc: str) -> None:
+        from trust4_tpu.engine.assemble import new_pos_weight_from_seq
+
+        sw = self.seq_set.seqs[idx]
+        sw.consensus = nc
+        sw.pos_weight = new_pos_weight_from_seq(nc)
+
+    def _annotation_tie_break(self) -> None:
+        """Annotator.cpp:257-307."""
+        seq_set, ref_set = self.seq_set, self.ref_set
+        abundance = [0.0] * len(ref_set.seqs)
+        for i, ann in enumerate(self.annotations):
+            sw = seq_set.seqs[i]
+            avg = int(sw.pos_weight.sum()) / sw.consensus_len
+            for k in range(4):
+                if ann.gene_overlap[k].seq_idx != -1:
+                    abundance[ann.gene_overlap[k].seq_idx] += avg
+        for ann in self.annotations:
+            for k in range(4):
+                g = ann.gene_overlap[k]
+                if g.seq_idx == -1:
+                    continue
+                for j, o in enumerate(ann.secondary):
+                    if get_gene_type(ref_set.seqs[o.seq_idx].name) != k:
+                        continue
+                    if (
+                        o.read_end - o.read_start == g.read_end - g.read_start
+                        and o.similarity == g.similarity
+                        and abundance[o.seq_idx] > abundance[g.seq_idx]
+                    ):
+                        ann.gene_overlap[k], ann.secondary[j] = (
+                            ann.secondary[j],
+                            ann.gene_overlap[k],
+                        )
+                        g = ann.gene_overlap[k]
+
+    def _is_complete_vdj(self, i: int) -> int:
+        """Annotator.cpp:342-366 (IsCompleteVDJ)."""
+        seq = self.seq_set.seqs[i].consensus
+        ann = self.annotations[i]
+        go = ann.gene_overlap
+        cdr = ann.cdr
+        if go[0].seq_idx == -1 or go[2].seq_idx == -1:
+            return 0
+        if cdr[2].seq_idx == -1:
+            return 0
+        if go[0].read_end > go[2].read_start + 3:
+            return 0
+        if go[0].seq_start > 0 or go[0].read_end < cdr[2].read_start:
+            return 0
+        if (
+            go[2].read_start > cdr[2].read_end
+            or go[2].seq_end
+            < self.ref_set.seqs[go[2].seq_idx].consensus_len - 1
+        ):
+            return 0
+        for j in range(go[0].read_start, go[2].read_end + 1):
+            if seq[j] == "N":
+                return 0
+        return 1
+
+    # -- CDR3 germline similarity (SeqSet.hpp:8503-8594) ---------------
+
+    def get_cdr3_similarity(self, seq: str, go, cdr) -> float:
+        ref_set = self.ref_set
+        if cdr[2].similarity <= 0:
+            return 0
+        if go[0].seq_idx == -1 or go[2].seq_idx == -1:
+            return 0
+        seq_idx = go[0].seq_idx
+        has_d = 0
+        if go[0].read_end < cdr[2].read_start or go[0].read_start > cdr[2].read_start:
+            return 0
+        if go[2].read_start > cdr[2].read_end or go[2].read_end < cdr[2].read_end:
+            return 0
+        if ref_set.seqs[seq_idx].name[2] in "HBD":
+            if go[1].seq_idx == -1:
+                return 0
+            has_d = 1
+
+        match_cnt = mismatch_cnt = indel_cnt = 0
+        total_len = 0
+        broke = False
+        for i in range(3):
+            if has_d == 0 and i == 1:
+                continue
+            gene = go[i]
+            if i == 0:
+                read_start = cdr[2].read_start
+                read_end = gene.read_end
+                info = ref_set.seqs[gene.seq_idx].info[2][0]
+                seq_start = (
+                    info if info != -1 else gene.seq_end - (read_end - read_start)
+                )
+                seq_end = gene.seq_end
+            elif i == 1:
+                read_start, read_end = gene.read_start, gene.read_end
+                seq_start, seq_end = gene.seq_start, gene.seq_end
+            else:
+                read_start = gene.read_start
+                read_end = cdr[2].read_end
+                seq_start = gene.seq_start
+                info = ref_set.seqs[gene.seq_idx].info[2][0]
+                seq_end = (
+                    info
+                    if info != -1
+                    else gene.seq_start + (read_end - read_start)
+                )
+            if read_end - read_start < 0 or seq_end - seq_start < 0:
+                match_cnt = 0
+                broke = True
+                break
+            if read_start < cdr[2].read_start or read_end > cdr[2].read_end:
+                continue
+            cons = ref_set.seqs[gene.seq_idx].consensus
+            _, align = align_host.global_alignment(
+                cons[seq_start : seq_end + 1],
+                seq[
+                    read_start - cdr[2].read_start : read_end
+                    - cdr[2].read_start
+                    + 1
+                ],
+            )
+            match_cnt, mismatch_cnt, indel_cnt = get_align_stats(
+                align, True, (match_cnt, mismatch_cnt, indel_cnt)
+            )
+            total_len += seq_end - seq_start + 1
+        if total_len == 0:
+            return 0
+        return match_cnt / total_len
+
+    def get_equal_secondary(self, primary: Overlap, gene_type: int, secondary):
+        """SeqSet.hpp:8596-8619."""
+        if primary.seq_idx == -1:
+            return []
+        out = []
+        for i, o in enumerate(secondary):
+            if get_gene_type(self.ref_set.seqs[o.seq_idx].name) != gene_type:
+                continue
+            if (
+                primary.similarity == o.similarity
+                and primary.read_end - primary.read_start
+                == o.read_end - o.read_start
+            ):
+                out.append(i)
+        return out
+
+    # -- annot.fa writer (SeqSet.hpp:8622-8736) ------------------------
+
+    def write_annotation_fasta(self, fp) -> None:
+        seq_set, ref_set = self.seq_set, self.ref_set
+        for i, ann in enumerate(self.annotations):
+            sw = seq_set.seqs[i]
+            weight_sum = int(sw.pos_weight.sum())
+            parts = [
+                f">{sw.name} {sw.consensus_len} {weight_sum / 500.0:.2f}"
+            ]
+            for k in range(4):
+                g = ann.gene_overlap[k]
+                if g.seq_idx != -1:
+                    field = (
+                        f" {ref_set.seqs[g.seq_idx].name}"
+                        f"({ref_set.seqs[g.seq_idx].consensus_len}):"
+                        f"({g.read_start}-{g.read_end}):"
+                        f"({g.seq_start}-{g.seq_end}):{g.similarity * 100:.2f}"
+                    )
+                    for o in ann.secondary:
+                        if (
+                            get_gene_type(ref_set.seqs[o.seq_idx].name)
+                            != k
+                        ):
+                            continue
+                        field += (
+                            f",{ref_set.seqs[o.seq_idx].name}"
+                            f"({ref_set.seqs[o.seq_idx].consensus_len}):"
+                            f"({o.read_start}-{o.read_end}):"
+                            f"({o.seq_start}-{o.seq_end}):"
+                            f"{o.similarity * 100:.2f}"
+                        )
+                    parts.append(field)
+                else:
+                    parts.append(" *")
+            for k in range(3):
+                c = ann.cdr[k]
+                if c.seq_idx != -1:
+                    cdr_seq = sw.consensus[c.read_start : c.read_end + 1]
+                    parts.append(
+                        f" CDR{k + 1}({c.read_start}-{c.read_end}):"
+                        f"{c.similarity * 100:.2f}={cdr_seq}"
+                    )
+                else:
+                    parts.append(f" CDR{k + 1}(0-0):0.00=null")
+            fp.write("".join(parts) + "\n" + sw.consensus + "\n")
+
+    # -- read realignment + EM + cdr3.out (Annotator.cpp:744-1139) -----
+
+    def realign_and_write_cdr3(
+        self, assembled_reads_fa: str, out_path: str
+    ) -> None:
+        seq_set = self.seq_set
+        annotations = self.annotations
+        seq_cnt = seq_set.size()
+        cdr3_infos: List[List[List]] = [[] for _ in range(seq_cnt)]  # [seq, count]
+
+        log("Start to realign reads for CDR3 analysis.")
+        seq_set.clean(False)
+
+        assembled_reads: List[AssignedRead] = []
+        with open(assembled_reads_fa) as fp:
+            lines = fp.read().splitlines()
+        for i in range(0, len(lines) - 1, 2):
+            header = lines[i]
+            toks = header.split(" ")
+            strand = int(toks[1])
+            nr = AssignedRead(id=toks[0][1:], read=lines[i + 1])
+            umi = -1
+            for t in toks:
+                if t.startswith("umi:"):
+                    umi = int(t[4:])
+            nr.umi = umi
+            nr.overlap = Overlap()
+            nr.overlap.seq_idx = -1
+            nr.overlap.strand = strand
+            assembled_reads.append(nr)
+
+        long_cnt = sum(1 for r in assembled_reads if len(r.read) >= 200)
+        if long_cnt > len(assembled_reads) / 2:
+            seq_set.set_is_long_seq_set(True)
+
+        fail = Overlap()
+        fail.seq_idx = -1
+        assign = fail
+        for i, r in enumerate(assembled_reads):
+            if (
+                i == 0
+                or r.barcode != assembled_reads[i - 1].barcode
+                or r.read != assembled_reads[i - 1].read
+            ):
+                a = seq_set.assign_read(r.read, r.overlap.strand, r.barcode)
+                assign = a if a is not None else fail
+            r.overlap = assign
+
+        cdr3_reads: List[AssignedRead] = []
+        for r in assembled_reads:
+            assign = r.overlap
+            if assign.seq_idx == -1:
+                continue
+            ann = annotations[assign.seq_idx]
+            cdr3 = ann.cdr[2]
+            cdr3_len = cdr3.read_end - cdr3.read_start + 1
+            if (
+                cdr3.seq_idx != -1
+                and assign.seq_end > cdr3.read_start + 3
+                and assign.seq_start < cdr3.read_end - 3
+            ):
+                nr = AssignedRead(
+                    id=r.id, read=r.read, umi=r.umi,
+                    overlap=Overlap(**assign.__dict__),
+                )
+                if assign.strand == -1:
+                    nr.read = revcomp(r.read)
+                    nr.overlap.strand = 1
+                cdr3_reads.append(nr)
+            if (
+                cdr3.seq_idx != -1
+                and assign.seq_start <= cdr3.read_start
+                and assign.seq_end >= cdr3.read_end
+            ):
+                seq = r.read
+                offset = assign.read_start + cdr3.read_start - assign.seq_start
+                if assign.strand == 1:
+                    var = seq[offset : offset + cdr3_len]
+                elif assign.strand == -1:
+                    start = (len(seq) - 1 - offset) - cdr3_len + 1
+                    var = revcomp(seq[start : start + cdr3_len])
+                else:
+                    continue
+                info = cdr3_infos[assign.seq_idx]
+                for entry in info:
+                    if entry[0] == var:
+                        entry[1] += 1
+                        break
+                else:
+                    info.append([var, 1.0])
+
+        log("Compute CDR3 abundance.")
+        for i in range(seq_cnt):
+            cdr3 = annotations[i].cdr[2]
+            if cdr3.seq_idx == -1:
+                continue
+            if not cdr3_infos[i]:
+                cons = seq_set.seqs[i].consensus
+                cdr3_infos[i].append(
+                    [cons[cdr3.read_start : cdr3.read_end + 1], 1.0]
+                )
+
+        cxx_sort(
+            cdr3_reads,
+            lambda a, b: (
+                a.overlap.seq_idx < b.overlap.seq_idx
+                if a.overlap.seq_idx != b.overlap.seq_idx
+                else a.id < b.id
+            ),
+        )
+        n = len(cdr3_reads)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and cdr3_reads[j].overlap.seq_idx == cdr3_reads[i].overlap.seq_idx:
+                j += 1
+            info = cdr3_infos[cdr3_reads[i].overlap.seq_idx]
+            size = len(info)
+            umi_used = set()
+            if size == 1:
+                cnt = 0
+                k = i
+                while k < j:
+                    if k < j - 1 and is_same_fragment(
+                        cdr3_reads[k].id,
+                        cdr3_reads[k + 1].id,
+                        cdr3_reads[k].read,
+                        cdr3_reads[k + 1].read,
+                    ):
+                        k += 1
+                    if cdr3_reads[k].umi != -1:
+                        if cdr3_reads[k].umi in umi_used:
+                            k += 1
+                            continue
+                        umi_used.add(cdr3_reads[k].umi)
+                    cnt += 1
+                    k += 1
+                info[0][1] = cnt
+                i = j
+                continue
+            cdr3_coord = annotations[cdr3_reads[i].overlap.seq_idx].cdr[2]
+            compat: List[List[int]] = []
+            k = i
+            while k < j:
+                nc: List[int] = []
+                if cdr3_reads[k].umi != -1:
+                    if cdr3_reads[k].umi in umi_used:
+                        k += 1
+                        continue
+                    umi_used.add(cdr3_reads[k].umi)
+                if k < j - 1 and is_same_fragment(
+                    cdr3_reads[k].id,
+                    cdr3_reads[k + 1].id,
+                    cdr3_reads[k].read,
+                    cdr3_reads[k + 1].read,
+                ):
+                    for l in range(size):
+                        if is_cdr3_compatible(
+                            cdr3_reads[k], info[l][0], cdr3_coord
+                        ) and is_cdr3_compatible(
+                            cdr3_reads[k + 1], info[l][0], cdr3_coord
+                        ):
+                            nc.append(l)
+                    k += 1
+                else:
+                    for l in range(size):
+                        if is_cdr3_compatible(
+                            cdr3_reads[k], info[l][0], cdr3_coord
+                        ):
+                            nc.append(l)
+                compat.append(nc)
+                k += 1
+            counts = [entry[1] for entry in info]
+            abundance_estimation(compat, counts)
+            for l, entry in enumerate(info):
+                entry[1] = counts[l]
+            i = j
+
+        self._write_cdr3_out(out_path, cdr3_infos)
+
+    def _write_cdr3_out(self, out_path: str, cdr3_infos) -> None:
+        seq_set, ref_set = self.seq_set, self.ref_set
+        with open(out_path, "w") as fp:
+            for i, ann in enumerate(self.annotations):
+                if ann.cdr[2].seq_idx == -1:
+                    continue
+                if not self.include_partial and ann.cdr[2].similarity == 0:
+                    continue
+                effective_j = 0
+                for seq_var, count in cdr3_infos[i]:
+                    if count == 0:
+                        continue
+                    fp.write(f"{seq_set.seqs[i].name}\t{effective_j}\t")
+                    effective_j += 1
+                    for k in range(4):
+                        g = ann.gene_overlap[k]
+                        if g.seq_idx == -1:
+                            fp.write("*\t")
+                        else:
+                            names = [ref_set.seqs[g.seq_idx].name]
+                            for l in self.get_equal_secondary(
+                                g, k, ann.secondary
+                            ):
+                                names.append(
+                                    ref_set.seqs[
+                                        ann.secondary[l].seq_idx
+                                    ].name
+                                )
+                            fp.write(",".join(names) + "\t")
+                    for k in range(2):
+                        c = ann.cdr[k]
+                        if c.seq_idx == -1:
+                            fp.write("*\t")
+                        else:
+                            fp.write(
+                                seq_set.seqs[i].consensus[
+                                    c.read_start : c.read_end + 1
+                                ]
+                                + "\t"
+                            )
+                    sim = self.get_cdr3_similarity(
+                        seq_var, ann.gene_overlap, ann.cdr
+                    )
+                    fp.write(
+                        f"{seq_var}\t{ann.cdr[2].similarity:.2f}\t"
+                        f"{count:.2f}\t{sim * 100.0:.2f}\t"
+                        f"{ann.is_full_length}\n"
+                    )
+
+    def write_cdr3_from_consensus(self, out_path: str) -> None:
+        """--outputCDR3File variant (Annotator.cpp:1141-1204)."""
+        seq_set, ref_set = self.seq_set, self.ref_set
+        with open(out_path, "w") as fp:
+            for i, ann in enumerate(self.annotations):
+                if ann.cdr[2].seq_idx == -1:
+                    continue
+                if not self.include_partial and ann.cdr[2].similarity == 0:
+                    continue
+                fp.write(f"{seq_set.seqs[i].name}\t0\t")
+                for k in range(4):
+                    g = ann.gene_overlap[k]
+                    if g.seq_idx == -1:
+                        fp.write("*\t")
+                    else:
+                        names = [ref_set.seqs[g.seq_idx].name]
+                        for l in self.get_equal_secondary(g, k, ann.secondary):
+                            names.append(
+                                ref_set.seqs[ann.secondary[l].seq_idx].name
+                            )
+                        fp.write(",".join(names) + "\t")
+                cons = seq_set.seqs[i].consensus
+                for k in range(3):
+                    c = ann.cdr[k]
+                    if c.seq_idx == -1:
+                        fp.write("*\t")
+                    else:
+                        fp.write(cons[c.read_start : c.read_end + 1] + "\t")
+                    if k == 2:
+                        sw = seq_set.seqs[i]
+                        cov = 0
+                        for p in range(c.read_start, c.read_end + 1):
+                            cov += int(
+                                sw.pos_weight[p, nuc_num(cons[p])]
+                            )
+                        avg_cov = cov / (c.read_end - c.read_start + 1)
+                        cdr3_seq = cons[c.read_start : c.read_end + 1]
+                        sim = self.get_cdr3_similarity(
+                            cdr3_seq, ann.gene_overlap, ann.cdr
+                        )
+                        fp.write(
+                            f"{ann.cdr[2].similarity:.2f}\t{avg_cov:.2f}\t"
+                            f"{sim * 100.0:.2f}\t{ann.is_full_length}\n"
+                        )
