@@ -19,3 +19,7 @@ def reference_dir():
     if not os.path.isdir(REFERENCE_DIR):
         pytest.skip("reference data directory not available")
     return REFERENCE_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")

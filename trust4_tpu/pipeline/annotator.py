@@ -403,6 +403,141 @@ class Annotator:
                     parts.append(f" CDR{k + 1}(0-0):0.00=null")
             fp.write("".join(parts) + "\n" + sw.consensus + "\n")
 
+    # -- AIRR alignment (SeqSet.hpp:8740-8865, 8999-9033) --------------
+
+    def _gene_overlap_alignment(self, read: str, gene: Overlap):
+        if gene.seq_idx == -1:
+            return None
+        cons = self.ref_set.seqs[gene.seq_idx].consensus
+        _, align = align_host.global_alignment(
+            cons[gene.seq_start : gene.seq_end + 1],
+            read[gene.read_start : gene.read_end + 1],
+        )
+        return align
+
+    def _airr_cigar(self, read: str, gene: Overlap, align) -> str:
+        if align is None or gene.seq_idx == -1:
+            return ""
+        parts = []
+        length = len(read)
+        if gene.read_start > 0:
+            parts.append(f"{gene.read_start}S")
+        if gene.seq_start > 0:
+            parts.append(f"{gene.seq_start}N")
+        i = 0
+        n = len(align)
+        while i < n:
+            j = i + 1
+            while j < n and (
+                align[i] == align[j]
+                or (align[i] in (0, 1) and align[j] in (0, 1))
+            ):
+                j += 1
+            op = "M"
+            if align[i] == 2:  # EDIT_INSERT: op on reference -> query D
+                op = "D"
+            elif align[i] == 3:  # EDIT_DELETE -> query I
+                op = "I"
+            parts.append(f"{j - i}{op}")
+            i = j
+        if gene.read_end < length - 1:
+            parts.append(f"{length - 1 - gene.read_end}S")
+        cons_len = self.ref_set.seqs[gene.seq_idx].consensus_len
+        if gene.seq_end < cons_len - 1:
+            parts.append(f"{cons_len - 1 - gene.seq_end}N")
+        return "".join(parts)
+
+    def annotation_to_airr_align(
+        self, read: str, go, cdr, include_cdr3_coordinate: bool
+    ) -> str:
+        aligns = [self._gene_overlap_alignment(read, go[i]) for i in range(4)]
+        out = []
+        for i in range(4):
+            out.append(self._airr_cigar(read, go[i], aligns[i]) + "\t")
+        buffer2 = []
+        buffer3 = []
+        cdr3_adjusted_start = -1
+        cdr3_adjusted_end = -1
+        prev_read_end = -1
+        for k in range(3):
+            g = go[k]
+            if g.seq_idx == -1:
+                continue
+            if prev_read_end != -1:
+                for j in range(prev_read_end + 1, g.read_start):
+                    buffer2.append(read[j])
+                    buffer3.append(read[j])
+                    if cdr[2].seq_idx != -1 and cdr[2].read_start == j:
+                        cdr3_adjusted_start = len(buffer2) - 1
+                    if cdr[2].seq_idx != -1 and cdr[2].read_end == j:
+                        cdr3_adjusted_end = len(buffer2) - 1
+            j = g.read_start
+            jstart = g.read_start
+            jend = g.read_end + 1
+            if prev_read_end >= g.read_end:
+                continue
+            if prev_read_end >= jstart:
+                jstart = prev_read_end + 1
+            if k == 1:
+                for next_k in range(k + 1, 3):
+                    if (
+                        go[next_k].seq_idx != -1
+                        and go[next_k].read_start < jend
+                    ):
+                        jend = go[next_k].read_start
+            if jend - 1 > prev_read_end:
+                prev_read_end = jend - 1
+            else:
+                continue
+            seq = self.ref_set.seqs[g.seq_idx].consensus
+            m = g.seq_start
+            for a in aligns[k]:
+                if j >= jend:
+                    break
+                if a != 3:  # not EDIT_DELETE
+                    if j < jstart:
+                        j += 1
+                        continue
+                    buffer2.append(read[j])
+                    if cdr[2].seq_idx != -1 and cdr[2].read_start == j:
+                        cdr3_adjusted_start = len(buffer2) - 1
+                    if cdr[2].seq_idx != -1 and cdr[2].read_end == j:
+                        cdr3_adjusted_end = len(buffer2) - 1
+                    if a == 2:  # EDIT_INSERT
+                        buffer3.append("-")
+                    else:
+                        buffer3.append(seq[m])
+                        m += 1
+                    j += 1
+                else:
+                    if j < jstart:
+                        continue
+                    buffer2.append("-")
+                    buffer3.append(seq[m])
+                    m += 1
+        s2 = "".join(buffer2)
+        s3 = "".join(buffer3)
+        if include_cdr3_coordinate:
+            out.append(
+                f"{s2}\t{s3}\t{cdr3_adjusted_start}\t{cdr3_adjusted_end}"
+            )
+        else:
+            out.append(f"{s2}\t{s3}")
+        return "".join(out)
+
+    def write_airr_align(self, out_path: str) -> None:
+        """Annotator.cpp:725-741."""
+        with open(out_path, "w") as fp:
+            for i, ann in enumerate(self.annotations):
+                if ann.cdr[2].seq_idx != -1:
+                    s = self.annotation_to_airr_align(
+                        self.seq_set.seqs[i].consensus,
+                        ann.gene_overlap,
+                        ann.cdr,
+                        True,
+                    )
+                    fp.write(f"{self.seq_set.seqs[i].name}\t{s}\n")
+
     # -- read realignment + EM + cdr3.out (Annotator.cpp:744-1139) -----
 
     def realign_and_write_cdr3(

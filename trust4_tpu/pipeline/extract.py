@@ -70,39 +70,94 @@ def extract_candidates(
     read2=None,
     kmer_length: int = 9,
     ref_set: Optional[SeqSet] = None,
+    use_tpu_prefilter: bool = False,
+    batch_size: int = 16384,
 ) -> Iterator[Tuple[FastxRecord, Optional[FastxRecord]]]:
-    """Yield candidate read(-pair)s in input order."""
+    """Yield candidate read(-pair)s in input order.
+
+    With use_tpu_prefilter, read batches first pass the conservative TPU
+    membership sweep (trust4_tpu/ops/prefilter.py); only survivors run the
+    exact host filter, so the candidate set is bit-identical either way.
+    """
     if ref_set is None:
         ref_set = SeqSet(kmer_length)
         ref_set.input_ref_fa(ref_fa)
-    ref_set.set_hit_len_required(compute_hit_len_required(read1, read2 is not None))
+    hit_len = compute_hit_len_required(read1, read2 is not None)
+    ref_set.set_hit_len_required(hit_len)
+
+    prefilter = None
+    if use_tpu_prefilter:
+        from trust4_tpu.ops.prefilter import TpuPrefilter
+
+        prefilter = TpuPrefilter(
+            [sw.consensus for sw in ref_set.seqs],
+            k=kmer_length,
+            hit_len_required=hit_len,
+        )
 
     it1 = read_fastx(read1)
     it2 = read_fastx(read2) if read2 is not None else None
-    for r1 in it1:
-        r2 = next(it2) if it2 is not None else None
-        good = is_good_candidate(r1.seq, ref_set)
-        if not good and r2 is not None:
-            good = is_good_candidate(r2.seq, ref_set)
-        if good:
-            yield r1, r2
+
+    def batches():
+        batch = []
+        for r1 in it1:
+            r2 = next(it2) if it2 is not None else None
+            batch.append((r1, r2))
+            if len(batch) >= batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    for batch in batches():
+        if prefilter is not None:
+            pad = max(
+                max(len(r1.seq) for r1, _ in batch),
+                max((len(r2.seq) for _, r2 in batch if r2 is not None), default=0),
+            )
+            mask1 = prefilter([r1.seq for r1, _ in batch], pad_len=pad)
+            if it2 is not None:
+                mask2 = prefilter(
+                    [r2.seq for _, r2 in batch], pad_len=pad
+                )
+            else:
+                mask2 = mask1
+        for bi, (r1, r2) in enumerate(batch):
+            if prefilter is not None and not (mask1[bi] or mask2[bi]):
+                continue
+            good = is_good_candidate(r1.seq, ref_set)
+            if not good and r2 is not None:
+                good = is_good_candidate(r2.seq, ref_set)
+            if good:
+                yield r1, r2
 
 
 def run_extractor(
-    ref_fa: str, read1, read2=None, out_prefix: str = "out", kmer_length: int = 9
+    ref_fa: str,
+    read1,
+    read2=None,
+    out_prefix: str = "out",
+    kmer_length: int = 9,
+    use_tpu_prefilter: bool = False,
 ) -> Tuple[str, Optional[str]]:
     """Write *_toassemble FASTQs like the reference extractor binary."""
     if read2 is not None:
         p1 = f"{out_prefix}_1.fq"
         p2 = f"{out_prefix}_2.fq"
         with open(p1, "w") as f1, open(p2, "w") as f2:
-            for r1, r2 in extract_candidates(ref_fa, read1, read2, kmer_length):
+            for r1, r2 in extract_candidates(
+                ref_fa, read1, read2, kmer_length,
+                use_tpu_prefilter=use_tpu_prefilter,
+            ):
                 f1.write(f"@{r1.id}\n{r1.seq}\n+\n{r1.qual}\n")
                 f2.write(f"@{r2.id}\n{r2.seq}\n+\n{r2.qual}\n")
         return p1, p2
     p1 = f"{out_prefix}.fq"
     with open(p1, "w") as f1:
-        for r1, _ in extract_candidates(ref_fa, read1, None, kmer_length):
+        for r1, _ in extract_candidates(
+            ref_fa, read1, None, kmer_length,
+            use_tpu_prefilter=use_tpu_prefilter,
+        ):
             if r1.qual is not None:
                 f1.write(f"@{r1.id}\n{r1.seq}\n+\n{r1.qual}\n")
             else:
