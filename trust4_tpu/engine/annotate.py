@@ -1937,15 +1937,317 @@ class AnnotateMixin:
             self.annotate_read_d_gene(ret, gene_overlap, cdr, secondary)
         return ret
 
+    def _shift_annotations(
+        self, at, shift, read_len, seq_idx, seq_start, seq_insert_len,
+        base_change, gene_overlap, secondary,
+    ):
+        """SeqSet.hpp:11135+ (ShiftAnnotations)."""
+        from trust4_tpu.engine.seqset import get_gene_type, is_same_chain_type
+
+        seqs = self.seqs
+        anchor_overlap = Overlap()
+        anchor_overlap.seq_idx = -1
+        for i in range(4):
+            g = gene_overlap[i]
+            if g.seq_idx == -1:
+                continue
+            if g.seq_idx == seq_idx:
+                anchor_overlap = Overlap(**g.__dict__)
+                if seq_start < g.seq_start:
+                    g.seq_start = seq_start
+                if g.seq_end < seq_start + seq_insert_len - 1:
+                    g.seq_end = seq_start + seq_insert_len - 1
+            if g.read_start <= at <= g.read_end:
+                g.match_cnt += 2 * base_change
+                g.similarity = g.match_cnt / (
+                    g.read_end - g.read_start + 1 + shift
+                    + g.seq_end - g.seq_start + 1
+                )
+            if g.read_start > at:
+                g.read_start += shift
+            if g.read_end >= at - 1:
+                g.read_end += shift
+        if secondary is not None:
+            for o in secondary:
+                if (
+                    seq_idx != -1
+                    and anchor_overlap.seq_idx != -1
+                    and is_same_chain_type(
+                        seqs[seq_idx].name, seqs[o.seq_idx].name
+                    )
+                    and get_gene_type(seqs[seq_idx].name)
+                    == get_gene_type(seqs[o.seq_idx].name)
+                    and anchor_overlap.seq_start == o.seq_start
+                    and anchor_overlap.seq_end == o.seq_end
+                ):
+                    if seq_start < o.seq_start:
+                        o.seq_start = seq_start
+                    if o.seq_end < seq_start + seq_insert_len - 1:
+                        o.seq_end = seq_start + seq_insert_len - 1
+                if o.read_start <= at <= o.read_end:
+                    o.match_cnt += 2 * base_change
+                    o.similarity = o.match_cnt / (
+                        o.read_end - o.read_start + 1 + shift
+                        + o.seq_end - o.seq_start + 1
+                    )
+                if o.read_start > at:
+                    o.read_start += shift
+                if o.read_end >= at - 1:
+                    o.read_end += shift
+
     def _impute_anchor_cdr3(self, read, gene_overlap, cdr, secondary):
-        raise NotImplementedError(
-            "TCR CDR3 anchor imputation (SeqSet.hpp:5478-5734) pending"
+        """SeqSet.hpp:5478-5734: splice germline sequence between the
+        assembled fragment and the missing V/J anchor.  Returns the new
+        consensus string or None."""
+        seqs = self.seqs
+        g0, g2 = gene_overlap[0], gene_overlap[2]
+        length = len(read)
+        insert_at = -1
+        insert_len = -1
+        seq_idx = -1
+        seq_start_ins = -1
+        new_start = cdr[2].read_start
+        new_end = cdr[2].read_end
+
+        v_in_anchor = (
+            seqs[g0.seq_idx].info[2][0] >= g0.seq_start
+            and seqs[g0.seq_idx].info[2][0] + 2 <= g0.seq_end
         )
+        j_in_anchor = (
+            seqs[g2.seq_idx].info[2][0] >= g2.seq_start
+            and seqs[g2.seq_idx].info[2][0] + 2 <= g2.seq_end
+        )
+        contigs = self.get_contig_intervals(read)
+        chars = list(read)
+        for i in range(len(contigs) - 1):
+            for j in range(contigs[i][1] + 1, contigs[i + 1][0]):
+                chars[j] = "M"
+        masked = "".join(chars)
+
+        v_anchor_in_gap = False
+        j_anchor_in_gap = False
+        if v_in_anchor:
+            dest = g0.read_end - (g0.seq_end - seqs[g0.seq_idx].info[2][0])
+            for i in range(g0.read_end, max(dest, 0) - 1, -1):
+                if masked[i] == "M":
+                    v_in_anchor = False
+                    v_anchor_in_gap = True
+                    break
+        if j_in_anchor:
+            dest = g2.read_start + (
+                seqs[g2.seq_idx].info[2][0] + 2 - g2.seq_start
+            )
+            i = g2.read_start
+            while i <= dest and i < length:
+                if masked[i] == "M":
+                    j_in_anchor = False
+                    j_anchor_in_gap = True
+                    break
+                i += 1
+
+        if not v_in_anchor:
+            seq_idx = g0.seq_idx
+            seq = seqs[seq_idx]
+            seq_offset = -1
+            read_offset = -1
+            if g0.seq_end < seq.info[2][0]:
+                # V]...[CDR3]
+                offset, match_len = align_host.locate_partial_suf_pref_exact_match(
+                    seq.consensus[seq.info[2][0] :],
+                    masked[cdr[2].read_start : cdr[2].read_end + 1],
+                    5,
+                )
+                if offset != -1:
+                    if offset == 0:
+                        return None
+                    seq_offset = offset + seq.info[2][0]
+                    read_offset = cdr[2].read_start
+            else:
+                if v_anchor_in_gap:
+                    contig_idx = self.get_contig_idx(g0.read_end, contigs)
+                    read_offset = contigs[contig_idx][0]
+                    seq_offset = g0.seq_end - (g0.read_end - read_offset)
+                else:
+                    seq_offset = g0.seq_start
+                    read_offset = g0.read_start
+            if seq_offset != -1:
+                valid = True
+                i = seq_offset - 1
+                j = read_offset - 1
+                while i >= seq.info[2][0] and j >= 0:
+                    if masked[j] == "M":
+                        break
+                    if seq.consensus[i] != masked[j]:
+                        valid = False
+                    i -= 1
+                    j -= 1
+                if valid:
+                    insert_at = j + 1
+                    insert_len = i - seq.info[2][0] + 1
+                    seq_start_ins = seq.info[2][0]
+                    new_start = insert_at
+                    new_end += insert_len
+        elif not j_in_anchor:
+            seq_idx = g2.seq_idx
+            seq = seqs[seq_idx]
+            seq_offset = -1
+            read_offset = -1
+            if g2.seq_start > seq.info[2][0]:
+                # [CDR3]...[J
+                offset, match_len = align_host.locate_partial_suf_suf_exact_match(
+                    seq.consensus[: seq.info[2][0] + 3],
+                    masked[cdr[2].read_start : cdr[2].read_end + 1],
+                    5,
+                )
+                if offset != -1:
+                    seq_offset = offset + match_len - 1
+                    read_offset = cdr[2].read_end
+                    if seq_offset == seq.info[2][0] + 2:
+                        return None
+            else:
+                if j_anchor_in_gap:
+                    contig_idx = self.get_contig_idx(g2.read_start, contigs)
+                    read_offset = contigs[contig_idx][1]
+                    seq_offset = g2.seq_start + (read_offset - g2.read_start)
+                else:
+                    read_offset = g2.read_end
+                    seq_offset = g2.seq_end
+            if seq_offset != -1:
+                valid = True
+                i = seq_offset + 1
+                j = read_offset + 1
+                while i <= seq.info[2][0] + 2 and j < length:
+                    if masked[j] == "M":
+                        break
+                    if seq.consensus[i] != masked[j]:
+                        valid = False
+                    i += 1
+                    j += 1
+                if valid:
+                    insert_at = j
+                    seq_start_ins = i
+                    insert_len = seq.info[2][0] + 2 - seq_start_ins + 1
+                    new_end = insert_at + insert_len - 1
+
+        if insert_len > 0:
+            nr = (
+                read[:insert_at]
+                + seqs[seq_idx].consensus[
+                    seq_start_ins : seq_start_ins + insert_len
+                ]
+                + read[insert_at:]
+            )
+            cdr[2].read_start = new_start
+            cdr[2].read_end = new_end
+            cdr[2].similarity = 0.01
+            self._shift_annotations(
+                insert_at, insert_len, length, seq_idx, seq_start_ins,
+                insert_len, insert_len, gene_overlap, secondary,
+            )
+            return nr
+        elif insert_len == 0:
+            cdr[2].read_start = new_start
+            cdr[2].read_end = new_end
+            cdr[2].similarity = 0.5
+            return None
+        return None
 
     def _impute_internal_cdr3(self, read, gene_overlap, cdr, secondary):
-        raise NotImplementedError(
-            "TCR CDR3 internal-gap imputation (SeqSet.hpp:5736-5849) pending"
+        """SeqSet.hpp:5736-5849: fill a single N-gap inside CDR3."""
+        seqs = self.seqs
+        g0, g2 = gene_overlap[0], gene_overlap[2]
+        if g0.seq_idx == -1 or g2.seq_idx == -1:
+            return None
+        v_seq_idx, j_seq_idx = g0.seq_idx, g2.seq_idx
+        if seqs[v_seq_idx].info[2][0] == -1 or seqs[j_seq_idx].info[2][0] == -1:
+            return None
+        contigs = self.get_contig_intervals(read)
+        gap_cnt = 0
+        gap_start = gap_end = -1
+        for i in range(len(contigs) - 1):
+            if (
+                cdr[2].read_start <= contigs[i][1] <= cdr[2].read_end
+                and cdr[2].read_start <= contigs[i + 1][0] <= cdr[2].read_end
+            ):
+                gap_start = contigs[i][1] + 1
+                gap_end = contigs[i + 1][0] - 1
+                gap_cnt += 1
+        if gap_cnt != 1:
+            return None
+
+        v_seq = seqs[v_seq_idx]
+        j_seq = seqs[j_seq_idx]
+        v_offset, v_match_len = align_host.locate_partial_suf_pref_exact_match(
+            v_seq.consensus[v_seq.info[2][0] :],
+            read[gap_end + 1 : cdr[2].read_end + 1],
+            5,
         )
+        j_offset, j_match_len = align_host.locate_partial_suf_suf_exact_match(
+            j_seq.consensus[: j_seq.info[2][0] + 3],
+            read[cdr[2].read_start : gap_start],
+            5,
+        )
+        if (v_offset != -1 and j_offset != -1) or (
+            v_offset == -1 and j_offset == -1
+        ):
+            return None
+
+        # anchor[0]=(seq,read) left side, anchor[1] right side.
+        if v_offset != -1:
+            valid = True
+            seq = v_seq
+            i = seq.info[2][0]
+            j = cdr[2].read_start
+            while i < seq.consensus_len and j < gap_start:
+                if seq.consensus[i] != read[j]:
+                    valid = False
+                i += 1
+                j += 1
+            if not valid or i >= seq.consensus_len:
+                return None
+            anchor = [
+                (i - 1, j - 1),
+                (v_offset + v_seq.info[2][0], gap_end + 1),
+            ]
+            seq_idx = v_seq_idx
+        else:
+            valid = True
+            seq = j_seq
+            i = seq.info[2][0] + 2
+            j = cdr[2].read_end
+            while i >= 0 and j > gap_end:
+                if seq.consensus[i] != read[j]:
+                    valid = False
+                i -= 1
+                j -= 1
+            if not valid or i < 0:
+                return None
+            anchor = [(j_offset + j_match_len - 1, gap_start - 1), (i + 1, j + 1)]
+            seq_idx = j_seq_idx
+
+        seq_start_ins = -1
+        base_change = 0
+        if anchor[1][0] > anchor[0][0]:
+            imputed = seqs[seq_idx].consensus[anchor[0][0] + 1 : anchor[1][0]]
+            nr = read[: anchor[0][1] + 1] + imputed + read[anchor[1][1] :]
+            shift_at = anchor[1][1]
+            shift = (anchor[0][1] + 1 + len(imputed)) - anchor[1][1]
+            base_change = anchor[1][0] - anchor[0][0] - 1
+            seq_start_ins = anchor[0][0] + 1
+        else:
+            shift_at = anchor[1][1]
+            overlap_len = anchor[0][0] - anchor[1][0] + 1
+            shift = (anchor[0][1] - overlap_len + 1) - anchor[1][1]
+            nr = read[: anchor[0][1] + 1] + read[anchor[1][1] + overlap_len :]
+            base_change = -overlap_len
+            seq_idx = -1
+        cdr[2].read_end += shift
+        cdr[2].similarity = 0.01
+        self._shift_annotations(
+            shift_at, shift, len(read), seq_idx, seq_start_ins, base_change,
+            base_change, gene_overlap, secondary,
+        )
+        return nr
 
     # ------------------------------------------------------------------
     # D gene (SeqSet.hpp:5906-6009)
