@@ -27,10 +27,12 @@ def run_trust4(
     read1_files: Optional[List[str]] = None,
     read2_files: Optional[List[str]] = None,
     single_files: Optional[List[str]] = None,
+    bam_file: Optional[str] = None,
     output_prefix: str = "TRUST",
     stage: int = 0,
     threads: int = 1,
     skip_mate_extension: bool = False,
+    abnormal_unmap_flag: bool = False,
     use_tpu_prefilter: bool = False,
 ) -> None:
     prefix = output_prefix
@@ -38,7 +40,16 @@ def run_trust4(
 
     # Stage 0: extraction (reference: run-trust4:404-446).
     if stage <= 0:
-        if paired:
+        if bam_file is not None:
+            from trust4_tpu.pipeline.bam_extract import run_bam_extractor
+
+            run_bam_extractor(
+                coord_fasta,
+                bam_file,
+                prefix + "_toassemble",
+                abnormal_unaligned_flag=abnormal_unmap_flag,
+            )
+        elif paired:
             run_extractor(
                 coord_fasta,
                 read1_files,
@@ -54,6 +65,11 @@ def run_trust4(
                 prefix + "_toassemble",
                 use_tpu_prefilter=use_tpu_prefilter,
             )
+
+    if bam_file is not None:
+        # The BAM extractor decides SE vs PE from the library stats
+        # (run-trust4:452-466 checks which files exist).
+        paired = os.path.exists(prefix + "_toassemble_1.fq")
 
     if paired:
         asm_reads = [prefix + "_toassemble_1.fq"]
