@@ -844,6 +844,135 @@ class AssembleMixin:
         return seq_idx
 
     # ------------------------------------------------------------------
+    # Barcode memory lifecycle (SeqSet.hpp:2484-2554, 10815-10937)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def decompress_pos_weight(consensus: str, flat: np.ndarray) -> np.ndarray:
+        """Expand the run-length compressed posWeight (SeqSet.hpp:2484-2509).
+        ``flat`` is the packed quarter-slot int array."""
+        length = len(consensus)
+        orig = np.zeros((length, 4), dtype=np.int32)
+        k = 0
+        vals = flat.reshape(-1)
+        for j in range(length):
+            v = int(vals[k]) if k < len(vals) else 0
+            if v < 0:
+                orig[j, nuc_num(consensus[j])] = -v
+                k += 1
+            else:
+                for i in range(4):
+                    orig[j, i] = int(vals[k]) if k < len(vals) else 0
+                    k += 1
+        return orig
+
+    def is_contig_shallow(self, i: int, min_cov: int) -> bool:
+        """SeqSet.hpp:2512-2554."""
+        sw = self.seqs[i]
+        if sw is None or sw.is_ref or sw.consensus is None:
+            return False
+        length = sw.consensus_len
+        if sw.pos_weight is None or sw.pos_weight.size == 0:
+            return sw.num_read < min_cov
+        if sw.pos_weight_compressed:
+            w = self.decompress_pos_weight(sw.consensus, sw.pos_weight)
+        else:
+            w = sw.pos_weight
+        sums = w.sum(axis=1)
+        j = 0
+        while j < length and sums[j] < min_cov:
+            j += 1
+        start = j
+        j = length - 1
+        while j >= start and sums[j] < min_cov:
+            j -= 1
+        end = j
+        for j in range(start, end + 1):
+            if sums[j] < min_cov:
+                return True
+        if end < start:
+            return True
+        return False
+
+    def release_shallow_contigs(self, min_cov: int) -> None:
+        for i in range(len(self.seqs)):
+            if self.seqs[i] is not None and self.is_contig_shallow(i, min_cov):
+                self.release_seq(i)
+
+    def release_finished_barcode_seq(
+        self, barcodes, remove_from_index: bool, contig_min_cov: int,
+        early_stop: bool,
+    ) -> None:
+        """Compress/release seqs of finished barcodes (SeqSet.hpp:10815-10924)."""
+        for i in range(len(self.seqs) - 1, -1, -1):
+            sw = self.seqs[i]
+            if sw is None or sw.consensus is None:
+                continue
+            if early_stop and (
+                not sw.index
+                or sw.pos_weight is None
+                or sw.pos_weight.size == 0
+            ):
+                break
+            if sw.barcode not in barcodes:
+                if early_stop:
+                    break
+                continue
+            if contig_min_cov > 0 and self.is_contig_shallow(i, contig_min_cov):
+                self.seq_index.remove_from_read(
+                    sw.consensus, self.kmer_length, i, sw.barcode, 0
+                )
+                self.release_seq(i)
+                continue
+            if remove_from_index:
+                sw.index = False
+                self.seq_index.remove_from_read(
+                    sw.consensus, self.kmer_length, i, sw.barcode, 0
+                )
+            self.update_consensus(i, False)
+            w = sw.pos_weight
+            cons = sw.consensus
+            length = sw.consensus_len
+            cov = 0
+            even = True
+            for j in range(length):
+                cidx = nuc_num(cons[j])
+                broke = False
+                for k in range(4):
+                    if k == cidx:
+                        if w[j, k] == 0:
+                            broke = True
+                            break
+                        if j == 0:
+                            cov = int(w[j, k])
+                        elif int(w[j, k]) != cov:
+                            broke = True
+                            break
+                    elif w[j, k] != 0:
+                        broke = True
+                        break
+                if broke:
+                    even = False
+                    break
+            if not even:
+                # Run-length quarter-slot compression (SeqSet.hpp:10883-10915).
+                out: List[int] = []
+                for j in range(length):
+                    row = w[j]
+                    nonzero = [int(x) for x in row if x > 0]
+                    if len(nonzero) != 1:
+                        out.extend(int(x) for x in row)
+                    else:
+                        out.append(-nonzero[0])
+                pad = (-len(out)) % 4
+                out.extend([0] * pad)
+                sw.pos_weight = np.array(out, dtype=np.int32)
+            else:
+                sw.num_read = cov
+                sw.pos_weight = np.zeros((0,), dtype=np.int32)
+            sw.pos_weight_compressed = True
+
+    # ------------------------------------------------------------------
     # Replay / assignment (SeqSet.hpp:4477-4738)
     # ------------------------------------------------------------------
 

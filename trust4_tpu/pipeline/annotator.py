@@ -131,6 +131,8 @@ class Annotator:
         include_partial: bool = True,
         impute: bool = True,
         need_rc: bool = False,
+        has_barcode: bool = False,
+        has_umi: bool = False,
     ):
         self.ref_set = SeqSet(7)
         self.ref_set.input_ref_fa(imgt_fa, True, imgt_additional_gap)
@@ -141,6 +143,9 @@ class Annotator:
         self.include_partial = include_partial
         self.impute = impute
         self.need_rc = need_rc
+        self.has_barcode = has_barcode
+        self.has_umi = has_umi
+        self.barcode_str_to_int: Dict[str, int] = {}
         self.annotations: List[Annotation] = []
 
     # -- input ---------------------------------------------------------
@@ -164,6 +169,21 @@ class Annotator:
                 w[: len(row), k] = [int(x) for x in row]
             self.seq_set.input_novel_seq(name, seq, w)
             i += 6
+        if self.has_barcode:
+            self._set_barcode_from_seq_name()
+            self.seq_set.set_consider_barcode_in_index_hash(True)
+
+    def _set_barcode_from_seq_name(self) -> None:
+        """Recover barcodes from '{barcode}_{idx}' seq names
+        (SeqSet.hpp:11087-11113, Annotator.cpp:631-636)."""
+        for sw in self.seq_set.seqs:
+            name = sw.name
+            j = name.rfind("_")
+            key = name[:j] if j >= 0 else name
+            barcode = self.barcode_str_to_int.setdefault(
+                key, len(self.barcode_str_to_int)
+            )
+            sw.barcode = barcode
 
     def load_fasta(self, path: str) -> None:
         from trust4_tpu.io.fastx import read_fastx
@@ -560,10 +580,22 @@ class Annotator:
             strand = int(toks[1])
             nr = AssignedRead(id=toks[0][1:], read=lines[i + 1])
             umi = -1
+            barcode = -1
             for t in toks:
                 if t.startswith("umi:"):
                     umi = int(t[4:])
+                if t.startswith("barcode:"):
+                    # Skip reads whose barcode produced no contig
+                    # (Annotator.cpp:770-786).
+                    key = t[8:]
+                    if key not in self.barcode_str_to_int:
+                        barcode = None
+                        break
+                    barcode = self.barcode_str_to_int[key]
+            if barcode is None:
+                continue
             nr.umi = umi
+            nr.barcode = barcode
             nr.overlap = Overlap()
             nr.overlap.seq_idx = -1
             nr.overlap.strand = strand
@@ -608,7 +640,8 @@ class Annotator:
                     nr.overlap.strand = 1
                 cdr3_reads.append(nr)
             if (
-                cdr3.seq_idx != -1
+                not self.has_barcode
+                and cdr3.seq_idx != -1
                 and assign.seq_start <= cdr3.read_start
                 and assign.seq_end >= cdr3.read_end
             ):

@@ -240,6 +240,7 @@ class Assembler:
         mate_iter = iter(read_fastx(mate_files)) if mate_files else None
         barcode_iter = iter(read_fastx(barcode_files)) if barcode_files else None
         umi_iter = iter(read_fastx(umi_files)) if umi_files else None
+        self._barcode_total_read_count = {}
 
         for rec in read_fastx(read_files):
             barcode = -1
@@ -257,6 +258,10 @@ class Assembler:
                 )
                 if barcode == len(self.barcode_int_to_str):
                     self.barcode_int_to_str.append(brec.seq)
+                if self.contig_min_cov > 0:
+                    self._barcode_total_read_count[barcode] = (
+                        self._barcode_total_read_count.get(barcode, 0) + 1
+                    )
             if umi_iter is not None:
                 urec = next(umi_iter)
                 umi = umi_str_to_int.setdefault(urec.seq, len(umi_str_to_int))
@@ -290,6 +295,17 @@ class Assembler:
             max_read_len = max(max_read_len, r.len)
         if not sorted_reads:
             return sorted_reads
+        if self.contig_min_cov > 0:
+            # Drop reads from barcodes with too few reads (main.cpp:952-979).
+            sorted_reads = [
+                r
+                for r in sorted_reads
+                if not (
+                    r.barcode != -1
+                    and self._barcode_total_read_count.get(r.barcode, 0)
+                    < self.contig_min_cov
+                )
+            ]
         self.kmer_count.max_read_len = max(
             self.kmer_count.max_read_len, max_read_len
         )
@@ -563,6 +579,12 @@ class Assembler:
         assembled_read_cnt = 0
         prev_add_ret = -1
         gene_overlap = [Overlap() for _ in range(4)]
+        barcode_total = {}
+        barcode_done = {}
+        if self.has_barcode:
+            for r in sorted_reads:
+                if r.barcode != -1:
+                    barcode_total[r.barcode] = barcode_total.get(r.barcode, 0) + 1
 
         for i in range(read_cnt):
             r = sorted_reads[i]
@@ -770,6 +792,22 @@ class Assembler:
                         good_candidate[r.mate_idx] = True
                         sorted_reads[r.mate_idx].info = i
 
+                # Purge finished barcodes from the index/posWeight arenas
+                # (main.cpp:1846-1859).
+                if (
+                    self.has_barcode
+                    and not self.keep_missing_barcode
+                    and r.barcode != -1
+                ):
+                    barcode_done[r.barcode] = barcode_done.get(r.barcode, 0) + 1
+                    if barcode_done[r.barcode] >= barcode_total[r.barcode]:
+                        seq_set.release_finished_barcode_seq(
+                            {r.barcode: barcode_total[r.barcode]},
+                            True,
+                            self.contig_min_cov,
+                            True,
+                        )
+
             if (
                 assembled_read_cnt > 0
                 and assembled_read_cnt % 10000 == 0
@@ -832,7 +870,9 @@ class Assembler:
                     f"{sw.name}\n{sw.consensus}\n"
                 )
             w = sw.pos_weight
-            if w is not None and len(w) > 0:
+            if w is not None and w.size > 0:
+                if sw.pos_weight_compressed:
+                    w = seq_set.decompress_pos_weight(sw.consensus, w)
                 for k in range(4):
                     fp.write(" ".join(str(int(x)) for x in w[:, k]) + " \n")
             else:

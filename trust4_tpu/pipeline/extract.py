@@ -132,6 +132,157 @@ def extract_candidates(
                 yield r1, r2
 
 
+def run_barcoded_extractor(
+    ref_fa: str,
+    read1,
+    read2=None,
+    out_prefix: str = "out",
+    barcode_files=None,
+    umi_files=None,
+    read_format: str = "",
+    barcode_whitelist: Optional[str] = None,
+    barcode_translate: Optional[str] = None,
+    skip_barcode_error_read: bool = False,
+    kmer_length: int = 9,
+    use_tpu_prefilter: bool = False,
+) -> None:
+    """Barcode/UMI-aware extraction (FastqExtractor.cpp:407-545 single-thread
+    flow): candidate test on raw reads, barcode low-complexity guard,
+    whitelist correction, translation, and formatted read emission."""
+    from trust4_tpu.pipeline.barcode import (
+        FORMAT_BARCODE,
+        FORMAT_READ1,
+        FORMAT_READ2,
+        FORMAT_UMI,
+        BarcodeCorrector,
+        BarcodeTranslator,
+        ReadFormatter,
+    )
+
+    formatter = ReadFormatter()
+    if read_format:
+        formatter.init(read_format)
+    corrector = None
+    if barcode_whitelist:
+        corrector = BarcodeCorrector()
+        corrector.set_whitelist(barcode_whitelist)
+        src = (
+            rec.comment if formatter.is_in_comment(FORMAT_BARCODE) else rec.seq
+            for rec in read_fastx(barcode_files)
+        )
+        corrector.collect_background(src, formatter)
+    translator = BarcodeTranslator()
+    if barcode_translate:
+        translator.set_translate_table(barcode_translate)
+
+    ref_set = SeqSet(kmer_length)
+    ref_set.input_ref_fa(ref_fa)
+    hit_len = compute_hit_len_required(read1, read2 is not None)
+    ref_set.set_hit_len_required(hit_len)
+
+    prefilter = None
+    if use_tpu_prefilter:
+        from trust4_tpu.ops.prefilter import TpuPrefilter
+
+        prefilter = TpuPrefilter(
+            [sw.consensus for sw in ref_set.seqs],
+            k=kmer_length,
+            hit_len_required=hit_len,
+        )
+
+    has_mate = read2 is not None
+    has_barcode = barcode_files is not None
+    has_umi = umi_files is not None
+    fp1 = open(
+        f"{out_prefix}_1.fq" if has_mate else f"{out_prefix}.fq", "w"
+    )
+    fp2 = open(f"{out_prefix}_2.fq", "w") if has_mate else None
+    fp_bc = open(f"{out_prefix}_bc.fa", "w") if has_barcode else None
+    fp_umi = open(f"{out_prefix}_umi.fa", "w") if has_umi else None
+
+    def output_seq(fp, name, seq, qual, cat):
+        s = formatter.extract(seq, cat, True)
+        if qual is not None:
+            q = formatter.extract(qual, cat, False)
+            fp.write(f"@{name}\n{s}\n+\n{q}\n")
+        else:
+            fp.write(f">{name}\n{s}\n")
+
+    def output_barcode(fp, name, comment, barcode, qual, cat,
+                       use_corrector, use_translator):
+        """FastqExtractor.cpp:147-198.  Returns 0 to skip the read."""
+        if barcode:
+            if not formatter.is_in_comment(cat):
+                bc = formatter.extract(barcode, cat, True)
+            else:
+                bc = formatter.extract(comment, cat, True)
+            result = 0
+            if use_corrector is not None:
+                result, bc = use_corrector.correct(bc, qual)
+            if result >= 0:
+                if use_translator is not None and use_translator.is_set():
+                    newbc = use_translator.translate(bc)
+                    if not newbc:
+                        if skip_barcode_error_read:
+                            return 0
+                        raise RuntimeError(
+                            f"Barcode {bc} does not exist in the translation table."
+                        )
+                    fp.write(f">{name}\n{newbc}\n")
+                else:
+                    fp.write(f">{name}\n{bc}\n")
+            else:
+                if skip_barcode_error_read:
+                    return 0
+                fp.write(f">{name}\nmissing_barcode\n")
+        else:
+            if skip_barcode_error_read:
+                return 0
+            fp.write(f">{name}\nmissing_barcode\n")
+        return 1
+
+    it1 = read_fastx(read1)
+    it2 = read_fastx(read2) if has_mate else None
+    itb = read_fastx(barcode_files) if has_barcode else None
+    itu = read_fastx(umi_files) if has_umi else None
+    for r1 in it1:
+        r2 = next(it2) if it2 is not None else None
+        rb = next(itb) if itb is not None else None
+        ru = next(itu) if itu is not None else None
+
+        good = is_good_candidate(r1.seq, ref_set)
+        if not good and r2 is not None:
+            good = is_good_candidate(r2.seq, ref_set)
+        if good and rb is not None:
+            # Guard against barcode==read artifacts (FastqExtractor.cpp:520-526).
+            if (
+                rb.seq == r1.seq
+                or (r2 is not None and rb.seq == r2.seq)
+            ) and is_low_complexity(rb.seq):
+                good = False
+        if not good:
+            continue
+        barcode_ok = 1
+        if rb is not None:
+            barcode_ok = output_barcode(
+                fp_bc, r1.id, rb.comment, rb.seq, rb.qual, FORMAT_BARCODE,
+                corrector, translator,
+            )
+        if barcode_ok == 0:
+            continue
+        output_seq(fp1, r1.id, r1.seq, r1.qual, FORMAT_READ1)
+        if r2 is not None:
+            output_seq(fp2, r1.id, r2.seq, r2.qual, FORMAT_READ2)
+        if ru is not None:
+            output_barcode(
+                fp_umi, r1.id, ru.comment, ru.seq, ru.qual, FORMAT_UMI,
+                None, None,
+            )
+    for fp in (fp1, fp2, fp_bc, fp_umi):
+        if fp:
+            fp.close()
+
+
 def run_extractor(
     ref_fa: str,
     read1,

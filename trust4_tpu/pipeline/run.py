@@ -13,8 +13,8 @@ from typing import List, Optional
 
 from trust4_tpu.pipeline.annotator import Annotator
 from trust4_tpu.pipeline.assembler import Assembler
-from trust4_tpu.pipeline.extract import run_extractor
-from trust4_tpu.pipeline.report import airr_report, simple_rep
+from trust4_tpu.pipeline.extract import run_barcoded_extractor, run_extractor
+from trust4_tpu.pipeline.report import airr_report, barcode_rep, simple_rep
 
 
 def log(msg: str) -> None:
@@ -33,10 +33,17 @@ def run_trust4(
     threads: int = 1,
     skip_mate_extension: bool = False,
     abnormal_unmap_flag: bool = False,
+    barcode_files: Optional[List[str]] = None,
+    umi_files: Optional[List[str]] = None,
+    read_format: str = "",
+    barcode_whitelist: Optional[str] = None,
+    barcode_translate: Optional[str] = None,
     use_tpu_prefilter: bool = False,
 ) -> None:
     prefix = output_prefix
     paired = bool(read1_files)
+    has_barcode = barcode_files is not None
+    has_umi = umi_files is not None
 
     # Stage 0: extraction (reference: run-trust4:404-446).
     if stage <= 0:
@@ -48,6 +55,19 @@ def run_trust4(
                 bam_file,
                 prefix + "_toassemble",
                 abnormal_unaligned_flag=abnormal_unmap_flag,
+            )
+        elif has_barcode or has_umi or read_format:
+            run_barcoded_extractor(
+                coord_fasta,
+                read1_files if paired else single_files,
+                read2_files if paired else None,
+                prefix + "_toassemble",
+                barcode_files=barcode_files,
+                umi_files=umi_files,
+                read_format=read_format,
+                barcode_whitelist=barcode_whitelist,
+                barcode_translate=barcode_translate,
+                use_tpu_prefilter=use_tpu_prefilter,
             )
         elif paired:
             run_extractor(
@@ -85,11 +105,21 @@ def run_trust4(
             output_prefix=prefix,
             skip_mate_extension=skip_mate_extension,
         )
-        asm.run(asm_reads, asm_mates)
+        asm.run(
+            asm_reads,
+            asm_mates,
+            barcode_files=[prefix + "_toassemble_bc.fa"] if has_barcode else None,
+            umi_files=[prefix + "_toassemble_umi.fa"] if has_umi else None,
+        )
 
     # Stage 2: annotation (run-trust4:512-550).
     if stage <= 2:
-        ann = Annotator(imgt_fasta, output_prefix=prefix)
+        ann = Annotator(
+            imgt_fasta,
+            output_prefix=prefix,
+            has_barcode=has_barcode,
+            has_umi=has_umi,
+        )
         ann.load_assembly(prefix + "_final.out")
         ann.annotate_all()
         with open(prefix + "_annot.fa", "w") as fp:
@@ -101,14 +131,43 @@ def run_trust4(
 
     # Stage 3: reports (run-trust4:553-566).
     if stage <= 3:
-        with open(prefix + "_report.tsv", "w") as fp:
-            simple_rep(prefix + "_cdr3.out", fp)
-        with open(prefix + "_airr.tsv", "w") as fp:
-            airr_report(
-                prefix + "_report.tsv",
-                prefix + "_annot.fa",
-                fp,
-                "simplerep",
-                prefix + "_airr_align.tsv",
-            )
+        if not has_barcode:
+            with open(prefix + "_report.tsv", "w") as fp:
+                simple_rep(prefix + "_cdr3.out", fp)
+            with open(prefix + "_airr.tsv", "w") as fp:
+                airr_report(
+                    prefix + "_report.tsv",
+                    prefix + "_annot.fa",
+                    fp,
+                    "simplerep",
+                    prefix + "_airr_align.tsv",
+                )
+        else:
+            with open(prefix + "_barcode_report.tsv", "w") as fp:
+                barcode_rep(
+                    prefix + "_cdr3.out", fp, prefix + "_annot.fa"
+                )
+            with open(prefix + "_report.tsv", "w") as fp:
+                simple_rep(
+                    prefix + "_cdr3.out",
+                    fp,
+                    use_barcode_cnt=True,
+                    filter_barcoderep=prefix + "_barcode_report.tsv",
+                )
+            with open(prefix + "_airr.tsv", "w") as fp:
+                airr_report(
+                    prefix + "_report.tsv",
+                    prefix + "_annot.fa",
+                    fp,
+                    "simplerep",
+                    prefix + "_airr_align.tsv",
+                )
+            with open(prefix + "_barcode_airr.tsv", "w") as fp:
+                airr_report(
+                    prefix + "_barcode_report.tsv",
+                    prefix + "_annot.fa",
+                    fp,
+                    "barcoderep",
+                    prefix + "_airr_align.tsv",
+                )
     log("TRUST4 finishes.")
