@@ -593,3 +593,27 @@ def locate_partial_suf_suf_exact_match(
     if best >= min_len and best > sec + 1:
         return best_tag, best
     return -1, 0
+
+
+# ----------------------------------------------------------------------
+# Native dispatch: the C++ kernel library (trust4_tpu/native) implements
+# the exact same semantics; tests cross-check both.  TRUST4_TPU_NATIVE=0
+# forces the pure-Python oracle.
+# ----------------------------------------------------------------------
+
+global_alignment_py = global_alignment
+global_alignment_posweight_py = global_alignment_posweight
+global_alignment_posweight_affine_py = global_alignment_posweight_affine
+global_alignment_one_end_py = global_alignment_one_end
+local_alignment_py = local_alignment
+is_mate_overlap_py = is_mate_overlap
+
+from trust4_tpu.align import native as _native  # noqa: E402
+
+if _native.available():
+    global_alignment = _native.global_alignment
+    global_alignment_posweight = _native.global_alignment_posweight
+    global_alignment_posweight_affine = _native.global_alignment_posweight_affine
+    global_alignment_one_end = _native.global_alignment_one_end
+    local_alignment = _native.local_alignment
+    is_mate_overlap = _native.is_mate_overlap

@@ -1,0 +1,158 @@
+"""ctypes loader for the native alignment kernel library.
+
+Builds trust4_tpu/native/libt4align.so on first use (g++ is part of the
+baked toolchain).  Set TRUST4_TPU_NATIVE=0 to force the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libt4align.so"))
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("TRUST4_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    c_char_p = ctypes.c_char_p
+    c_int = ctypes.c_int
+    c_int64 = ctypes.c_int64
+    c_double = ctypes.c_double
+    i8_p = ctypes.POINTER(ctypes.c_int8)
+    i32_p = ctypes.POINTER(ctypes.c_int32)
+    int_p = ctypes.POINTER(c_int)
+
+    lib.t4_global_alignment.restype = c_int64
+    lib.t4_global_alignment.argtypes = [
+        c_char_p, c_int, c_char_p, c_int, i8_p, int_p,
+    ]
+    lib.t4_global_alignment_posweight.restype = c_int64
+    lib.t4_global_alignment_posweight.argtypes = [
+        i32_p, c_int, c_char_p, c_int, i8_p, int_p,
+    ]
+    lib.t4_global_alignment_posweight_affine.restype = c_int64
+    lib.t4_global_alignment_posweight_affine.argtypes = [
+        i32_p, c_int, c_char_p, c_int, i8_p, int_p,
+    ]
+    lib.t4_global_alignment_one_end.restype = c_int64
+    lib.t4_global_alignment_one_end.argtypes = [
+        c_char_p, c_int, c_char_p, c_int, c_int64, c_double, i8_p, int_p,
+    ]
+    lib.t4_local_alignment.restype = c_int64
+    lib.t4_local_alignment.argtypes = [
+        c_char_p, c_int, c_char_p, c_int, int_p, int_p, i8_p, int_p,
+    ]
+    lib.t4_is_mate_overlap.restype = c_int
+    lib.t4_is_mate_overlap.argtypes = [
+        c_char_p, c_int, c_char_p, c_int, c_int, c_int, int_p, int_p,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _out_buf(n: int):
+    buf = (ctypes.c_int8 * max(n, 1))()
+    ln = ctypes.c_int(0)
+    return buf, ln
+
+
+def global_alignment(t: str, p: str) -> Tuple[int, List[int]]:
+    lib = _LIB
+    buf, ln = _out_buf(len(t) + len(p) + 2)
+    ret = lib.t4_global_alignment(
+        t.encode(), len(t), p.encode(), len(p), buf, ctypes.byref(ln)
+    )
+    return int(ret), list(buf[: ln.value])
+
+
+def global_alignment_posweight(t_weights, p: str) -> Tuple[int, List[int]]:
+    lib = _LIB
+    w = np.ascontiguousarray(t_weights, dtype=np.int32)
+    lent = len(w)
+    buf, ln = _out_buf(lent + len(p) + 2)
+    ret = lib.t4_global_alignment_posweight(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lent, p.encode(), len(p), buf, ctypes.byref(ln),
+    )
+    return int(ret), list(buf[: ln.value])
+
+
+def global_alignment_posweight_affine(t_weights, p: str) -> Tuple[int, List[int]]:
+    lib = _LIB
+    w = np.ascontiguousarray(t_weights, dtype=np.int32)
+    lent = len(w)
+    buf, ln = _out_buf(lent + len(p) + 2)
+    ret = lib.t4_global_alignment_posweight_affine(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lent, p.encode(), len(p), buf, ctypes.byref(ln),
+    )
+    return int(ret), list(buf[: ln.value])
+
+
+def global_alignment_one_end(
+    t: str, p: str, threshold: int, factor: float
+) -> Tuple[int, List[int]]:
+    lib = _LIB
+    buf, ln = _out_buf(len(t) + len(p) + 2)
+    ret = lib.t4_global_alignment_one_end(
+        t.encode(), len(t), p.encode(), len(p), threshold, factor,
+        buf, ctypes.byref(ln),
+    )
+    return int(ret), list(buf[: ln.value])
+
+
+def local_alignment(t: str, p: str) -> Tuple[int, int, int, List[int]]:
+    lib = _LIB
+    buf, ln = _out_buf(len(t) + len(p) + 2)
+    tstart = ctypes.c_int(0)
+    pstart = ctypes.c_int(0)
+    ret = lib.t4_local_alignment(
+        t.encode(), len(t), p.encode(), len(p),
+        ctypes.byref(tstart), ctypes.byref(pstart), buf, ctypes.byref(ln),
+    )
+    return int(ret), tstart.value, pstart.value, list(buf[: ln.value])
+
+
+def is_mate_overlap(
+    fr: str, sr: str, min_overlap: int, check_tandem: bool = True
+) -> Tuple[int, int, int]:
+    lib = _LIB
+    offset = ctypes.c_int(-1)
+    best = ctypes.c_int(-1)
+    ret = lib.t4_is_mate_overlap(
+        fr.encode(), len(fr), sr.encode(), len(sr), min_overlap,
+        1 if check_tandem else 0,
+        ctypes.byref(offset), ctypes.byref(best),
+    )
+    return int(ret), offset.value, best.value

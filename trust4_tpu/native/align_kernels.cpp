@@ -1,0 +1,536 @@
+// Native banded-DP alignment kernel suite (C ABI, loaded via ctypes).
+//
+// Bit-exact port of the Python host oracle (trust4_tpu/align/host.py), which
+// itself reproduces the reference kernels (reference: AlignAlgo.hpp:57-1177)
+// including tie-break order, band sentinels, and the stale-loop-variable
+// initializer quirk.  Scores use int64 like the oracle.
+//
+// Build: make -C trust4_tpu/native
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int EDIT_MATCH = 0;
+constexpr int EDIT_MISMATCH = 1;
+constexpr int EDIT_INSERT = 2;
+constexpr int EDIT_DELETE = 3;
+
+constexpr int64_t SCORE_MATCH = 2;
+constexpr int64_t SCORE_MISMATCH = -2;
+constexpr int64_t SCORE_GAPOPEN = -4;
+constexpr int64_t SCORE_GAPEXTEND = -1;
+constexpr int64_t SCORE_INDEL = -4;
+constexpr int64_t SCORE_MATCH_LOCAL = 1;
+constexpr int64_t SCORE_MISMATCH_LOCAL = -2;
+
+inline int nuc_num(char c) {
+  switch (c) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    case 'N': return 0;  // reference quirk: N packs into slot 0
+    default: return -1;
+  }
+}
+
+inline bool chars_equal(char a, char b) {
+  return a == b || a == 'N' || b == 'N';
+}
+
+inline bool is_base_equal(const int32_t* w, char c) {
+  int64_t s = (int64_t)w[0] + w[1] + w[2] + w[3];
+  if (s == 0 || c == 'N') return true;
+  int idx = nuc_num(c);
+  if (idx < 0) idx = 0;
+  return s < 3 * (int64_t)w[idx];
+}
+
+struct Matrix {
+  std::vector<int64_t> data;
+  int cols = 0;
+  void init(int rows, int cols_, int64_t fill) {
+    cols = cols_;
+    data.assign((size_t)rows * cols_, fill);
+  }
+  int64_t* row(int i) { return data.data() + (size_t)i * cols; }
+};
+
+thread_local Matrix g_m, g_e, g_f;
+thread_local std::vector<uint8_t> g_eq;
+
+// eq[i*lent + j] = 1 when p[i] matches text column j.
+void build_eq_string(const char* t, int lent, const char* p, int lenp) {
+  g_eq.assign((size_t)lenp * lent, 0);
+  for (int i = 0; i < lenp; ++i) {
+    uint8_t* row = g_eq.data() + (size_t)i * lent;
+    char pc = p[i];
+    for (int j = 0; j < lent; ++j)
+      row[j] = chars_equal(t[j], pc);
+  }
+}
+
+void build_eq_posweight(const int32_t* w, int lent, const char* p, int lenp) {
+  g_eq.assign((size_t)lenp * lent, 0);
+  for (int i = 0; i < lenp; ++i) {
+    uint8_t* row = g_eq.data() + (size_t)i * lent;
+    char pc = p[i];
+    for (int j = 0; j < lent; ++j)
+      row[j] = is_base_equal(w + 4 * j, pc);
+  }
+}
+
+// Shared affine-gap fill; band < 0 means unbanded (one-end variant).
+void affine_fill(int lent, int lenp, int left_band, int right_band) {
+  int64_t neg_inf = (int64_t)(lent + 1) * (lenp + 1) * SCORE_GAPOPEN;
+  g_m.init(lenp + 1, lent + 1, neg_inf);
+  g_e.init(lenp + 1, lent + 1, neg_inf);
+  g_f.init(lenp + 1, lent + 1, neg_inf);
+  g_m.row(0)[0] = g_e.row(0)[0] = g_f.row(0)[0] = 0;
+  for (int i = 1; i <= lenp; ++i) {
+    g_e.row(i)[0] = SCORE_GAPOPEN + i * SCORE_GAPEXTEND;
+    g_f.row(i)[0] = SCORE_GAPOPEN + i * SCORE_GAPOPEN;
+    g_m.row(i)[0] = SCORE_GAPOPEN + i * SCORE_GAPOPEN;
+  }
+  // Stale-loop-variable quirk (AlignAlgo.hpp:271): e[0][j] seeded with
+  // i == lenp+1 for every column.
+  int64_t stale_i = lenp + 1;
+  {
+    int64_t* m0 = g_m.row(0);
+    int64_t* e0 = g_e.row(0);
+    int64_t* f0 = g_f.row(0);
+    for (int j = 1; j <= lent; ++j) {
+      f0[j] = SCORE_GAPOPEN + j * SCORE_GAPEXTEND;
+      e0[j] = SCORE_GAPOPEN + stale_i * SCORE_GAPOPEN;
+      m0[j] = SCORE_GAPOPEN + j * SCORE_GAPOPEN;
+    }
+  }
+  const int64_t go_ge = SCORE_GAPOPEN + SCORE_GAPEXTEND;
+  for (int i = 1; i <= lenp; ++i) {
+    int start = 1, end = lent;
+    if (left_band >= 0) {
+      start = i - left_band;
+      if (start < 1) start = 1;
+      end = i + right_band;
+      if (end > lent) end = lent;
+    }
+    const uint8_t* row_eq = g_eq.data() + (size_t)(i - 1) * lent;
+    int64_t* mp = g_m.row(i - 1);
+    int64_t* ep = g_e.row(i - 1);
+    int64_t* mc = g_m.row(i);
+    int64_t* ec = g_e.row(i);
+    int64_t* fc = g_f.row(i);
+    for (int j = start; j <= end; ++j) {
+      int64_t s = ep[j] + SCORE_GAPEXTEND;
+      int64_t v = mp[j] + go_ge;
+      ec[j] = v > s ? v : s;
+      s = fc[j - 1] + SCORE_GAPEXTEND;
+      v = mc[j - 1] + go_ge;
+      fc[j] = v > s ? v : s;
+      s = mp[j - 1] + (row_eq[j - 1] ? SCORE_MATCH : SCORE_MISMATCH);
+      if (ec[j] > s) s = ec[j];
+      if (fc[j] > s) s = fc[j];
+      mc[j] = s;
+    }
+  }
+}
+
+// Traceback shared by GlobalAlignment (delete_vs: e) and the PosWeight
+// affine variant (delete_vs: m).  Appends in reverse, then flips.
+int affine_traceback(int lent, int ti, int tj, bool delete_vs_m,
+                     int8_t* out) {
+  int n = 0;
+  int mat = 0;
+  const int64_t go_ge = SCORE_GAPOPEN + SCORE_GAPEXTEND;
+  while (ti > 0 || tj > 0) {
+    if (mat == 0) {
+      int a = EDIT_INSERT;
+      int64_t cmp = delete_vs_m ? g_m.row(ti)[tj] : g_e.row(ti)[tj];
+      if (g_f.row(ti)[tj] >= cmp) a = EDIT_DELETE;
+      if (ti > 0 && tj > 0) {
+        int64_t diff = g_eq[(size_t)(ti - 1) * lent + (tj - 1)]
+                           ? SCORE_MATCH
+                           : SCORE_MISMATCH;
+        if (g_m.row(ti - 1)[tj - 1] + diff == g_m.row(ti)[tj])
+          a = (diff == SCORE_MATCH) ? EDIT_MATCH : EDIT_MISMATCH;
+      }
+      if (a == EDIT_MATCH || a == EDIT_MISMATCH) {
+        out[n++] = (int8_t)a;
+        --ti;
+        --tj;
+      } else if (a == EDIT_INSERT) {
+        mat = 1;
+      } else {
+        mat = 2;
+      }
+    } else if (mat == 1) {
+      out[n++] = EDIT_INSERT;
+      if (ti > 0) {
+        if (g_m.row(ti - 1)[tj] + go_ge == g_e.row(ti)[tj]) {
+          --ti;
+          mat = 0;
+        } else {
+          --ti;
+        }
+      } else {
+        mat = 2;
+      }
+    } else {
+      out[n++] = EDIT_DELETE;
+      if (tj > 0) {
+        if (g_m.row(ti)[tj - 1] + go_ge == g_f.row(ti)[tj]) {
+          --tj;
+          mat = 0;
+        } else {
+          --tj;
+        }
+      } else {
+        mat = 1;
+      }
+    }
+  }
+  for (int a = 0, b = n - 1; a < b; ++a, --b) {
+    int8_t tmp = out[a];
+    out[a] = out[b];
+    out[b] = tmp;
+  }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t t4_global_alignment(const char* t, int lent, const char* p, int lenp,
+                            int8_t* out, int* out_len) {
+  if (lent == 0 || lenp == 0) {
+    *out_len = 0;
+    return 0;
+  }
+  if (lent == 1 && lenp == 1) {
+    if (chars_equal(t[0], p[0])) {
+      out[0] = EDIT_MATCH;
+      *out_len = 1;
+      return SCORE_MATCH;
+    }
+    out[0] = EDIT_MISMATCH;
+    *out_len = 1;
+    return SCORE_MISMATCH;
+  }
+  int left_band = 5, right_band = 5;
+  if (lent > lenp)
+    right_band += lent - lenp;
+  else if (lent < lenp)
+    left_band += lenp - lent;
+  build_eq_string(t, lent, p, lenp);
+  affine_fill(lent, lenp, left_band, right_band);
+  int64_t ret = g_m.row(lenp)[lent];
+  *out_len = affine_traceback(lent, lenp, lent, false, out);
+  return ret;
+}
+
+int64_t t4_global_alignment_posweight_affine(const int32_t* w, int lent,
+                                             const char* p, int lenp,
+                                             int8_t* out, int* out_len) {
+  if (lent == 0 || lenp == 0) {
+    *out_len = 0;
+    return 0;
+  }
+  if (lent == 1 && lenp == 1) {
+    if (is_base_equal(w, p[0])) {
+      out[0] = EDIT_MATCH;
+      *out_len = 1;
+      return SCORE_MATCH;
+    }
+    out[0] = EDIT_MISMATCH;
+    *out_len = 1;
+    return SCORE_MISMATCH;
+  }
+  build_eq_posweight(w, lent, p, lenp);
+  affine_fill(lent, lenp, 5, 5);
+  int64_t ret = g_m.row(lenp)[lent];
+  *out_len = affine_traceback(lent, lenp, lent, true, out);
+  return ret;
+}
+
+int64_t t4_global_alignment_one_end(const char* t, int lent, const char* p,
+                                    int lenp, int64_t threshold, double factor,
+                                    int8_t* out, int* out_len) {
+  if (lent == 0 || lenp == 0) {
+    *out_len = 0;
+    return 0;
+  }
+  build_eq_string(t, lent, p, lenp);
+  affine_fill(lent, lenp, -1, -1);
+  const double mix = 0.8 * (double)SCORE_MATCH + 0.2 * (double)SCORE_MISMATCH;
+  int64_t best = threshold;
+  int ti = 0, tj = 0;
+  for (int i = 0; i <= lenp; ++i) {
+    const int64_t* row = g_m.row(i);
+    for (int j = 0; j <= lent; ++j) {
+      int64_t v = row[j];
+      int64_t score_threshold =
+          (int64_t)(((double)(i + j) * 0.5) * mix * factor);
+      if (v < score_threshold) continue;
+      if (v > best) {
+        best = v;
+        ti = i;
+        tj = j;
+      }
+    }
+  }
+  int64_t ret = g_m.row(ti)[tj];
+  *out_len = affine_traceback(lent, ti, tj, false, out);
+  return ret;
+}
+
+int64_t t4_global_alignment_posweight(const int32_t* w, int lent,
+                                      const char* p, int lenp, int8_t* out,
+                                      int* out_len) {
+  if (lent == 0 || lenp == 0) {
+    *out_len = 0;
+    return 0;
+  }
+  if (lent == 1 && lenp == 1) {
+    if (is_base_equal(w, p[0])) {
+      out[0] = EDIT_MATCH;
+      *out_len = 1;
+      return SCORE_MATCH;
+    }
+    out[0] = EDIT_MISMATCH;
+    *out_len = 1;
+    return SCORE_MISMATCH;
+  }
+
+  build_eq_posweight(w, lent, p, lenp);
+
+  if (lent == lenp) {
+    // No-indel fast path (AlignAlgo.hpp:81-103).
+    int64_t score = 0;
+    for (int i = 0; i < lent; ++i)
+      score += g_eq[(size_t)i * lent + i] ? SCORE_MATCH : SCORE_MISMATCH;
+    if (score >= lent * SCORE_MATCH + 2 * SCORE_INDEL) {
+      for (int i = 0; i < lent; ++i)
+        out[i] = g_eq[(size_t)i * lent + i] ? EDIT_MATCH : EDIT_MISMATCH;
+      *out_len = lent;
+      return score;
+    }
+  }
+
+  int left_band = 5, right_band = 5;
+  if (lent > lenp)
+    right_band += lent - lenp;
+  else if (lent < lenp)
+    left_band += lenp - lent;
+
+  int64_t neg_inf = (int64_t)(lent + 1) * (lenp + 1) * SCORE_INDEL;
+  g_m.init(lenp + 1, lent + 1, neg_inf);
+  g_m.row(0)[0] = 0;
+  for (int i = 1; i <= lenp; ++i) g_m.row(i)[0] = SCORE_INDEL + i * SCORE_INDEL;
+  {
+    int64_t* m0 = g_m.row(0);
+    for (int j = 1; j <= lent; ++j) m0[j] = SCORE_INDEL + j * SCORE_INDEL;
+  }
+  for (int i = 1; i <= lenp; ++i) {
+    int start = i - left_band;
+    if (start < 1) start = 1;
+    int end = i + right_band;
+    if (end > lent) end = lent;
+    const uint8_t* row_eq = g_eq.data() + (size_t)(i - 1) * lent;
+    const int64_t* prev = g_m.row(i - 1);
+    int64_t* cur = g_m.row(i);
+    for (int j = start; j <= end; ++j) {
+      int64_t score =
+          prev[j - 1] + (row_eq[j - 1] ? SCORE_MATCH : SCORE_MISMATCH);
+      int64_t v = cur[j - 1] + SCORE_INDEL;
+      if (v > score) score = v;
+      v = prev[j] + SCORE_INDEL;
+      if (v > score) score = v;
+      cur[j] = score;
+    }
+  }
+  int64_t ret = g_m.row(lenp)[lent];
+
+  // Last-writer-wins traceback (AlignAlgo.hpp:168-211).
+  int n = 0;
+  int ti = lenp, tj = lent;
+  while (ti > 0 || tj > 0) {
+    int64_t mx = g_m.row(ti)[tj];
+    int a = 0;
+    if (tj > 0 && g_m.row(ti)[tj - 1] + SCORE_INDEL == mx) a = EDIT_DELETE;
+    if (ti > 0 && g_m.row(ti - 1)[tj] + SCORE_INDEL == mx) a = EDIT_INSERT;
+    if (tj > 0 && ti > 0) {
+      int64_t diff = g_eq[(size_t)(ti - 1) * lent + (tj - 1)] ? SCORE_MATCH
+                                                              : SCORE_MISMATCH;
+      if (g_m.row(ti - 1)[tj - 1] + diff == mx)
+        a = (diff == SCORE_MATCH) ? EDIT_MATCH : EDIT_MISMATCH;
+    }
+    out[n++] = (int8_t)a;
+    if (a == EDIT_DELETE) {
+      --tj;
+    } else if (a == EDIT_INSERT) {
+      --ti;
+    } else {
+      --ti;
+      --tj;
+    }
+  }
+  for (int a = 0, b = n - 1; a < b; ++a, --b) {
+    int8_t tmp = out[a];
+    out[a] = out[b];
+    out[b] = tmp;
+  }
+  *out_len = n;
+  return ret;
+}
+
+int64_t t4_local_alignment(const char* t, int lent, const char* p, int lenp,
+                           int* tstart, int* pstart, int8_t* out,
+                           int* out_len) {
+  g_m.init(lenp + 1, lent + 1, 0);
+  g_eq.assign((size_t)(lenp > 0 ? lenp : 1) * (lent > 0 ? lent : 1), 0);
+  for (int i = 0; i < lenp; ++i) {
+    uint8_t* row = g_eq.data() + (size_t)i * lent;
+    for (int j = 0; j < lent; ++j) row[j] = (p[i] == t[j]);
+  }
+  for (int i = 1; i <= lenp; ++i) {
+    const uint8_t* row_eq = g_eq.data() + (size_t)(i - 1) * lent;
+    const int64_t* prev = g_m.row(i - 1);
+    int64_t* cur = g_m.row(i);
+    for (int j = 1; j <= lent; ++j) {
+      int64_t s = prev[j - 1] +
+                  (row_eq[j - 1] ? SCORE_MATCH_LOCAL : SCORE_MISMATCH_LOCAL);
+      int64_t v = cur[j - 1] + SCORE_INDEL;
+      if (v > s) s = v;
+      v = prev[j] + SCORE_INDEL;
+      if (v > s) s = v;
+      cur[j] = s > 0 ? s : 0;
+    }
+  }
+  int64_t max_score = 0;
+  int ti = lenp, tj = lent;
+  for (int i = 0; i <= lenp; ++i) {
+    const int64_t* row = g_m.row(i);
+    for (int j = 0; j <= lent; ++j) {
+      if (row[j] >= max_score) {
+        max_score = row[j];
+        ti = i;
+        tj = j;
+      }
+    }
+  }
+  if (max_score == 0) {
+    *tstart = 0;
+    *pstart = 0;
+    *out_len = 0;
+    return -1;
+  }
+  *tstart = 0;
+  *pstart = 0;
+  int n = 0;
+  while (ti > 0 || tj > 0) {
+    int64_t mx = g_m.row(ti)[tj];
+    int a = 0;
+    if (mx == 0) {
+      *tstart = tj;
+      *pstart = ti;
+      break;
+    }
+    if (tj > 0 && g_m.row(ti)[tj - 1] + SCORE_INDEL == mx) a = EDIT_DELETE;
+    if (ti > 0 && g_m.row(ti - 1)[tj] + SCORE_INDEL == mx) a = EDIT_INSERT;
+    if (tj > 0 && ti > 0) {
+      int64_t diff = g_eq[(size_t)(ti - 1) * lent + (tj - 1)]
+                         ? SCORE_MATCH_LOCAL
+                         : SCORE_MISMATCH_LOCAL;
+      if (g_m.row(ti - 1)[tj - 1] + diff == mx)
+        a = (diff == SCORE_MATCH_LOCAL) ? EDIT_MATCH : EDIT_MISMATCH;
+    }
+    out[n++] = (int8_t)a;
+    if (a == EDIT_DELETE) {
+      --tj;
+    } else if (a == EDIT_INSERT) {
+      --ti;
+    } else {
+      --ti;
+      --tj;
+    }
+  }
+  for (int a = 0, b = n - 1; a < b; ++a, --b) {
+    int8_t tmp = out[a];
+    out[a] = out[b];
+    out[b] = tmp;
+  }
+  *out_len = n;
+  return max_score;
+}
+
+// Mate-overlap detection (reference: AlignAlgo.hpp:1027-1096).
+int t4_is_mate_overlap(const char* fr, int flen, const char* sr, int slen,
+                       int min_overlap, int check_tandem, int* offset_out,
+                       int* best_match_out) {
+  int64_t best_match_cnt = -1;
+  int offset_cnt = 0;
+  int offset = -1;
+  int overlap_size = -1;
+  for (int j = 0; j < flen - min_overlap; ++j) {
+    int match_cnt = 0;
+    bool flag = true;
+    double sim;
+    if (flen - j >= 100)
+      sim = 0.85;
+    else if (flen - j >= 50)
+      sim = 0.85 + (double)(flen - j - 50) / 50.0 * 0.1;
+    else
+      sim = 0.95;
+    int k = 0;
+    while (j + k < flen && k < slen) {
+      if (fr[j + k] == sr[k]) ++match_cnt;
+      if (match_cnt + (flen - (j + k) - 1) < (int)((double)(flen - j) * sim)) {
+        flag = false;
+        break;
+      }
+      ++k;
+    }
+    if (flag) {
+      offset = j;
+      ++offset_cnt;
+      overlap_size = k;
+      best_match_cnt = match_cnt;
+    }
+  }
+  *best_match_out = (int)best_match_cnt;
+  if (offset_cnt != 1) {
+    *offset_out = -1;
+    return -1;
+  }
+  *offset_out = offset;
+  if (check_tandem && overlap_size <= min_overlap * 2) {
+    for (int i = 1; i <= overlap_size / 2; ++i) {
+      bool tandem = true;
+      int j = i;
+      while (j + i - 1 < overlap_size) {
+        bool ok = true;
+        for (int k = j; k < j + i; ++k) {
+          if (sr[k - j] != sr[k]) {
+            ok = false;
+            break;
+          }
+        }
+        if (!ok) {
+          tandem = false;
+          break;
+        }
+        j += i;
+      }
+      if (tandem) {
+        return -1;
+      }
+    }
+  }
+  return overlap_size;
+}
+
+}  // extern "C"
