@@ -545,6 +545,70 @@ class Annotator:
             out.append(f"{s2}\t{s3}")
         return "".join(out)
 
+    AIRR_PART_HEADER = (
+        "sequence\trev_comp\tv_call\td_call\tj_call\tc_call\tv_cigar\t"
+        "d_cigar\tj_cigar\tc_cigar\tsequence_alignment\tgermline_alignment\t"
+        "cdr1\tcdr2\tjunction\tjunction_aa\tproductive\tv_identity\tj_identity"
+    )
+
+    def annotation_to_airr_string(self, read: str, go, cdr) -> str:
+        """19-column AIRR fields for one contig (SeqSet.hpp:8877-8981)."""
+        from trust4_tpu.dna import dna_to_aa
+
+        parts = [read]
+        gidx = 0
+        while gidx < 4 and go[gidx].seq_idx == -1:
+            gidx += 1
+        if gidx >= 4 and cdr[2].seq_idx == -1:
+            return "\t".join([read] + [""] * 18)
+        parts.append("T" if go[gidx].strand == -1 else "F")
+        for i in range(4):
+            parts.append(
+                "" if go[i].seq_idx == -1 else self.ref_set.seqs[go[i].seq_idx].name
+            )
+        # v/d/j/c cigars + sequence/germline alignment (no CDR3 coords).
+        align_str = self.annotation_to_airr_align(read, go, cdr, False)
+        parts.append(align_str)
+        for i in range(2):
+            parts.append(
+                ""
+                if cdr[i].seq_idx == -1
+                else read[cdr[i].read_start : cdr[i].read_end + 1]
+            )
+        if cdr[2].seq_idx == -1:
+            parts.extend(["", "", ""])
+        else:
+            cdr3 = read[cdr[2].read_start : cdr[2].read_end + 1]
+            parts.append(cdr3)
+            if len(cdr3) % 3 != 0:
+                parts.extend(["out_of_frame", "F"])
+            else:
+                aa = []
+                productive = "T"
+                for i in range(cdr[2].read_start, cdr[2].read_end + 1, 3):
+                    a = dna_to_aa(read[i], read[i + 1], read[i + 2])
+                    if not ("A" <= a <= "Z"):
+                        productive = "F"
+                    aa.append(a)
+                parts.extend(["".join(aa), productive])
+        for i in (0, 2):
+            parts.append(
+                ""
+                if go[i].seq_idx == -1
+                else f"{go[i].similarity * 100:.2f}"
+            )
+        return "\t".join(parts)
+
+    def write_airr_annotation(self, fp) -> None:
+        """--outputFormat 1 (Annotator.cpp:699-723)."""
+        fp.write(f"sequence_id\t{self.AIRR_PART_HEADER}\tcomplete_vdj\n")
+        for i, ann in enumerate(self.annotations):
+            airr = self.annotation_to_airr_string(
+                self.seq_set.seqs[i].consensus, ann.gene_overlap, ann.cdr
+            )
+            fl = "T" if ann.is_full_length else "F"
+            fp.write(f"{self.seq_set.seqs[i].name}\t{airr}\t{fl}\n")
+
     def write_airr_align(self, out_path: str) -> None:
         """Annotator.cpp:725-741."""
         with open(out_path, "w") as fp:
@@ -561,7 +625,8 @@ class Annotator:
     # -- read realignment + EM + cdr3.out (Annotator.cpp:744-1139) -----
 
     def realign_and_write_cdr3(
-        self, assembled_reads_fa: str, out_path: str
+        self, assembled_reads_fa: str, out_path: str,
+        read_assignment_path: Optional[str] = None,
     ) -> None:
         seq_set = self.seq_set
         annotations = self.annotations
@@ -617,6 +682,16 @@ class Annotator:
                 a = seq_set.assign_read(r.read, r.overlap.strand, r.barcode)
                 assign = a if a is not None else fail
             r.overlap = assign
+
+        if read_assignment_path:
+            # --readAssignment dump (Annotator.cpp:856-866).
+            with open(read_assignment_path, "w") as fp:
+                for r in assembled_reads:
+                    if r.overlap.seq_idx == -1:
+                        continue
+                    fp.write(
+                        f"{r.id}\t{seq_set.seqs[r.overlap.seq_idx].name}\n"
+                    )
 
         cdr3_reads: List[AssignedRead] = []
         for r in assembled_reads:
