@@ -282,6 +282,146 @@ def cmd_report(argv) -> int:
     return 0
 
 
+def cmd_barcoderep(argv) -> int:
+    p = argparse.ArgumentParser(prog="trust4_tpu barcoderep")
+    p.add_argument("cdr3_file")
+    p.add_argument("-a", dest="annot", default=None)
+    p.add_argument("--reportPartial", action="store_true")
+    p.add_argument("--noImputation", action="store_true")
+    p.add_argument("--imputeBCR", action="store_true")
+    p.add_argument("--chainsInBarcode", type=int, default=2)
+    args = p.parse_args(argv)
+    from trust4_tpu.pipeline.report import barcode_rep
+
+    barcode_rep(
+        args.cdr3_file, sys.stdout, args.annot,
+        report_partial=args.reportPartial,
+        impute=not args.noImputation,
+        impute_bcr=args.imputeBCR,
+        chains_in_barcode=args.chainsInBarcode,
+    )
+    return 0
+
+
+def cmd_airr(argv) -> int:
+    p = argparse.ArgumentParser(prog="trust4_tpu airr")
+    p.add_argument("report_file")
+    p.add_argument("annot_file")
+    p.add_argument("--format", default="simplerep")
+    p.add_argument("--airr-align", dest="airr_align", default=None)
+    args = p.parse_args(argv)
+    from trust4_tpu.pipeline.report import airr_report
+
+    airr_report(
+        args.report_file, args.annot_file, sys.stdout, args.format,
+        args.airr_align,
+    )
+    return 0
+
+
+def cmd_smartseq(argv) -> int:
+    p = argparse.ArgumentParser(prog="trust4_tpu smartseq")
+    p.add_argument("-1", dest="read1_list", required=True)
+    p.add_argument("-2", dest="read2_list", default=None)
+    p.add_argument("-f", dest="coord_fasta", required=True)
+    p.add_argument("--ref", dest="imgt_fasta", default="")
+    p.add_argument("-o", dest="prefix", default="TRUST")
+    p.add_argument("-t", dest="threads", type=int, default=1)
+    p.add_argument("--representative", type=int, default=1)
+    args = p.parse_args(argv)
+    from trust4_tpu.pipeline.smartseq import run_smartseq
+
+    run_smartseq(
+        args.coord_fasta,
+        args.imgt_fasta or args.coord_fasta,
+        args.read1_list,
+        args.read2_list,
+        args.prefix,
+        args.representative,
+    )
+    return 0
+
+
+def cmd_stats(argv) -> int:
+    p = argparse.ArgumentParser(prog="trust4_tpu stats")
+    p.add_argument("-r", dest="repfile", required=True)
+    p.add_argument("-f", dest="format", default="TRUST4_report")
+    args = p.parse_args(argv)
+    from trust4_tpu.scripts.stats import trust_stats
+
+    trust_stats(args.repfile, args.format)
+    return 0
+
+
+def cmd_cluster(argv) -> int:
+    p = argparse.ArgumentParser(prog="trust4_tpu cluster")
+    p.add_argument("cdr3_file")
+    p.add_argument("-s", dest="similarity", type=float, default=0.8)
+    p.add_argument("--prefix", default="cluster")
+    p.add_argument("--center", action="store_true")
+    p.add_argument("--representative", action="store_true")
+    p.add_argument("--format", default="cdr3")
+    args = p.parse_args(argv)
+    from trust4_tpu.scripts.cluster import trust_cluster
+
+    trust_cluster(
+        args.cdr3_file, args.similarity, args.prefix, args.representative,
+        "center" if args.center else "aggressive", args.format,
+    )
+    return 0
+
+
+def cmd_script(argv) -> int:
+    """Post-analysis utilities: barcoderep-filter, barcoderep-expand,
+    to-10x, filter-annot, full-length, add-seq, imgt-gap, build-db,
+    build-imgt."""
+    from trust4_tpu.scripts import barcode_utils, build_ref, imgt_gap
+
+    if not argv:
+        print(cmd_script.__doc__)
+        return 1
+    name, rest = argv[0], argv[1:]
+    if name == "barcoderep-filter":
+        p = argparse.ArgumentParser()
+        p.add_argument("-b", dest="b", required=True)
+        p.add_argument("-a", dest="a", default=None)
+        p.add_argument("--highAbund", type=float, default=50.0)
+        p.add_argument("--diffuseFrac", type=float, default=0.02)
+        a = p.parse_args(rest)
+        barcode_utils.barcoderep_filter(
+            a.b, annot=a.a, high_abund=a.highAbund, diffuse_frac=a.diffuseFrac
+        )
+    elif name == "barcoderep-expand":
+        p = argparse.ArgumentParser()
+        p.add_argument("-b", dest="b", required=True)
+        p.add_argument("--chain", type=int, default=1)
+        p.add_argument("--frac", type=float, default=0.1)
+        a = p.parse_args(rest)
+        barcode_utils.barcoderep_expand(a.b, chain=a.chain, frac=a.frac)
+    elif name == "to-10x":
+        barcode_utils.barcoderep_to_10x(rest[0], rest[1])
+    elif name == "filter-annot":
+        barcode_utils.filter_annotated_assembly(rest[0])
+    elif name == "full-length":
+        barcode_utils.get_full_length_assembly(rest[0])
+    elif name == "add-seq":
+        barcode_utils.add_sequence_to_cdr3_file(rest[0], rest[1])
+    elif name == "imgt-gap":
+        p = argparse.ArgumentParser()
+        p.add_argument("-i", dest="imgt", required=True)
+        p.add_argument("-a", dest="airr", required=True)
+        a = p.parse_args(rest)
+        imgt_gap.airr_imgt_gap(a.imgt, a.airr)
+    elif name == "build-db":
+        build_ref.build_database_fa(rest[0], rest[1], rest[2])
+    elif name == "build-imgt":
+        build_ref.build_imgt_annot(rest[0], rest[1])
+    else:
+        print(f"Unknown script {name}", file=sys.stderr)
+        return 1
+    return 0
+
+
 COMMANDS = {
     "run": cmd_run,
     "extract": cmd_extract,
@@ -289,6 +429,12 @@ COMMANDS = {
     "assemble": cmd_assemble,
     "annotate": cmd_annotate,
     "report": cmd_report,
+    "barcoderep": cmd_barcoderep,
+    "airr": cmd_airr,
+    "smartseq": cmd_smartseq,
+    "stats": cmd_stats,
+    "cluster": cmd_cluster,
+    "script": cmd_script,
 }
 
 
