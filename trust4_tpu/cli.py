@@ -224,6 +224,7 @@ def cmd_annotate(argv) -> int:
     p.add_argument("--airrAlignment", action="store_true")
     p.add_argument("--readAssignment", default=None)
     p.add_argument("--imgtAdditionalGap", default=None)
+    p.add_argument("-t", dest="threads", type=int, default=1)
     args = p.parse_args(argv)
 
     from trust4_tpu.pipeline.annotator import Annotator
@@ -236,6 +237,7 @@ def cmd_annotate(argv) -> int:
         need_rc=args.needReverseComplement,
         has_barcode=args.barcode,
         has_umi=args.UMI,
+        threads=args.threads,
     )
     if args.fasta:
         ann.load_fasta(args.assembly)

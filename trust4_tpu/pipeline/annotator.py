@@ -133,6 +133,7 @@ class Annotator:
         need_rc: bool = False,
         has_barcode: bool = False,
         has_umi: bool = False,
+        threads: int = 1,
     ):
         self.ref_set = SeqSet(7)
         self.ref_set.input_ref_fa(imgt_fa, True, imgt_additional_gap)
@@ -146,6 +147,7 @@ class Annotator:
         self.has_barcode = has_barcode
         self.has_umi = has_umi
         self.barcode_str_to_int: Dict[str, int] = {}
+        self.threads = threads
         self.annotations: List[Annotation] = []
 
     # -- input ---------------------------------------------------------
@@ -193,30 +195,50 @@ class Annotator:
 
     # -- annotation ----------------------------------------------------
 
+    def _annotate_one(self, i: int) -> Annotation:
+        """Per-contig annotation step (independent across contigs, so the
+        block-parallel split reproduces the serial results exactly;
+        Annotator.cpp:369-397 AnnotateReads_Thread)."""
+        seq_set, ref_set = self.seq_set, self.ref_set
+        ann = Annotation()
+        if self.need_rc:
+            strand = ref_set.has_hit_in_set(seq_set.seqs[i].consensus, 1)
+            if strand == -1:
+                self._reverse_complement_in_seq_set(i)
+        _, ann.gene_overlap, ann.cdr = ref_set.annotate_read(
+            seq_set.seqs[i].consensus, 2, ann.secondary
+        )
+        if self.impute:
+            new_consensus = ref_set.impute_cdr3(
+                seq_set.seqs[i].consensus,
+                ann.gene_overlap,
+                ann.cdr,
+                ann.secondary,
+            )
+            if new_consensus is not None:
+                self._set_seq_consensus(i, new_consensus)
+        return ann
+
     def annotate_all(self) -> None:
         """Annotator.cpp:640-696."""
-        seq_set, ref_set = self.seq_set, self.ref_set
+        seq_set = self.seq_set
         seq_cnt = seq_set.size()
-        self.annotations = []
-        for i in range(seq_cnt):
-            ann = Annotation()
-            if self.need_rc:
-                strand = ref_set.has_hit_in_set(seq_set.seqs[i].consensus, 1)
-                if strand == -1:
-                    self._reverse_complement_in_seq_set(i)
-            _, ann.gene_overlap, ann.cdr = ref_set.annotate_read(
-                seq_set.seqs[i].consensus, 2, ann.secondary
-            )
-            if self.impute:
-                new_consensus = ref_set.impute_cdr3(
-                    seq_set.seqs[i].consensus,
-                    ann.gene_overlap,
-                    ann.cdr,
-                    ann.secondary,
-                )
-                if new_consensus is not None:
-                    self._set_seq_consensus(i, new_consensus)
-            self.annotations.append(ann)
+        if self.threads > 1 and seq_cnt > 1:
+            from trust4_tpu.utils.parallel import map_fork
+
+            def work(idx):
+                ann = self._annotate_one(idx)
+                # consensus may change under need_rc/impute; ship it back
+                return ann, self.seq_set.seqs[idx].consensus
+
+            results = map_fork(work, list(range(seq_cnt)), self.threads)
+            self.annotations = []
+            for i, (ann, consensus) in enumerate(results):
+                if consensus != seq_set.seqs[i].consensus:
+                    self._set_seq_consensus(i, consensus)
+                self.annotations.append(ann)
+        else:
+            self.annotations = [self._annotate_one(i) for i in range(seq_cnt)]
 
         self._annotation_tie_break()
         for i in range(seq_cnt):
@@ -672,16 +694,43 @@ class Annotator:
 
         fail = Overlap()
         fail.seq_idx = -1
-        assign = fail
-        for i, r in enumerate(assembled_reads):
-            if (
-                i == 0
-                or r.barcode != assembled_reads[i - 1].barcode
-                or r.read != assembled_reads[i - 1].read
-            ):
-                a = seq_set.assign_read(r.read, r.overlap.strand, r.barcode)
-                assign = a if a is not None else fail
-            r.overlap = assign
+        if self.threads > 1 and len(assembled_reads) > 1:
+            # Block-partitioned like AssignReads_Thread (Annotator.cpp:399-419);
+            # the dedup is a pure cache, so results match the serial pass.
+            from trust4_tpu.utils.parallel import map_fork_chunks
+
+            def work(chunk):
+                out = []
+                assign = fail
+                prev = None
+                for r in chunk:
+                    if (
+                        prev is None
+                        or r.barcode != prev.barcode
+                        or r.read != prev.read
+                    ):
+                        a = seq_set.assign_read(
+                            r.read, r.overlap.strand, r.barcode
+                        )
+                        assign = a if a is not None else fail
+                    out.append(assign)
+                    prev = r
+                return out
+
+            results = map_fork_chunks(work, assembled_reads, self.threads)
+            for r, a in zip(assembled_reads, results):
+                r.overlap = a
+        else:
+            assign = fail
+            for i, r in enumerate(assembled_reads):
+                if (
+                    i == 0
+                    or r.barcode != assembled_reads[i - 1].barcode
+                    or r.read != assembled_reads[i - 1].read
+                ):
+                    a = seq_set.assign_read(r.read, r.overlap.strand, r.barcode)
+                    assign = a if a is not None else fail
+                r.overlap = assign
 
         if read_assignment_path:
             # --readAssignment dump (Annotator.cpp:856-866).

@@ -196,6 +196,7 @@ class Assembler:
         skip_mate_extension: bool = False,
         contig_min_cov: int = 0,
         keep_missing_barcode: bool = False,
+        threads: int = 1,
     ):
         self.index_kmer_length = index_kmer_length
         self.change_kmer_length_threshold = 4096
@@ -210,6 +211,7 @@ class Assembler:
         self.skip_mate_extension = skip_mate_extension
         self.contig_min_cov = contig_min_cov
         self.keep_missing_barcode = keep_missing_barcode
+        self.threads = threads
         self.barcode_int_to_str: List[str] = []
         self.has_barcode = False
         self.has_umi = False
@@ -344,14 +346,37 @@ class Assembler:
         # (main.cpp:1084-1093).
         if self.trim_level > 1:
             self.ref_set.set_radius(0)
-        prev_read = None
-        prev_overlap = None
-        for r in sorted_reads:
-            if prev_read is None or r.read != prev_read:
-                _, go, _ = self.ref_set.annotate_read(r.read, 0)
-                prev_overlap = go
-                prev_read = r.read
-            r.gene_overlap = [Overlap(**o.__dict__) for o in prev_overlap]
+        if self.threads > 1 and len(sorted_reads) > 1:
+            # Block-split quick annotation (main.cpp:513-532); per-read
+            # results are independent, dedup is a pure cache.
+            from trust4_tpu.utils.parallel import map_fork_chunks
+
+            def work(chunk):
+                out = []
+                prev_read = None
+                prev_overlap = None
+                for r in chunk:
+                    if prev_read is None or r.read != prev_read:
+                        _, go, _ = self.ref_set.annotate_read(r.read, 0)
+                        prev_overlap = go
+                        prev_read = r.read
+                    out.append(
+                        [Overlap(**o.__dict__) for o in prev_overlap]
+                    )
+                return out
+
+            overlaps = map_fork_chunks(work, sorted_reads, self.threads)
+            for r, go in zip(sorted_reads, overlaps):
+                r.gene_overlap = go
+        else:
+            prev_read = None
+            prev_overlap = None
+            for r in sorted_reads:
+                if prev_read is None or r.read != prev_read:
+                    _, go, _ = self.ref_set.annotate_read(r.read, 0)
+                    prev_overlap = go
+                    prev_read = r.read
+                r.gene_overlap = [Overlap(**o.__dict__) for o in prev_overlap]
 
         if self.has_barcode:
             self._barcode_kmer_pass(sorted_reads, max_read_len)

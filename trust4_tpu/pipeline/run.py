@@ -104,6 +104,7 @@ def run_trust4(
             coord_fasta,
             output_prefix=prefix,
             skip_mate_extension=skip_mate_extension,
+            threads=threads,
         )
         asm.run(
             asm_reads,
@@ -119,6 +120,7 @@ def run_trust4(
             output_prefix=prefix,
             has_barcode=has_barcode,
             has_umi=has_umi,
+            threads=threads,
         )
         ann.load_assembly(prefix + "_final.out")
         ann.annotate_all()
