@@ -1,0 +1,573 @@
+// Native candidate-read filter: exact HasHitInSet against the static
+// germline index, plus the low-complexity guard.
+//
+// Semantics are a line-for-line match of the host implementation in
+// trust4_tpu/engine/overlap.py (which itself mirrors the reference's
+// SeqSet.hpp:3144-3327 HasHitInSet, :1341-1501 GetHitsFromRead,
+// :763-1063 GetOverlapsFromHits, :342-499 LIS, and
+// FastqExtractor.cpp:105-134 IsLowComplexity / IsGoodCandidate), so the
+// candidate set is bit-identical.  Per-read independence makes the batch
+// entry trivially parallel with std::thread (no fork, safe next to JAX).
+//
+// C ABI only; loaded via ctypes (trust4_tpu/pipeline/extract_native.py).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <map>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <utility>
+#include <vector>
+
+namespace {
+
+struct Hit {
+  int strand_key;  // 0 for strand -1, 1 for +1
+  int seq_idx;
+  int read_off;
+  int seq_off;
+  int repeats;
+};
+
+struct Coord {
+  int read_off;
+  int seq_off;
+  int diff;
+};
+
+struct RC {  // (readOffset, seqOffset) pair in a chain
+  int a;
+  int b;
+  bool operator==(const RC &o) const { return a == o.a && b == o.b; }
+};
+
+struct Filter {
+  int kmer_len;
+  int radius;
+  int hit_len_required;
+  int n_seqs;
+  // code -> postings (seq_idx, offset), insertion order.
+  std::unordered_map<uint64_t, std::vector<std::pair<int, int>>> index;
+};
+
+inline int nuc2num(unsigned char c) {
+  switch (c) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    case 'N': return 0;  // reference quirk: N encodes as 0 (defs.h:8-9)
+    default: return -1;
+  }
+}
+
+// Window codes + validity for a sequence (ops/kmer.py semantics: packed
+// first-base-high, val = nuc2num & 3, window invalid iff it covers 'N').
+void window_codes(const char *s, int len, int k, std::vector<uint64_t> &codes,
+                  std::vector<uint8_t> &valid) {
+  int n = len - k + 1;
+  codes.clear();
+  valid.clear();
+  if (n <= 0) return;
+  codes.resize(n);
+  valid.resize(n);
+  uint64_t code = 0;
+  uint64_t mask = (k >= 32) ? ~uint64_t(0) : ((uint64_t(1) << (2 * k)) - 1);
+  int last_n = -1;  // last position holding 'N'
+  for (int i = 0; i < len; i++) {
+    code = ((code << 2) | uint64_t(nuc2num((unsigned char)s[i]) & 3)) & mask;
+    if (s[i] == 'N') last_n = i;
+    if (i >= k - 1) {
+      codes[i - k + 1] = code;
+      valid[i - k + 1] = (last_n < i - k + 1) ? 1 : 0;
+    }
+  }
+}
+
+void revcomp(const char *s, int len, std::string &out) {
+  out.resize(len);
+  for (int i = 0; i < len; i++) {
+    char c = s[len - 1 - i];
+    int v = (c >= 'A' && c <= 'Z') ? nuc2num((unsigned char)c) : -1;
+    if (c == 'N' || v < 0)
+      out[i] = 'N';
+    else
+      out[i] = "ACGT"[3 - v];
+  }
+}
+
+inline long iabs(long x) { return x < 0 ? -x : x; }
+inline double fabs_(double x) { return x < 0 ? -x : x; }
+
+// ---- LIS (overlap.py:52-146; SeqSet.hpp:342-499) -------------------------
+
+int binary_search_lis(const std::vector<int> &top, int size, int val_a,
+                      const std::vector<RC> &hits) {
+  int l = 0, r = size - 1;
+  while (l <= r) {
+    int m = (l + r) / 2;
+    if (val_a == hits[top[m]].a) return m;
+    if (val_a < hits[top[m]].a)
+      r = m - 1;
+    else
+      l = m + 1;
+  }
+  return l - 1;
+}
+
+void longest_increasing_subsequence(const std::vector<RC> &hits,
+                                    std::vector<RC> &out_lis) {
+  out_lis.clear();
+  int size = (int)hits.size();
+  if (size == 0) return;
+  double avg_diff = 0.0;
+  for (int i = 1; i < size; i++) avg_diff += hits[i].a - hits[i].b;
+  avg_diff /= size;
+
+  std::vector<int> top(size, 0), link(size, -1);
+  int ret = 1;
+  for (int i = 1; i < size; i++) {
+    const RC &hi = hits[i];
+    int tag;
+    if (hits[top[ret - 1]].a <= hi.a)
+      tag = ret - 1;
+    else
+      tag = binary_search_lis(top, ret, hi.a, hits);
+    if (tag == -1) {
+      top[0] = i;
+      link[i] = -1;
+    } else if (hi.a > hits[top[tag]].a) {
+      if (tag == ret - 1) {
+        top[ret] = i;
+        ret += 1;
+        link[i] = top[tag];
+      } else if (hi.a < hits[top[tag + 1]].a) {
+        top[tag + 1] = i;
+        link[i] = top[tag];
+      }
+    } else if (hi.a == hits[top[tag]].a) {  // repeats
+      if (fabs_(hi.a - hi.b - avg_diff) <
+          fabs_(hits[top[tag]].a - hits[top[tag]].b - avg_diff)) {
+        top[tag] = i;
+        link[i] = tag > 0 ? top[tag - 1] : -1;
+      }
+    }
+  }
+
+  std::vector<RC> lis;
+  lis.reserve(ret);
+  int k = top[ret - 1];
+  for (int t = 0; t < ret; t++) {
+    lis.push_back(hits[k]);
+    k = link[k];
+  }
+  for (int a = 0, b = ret - 1; a < b; a++, b--) std::swap(lis[a], lis[b]);
+
+  // Same-seq-offset dedup, keep least divergence.
+  std::vector<RC> out;
+  out.reserve(ret);
+  int i = 0;
+  while (i < ret) {
+    int j = i + 1;
+    while (j < ret && lis[i].b == lis[j].b) j++;
+    if (j == i + 1) {
+      out.push_back(lis[i]);
+    } else {
+      int mintag = i;
+      double min_diff = fabs_(lis[i].a - lis[i].b - avg_diff);
+      for (int l = i + 1; l < j; l++) {
+        double d = fabs_(lis[l].a - lis[l].b - avg_diff);
+        if (d < min_diff) {
+          min_diff = d;
+          mintag = l;
+        }
+      }
+      out.push_back(lis[mintag]);
+    }
+    i = j;
+  }
+  int out_ret = (int)out.size();
+
+  // Replacement pass (same count, less divergent hits).
+  if (out_ret > 0) {
+    int a = 0, b = 0;
+    while (a < out_ret && b < size) {
+      if (hits[b].b < out[a].b) {
+        b++;
+      } else if (a + 1 < out_ret && out[a + 1].b <= hits[b].b) {
+        a++;
+      } else if (out[a] == hits[b]) {
+        b++;
+      } else {
+        if (out[a].a <= hits[b].a &&
+            (a == out_ret - 1 || hits[b].a < out[a + 1].a) &&
+            fabs_(hits[b].a - hits[b].b - avg_diff) <
+                fabs_(out[a].a - out[a].b - avg_diff)) {
+          out[a] = hits[b];
+        }
+        b++;
+      }
+    }
+  }
+  out_lis = std::move(out);
+}
+
+// ---- Overlap construction (overlap.py:309-482) ---------------------------
+
+int total_hit_length_on(const std::vector<int> &offs, int kl) {
+  int ret = 0, i = 0, n = (int)offs.size();
+  while (i < n) {
+    int j = i + 1;
+    while (j < n && offs[j] <= offs[j - 1] + kl - 1) j++;
+    ret += offs[j - 1] - offs[i] + kl;
+    i = j;
+  }
+  return ret;
+}
+
+struct Overlap {
+  int match_cnt;
+  int strand;
+};
+
+// filter_==1 path for an all-ref hit group (single strand+seq bucket).
+// Matches overlap.py:322-482 restricted to is_ref seqs.
+int get_overlaps_from_hits(const Filter &F, const std::vector<Hit> &hits,
+                           int hit_len_required,
+                           std::vector<Overlap> &overlaps) {
+  int kl = F.kmer_len;
+  int hit_size = (int)hits.size();
+  int ref_min_hit[2] = {3, 3};
+  bool remove_only_repeats[2] = {false, false};
+
+  {
+    int i = 0;
+    while (i < hit_size) {
+      int st = hits[i].strand_key;
+      int j = i + 1;
+      while (j < hit_size && hits[j].strand_key == st &&
+             hits[j].seq_idx == hits[i].seq_idx)
+        j++;
+      // all seqs are refs: possible_overlap_cnt/longest_hits untouched
+      if (!remove_only_repeats[st]) {
+        int cnt = 0;
+        for (int k = i; k < j; k++)
+          if (hits[k].repeats <= 10000) cnt++;
+        if (cnt >= 3) remove_only_repeats[st] = true;  // novel_min_hit[st]
+      }
+      i = j;
+    }
+  }
+
+  int i = 0;
+  while (i < hit_size) {
+    int st = hits[i].strand_key;
+    int seq_idx = hits[i].seq_idx;
+    int j = i + 1;
+    while (j < hit_size && hits[j].strand_key == st &&
+           hits[j].seq_idx == seq_idx)
+      j++;
+
+    int min_hit_required = ref_min_hit[st];
+    if (j - i < min_hit_required) {
+      i = j;
+      continue;
+    }
+    if (remove_only_repeats[st]) {
+      bool has_unique = false;
+      for (int k = i; k < j; k++)
+        if (hits[k].repeats <= 10000) {
+          has_unique = true;
+          break;
+        }
+      if (!has_unique) {
+        i = j;
+        continue;
+      }
+    }
+
+    // (readOffset, seqOffset, diff) sorted by (diff, seqOffset, readOffset).
+    std::vector<Coord> hcd;
+    hcd.reserve(j - i);
+    for (int k = i; k < j; k++)
+      hcd.push_back({hits[k].read_off, hits[k].seq_off,
+                     hits[k].read_off - hits[k].seq_off});
+    std::sort(hcd.begin(), hcd.end(), [](const Coord &x, const Coord &y) {
+      if (x.diff != y.diff) return x.diff < y.diff;
+      if (x.seq_off != y.seq_off) return x.seq_off < y.seq_off;
+      return x.read_off < y.read_off;
+    });
+    int group_n = j - i;
+    int adjust_radius = F.radius;  // all seqs are refs
+
+    int s = 0;
+    while (s < group_n) {
+      int e = s + 1;
+      while (e < group_n) {
+        int diff = hcd[e].diff - hcd[e - 1].diff;
+        if (iabs(diff) > adjust_radius) break;
+        e++;
+      }
+
+      if (e - s < min_hit_required || (e - s) * kl < hit_len_required) {
+        s = e;
+        continue;
+      }
+      if (remove_only_repeats[st]) {
+        // Reference quirk: indexes the GLOBAL hit array with group-local
+        // positions (SeqSet.hpp:929-935).
+        bool has_unique = false;
+        int hi = e < hit_size ? e : hit_size;
+        for (int k = s; k < hi; k++)
+          if (hits[k].repeats <= 10000) {
+            has_unique = true;
+            break;
+          }
+        if (!has_unique) {
+          s = e;
+          continue;
+        }
+      }
+
+      std::vector<RC> concordant;
+      concordant.reserve(e - s);
+      for (int k = s; k < e; k++)
+        concordant.push_back({hcd[k].read_off, hcd[k].seq_off});
+      if (adjust_radius > 0)
+        std::sort(concordant.begin(), concordant.end(),
+                  [](const RC &x, const RC &y) {
+                    if (x.b != y.b) return x.b < y.b;
+                    return x.a < y.a;
+                  });
+      std::vector<RC> lis;
+      longest_increasing_subsequence(concordant, lis);
+      if ((int)lis.size() * kl < hit_len_required) {
+        s = e;
+        continue;
+      }
+      // conservative_chain false, is_long_seq_set false: full chain.
+      std::vector<int> read_offs, seq_offs;
+      read_offs.reserve(lis.size());
+      seq_offs.reserve(lis.size());
+      for (const RC &p : lis) {
+        read_offs.push_back(p.a);
+        seq_offs.push_back(p.b);
+      }
+      int hit_len = total_hit_length_on(read_offs, kl);
+      if (hit_len < hit_len_required) {
+        s = e;
+        continue;
+      }
+      if (total_hit_length_on(seq_offs, kl) < hit_len_required) {
+        s = e;
+        continue;
+      }
+      overlaps.push_back({2 * hit_len, st == 1 ? 1 : -1});
+      s = e;
+    }
+    i = j;
+  }
+  return (int)overlaps.size();
+}
+
+// ---- HasHitInSet, mode 0 (overlap.py:957-1054) ---------------------------
+
+int has_hit_in_set(const Filter &F, const char *read, int len,
+                   std::vector<Hit> &hits_buf) {
+  int kl = F.kmer_len;
+  if (len < kl) return 0;
+
+  // GetHitsFromRead on a ref-only set: skip_limit=0, no down-sampling,
+  // barcode=-1 (overlap.py:216-289).
+  hits_buf.clear();
+  std::vector<uint64_t> codes;
+  std::vector<uint8_t> valid;
+  std::string rc;
+  static const std::vector<std::pair<int, int>> kEmpty;
+
+  auto scan = [&](const char *s, int slen, int st) {
+    window_codes(s, slen, kl, codes, valid);
+    int n = (int)codes.size();
+    uint64_t prev_code = 0;
+    for (int w = 0; w < n; w++) {
+      uint64_t code = codes[w];
+      if (w == 0 || code != prev_code) {
+        const std::vector<std::pair<int, int>> *postings = &kEmpty;
+        if (valid[w]) {
+          auto it = F.index.find(code);
+          if (it != F.index.end()) postings = &it->second;
+        }
+        int repeats = (int)postings->size();
+        for (const auto &p : *postings)
+          hits_buf.push_back({st == 1 ? 1 : 0, p.first, w, p.second, repeats});
+      }
+      prev_code = code;
+    }
+  };
+
+  scan(read, len, 1);
+  revcomp(read, len, rc);
+  scan(rc.c_str(), len, -1);
+  if (hits_buf.empty()) return 0;
+
+  // Bucket per (strand_key, seq), append order preserved.
+  std::map<std::pair<int, int>, std::vector<Hit>> buckets;
+  for (const Hit &h : hits_buf)
+    buckets[{h.strand_key, h.seq_idx}].push_back(h);
+
+  int max_cnt[2] = {-1, -1};
+  int max_seq_idx[2] = {-1, -1};
+  for (const auto &kv : buckets) {  // std::map: (strand, idx) ascending
+    int k = kv.first.first;
+    const std::vector<Hit> &bh = kv.second;
+    int read_hit_count = 1;
+    for (size_t j = 1; j < bh.size(); j++)
+      if (bh[j].read_off != bh[j - 1].read_off) read_hit_count++;
+    if (read_hit_count > max_cnt[k]) {
+      max_cnt[k] = read_hit_count;
+      max_seq_idx[k] = kv.first.second;
+    }
+  }
+
+  int hlr = F.hit_len_required;
+  std::vector<Overlap> overlaps;
+  int max_tag;
+  if (max_cnt[0] + kl - 1 >= hlr && max_cnt[1] + kl - 1 >= hlr) {
+    std::vector<Overlap> tmp0, tmp1;
+    auto it0 = buckets.find({0, max_seq_idx[0]});
+    auto it1 = buckets.find({1, max_seq_idx[1]});
+    if (it0 != buckets.end())
+      get_overlaps_from_hits(F, it0->second, hlr, tmp0);
+    if (it1 != buckets.end())
+      get_overlaps_from_hits(F, it1->second, hlr, tmp1);
+    if (!tmp0.empty() && !tmp1.empty()) {
+      if (tmp0[0].match_cnt >= tmp1[0].match_cnt) {
+        max_tag = 0;
+        overlaps = std::move(tmp0);
+      } else {
+        max_tag = 1;
+        overlaps = std::move(tmp1);
+      }
+    } else if (!tmp0.empty()) {
+      max_tag = 0;
+      overlaps = std::move(tmp0);
+    } else {
+      max_tag = 1;
+      overlaps = std::move(tmp1);
+    }
+  } else {
+    max_tag = max_cnt[1] >= max_cnt[0] ? 1 : 0;
+    auto it = buckets.find({max_tag, max_seq_idx[max_tag]});
+    if (it != buckets.end())
+      get_overlaps_from_hits(F, it->second, hlr, overlaps);
+  }
+
+  if (overlaps.empty()) return 0;
+  return max_tag == 0 ? -1 : 1;
+}
+
+// ---- Low complexity (extract.py:20-39; FastqExtractor.cpp:105-127) -------
+
+bool is_low_complexity(const char *s, int n) {
+  long cnt[5] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < n; i++) {
+    char c = s[i];
+    if (c == 'N') {
+      cnt[4]++;
+    } else {
+      int v = nuc2num((unsigned char)c);
+      if (v < 0)
+        cnt[4]++;  // Python cnt[-1] aliases cnt[4]
+      else
+        cnt[v]++;
+    }
+  }
+  if (cnt[0] >= n / 2 || cnt[1] >= n / 2 || cnt[2] >= n / 2 ||
+      cnt[3] >= n / 2 || cnt[4] >= n / 10)
+    return true;
+  int low = 0;
+  for (int i = 0; i < 4; i++)
+    if (cnt[i] <= 2) low++;
+  return low >= 2;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *t4x_create(int kmer_len, int radius) {
+  Filter *F = new Filter;
+  F->kmer_len = kmer_len;
+  F->radius = radius;
+  F->hit_len_required = 31;
+  F->n_seqs = 0;
+  return F;
+}
+
+void t4x_destroy(void *h) { delete (Filter *)h; }
+
+void t4x_set_hit_len(void *h, int hl) {
+  ((Filter *)h)->hit_len_required = hl;
+}
+
+// Index build matching KmerIndex.build_from_read (ops/kmer_index.py:79-96):
+// skip invalid windows; insert when w == 1 or code differs from previous
+// position's rolling code (window 0 compares against restart state 0).
+void t4x_add_seq(void *h, const char *seq) {
+  Filter *F = (Filter *)h;
+  int kl = F->kmer_len;
+  int sid = F->n_seqs++;
+  int len = (int)strlen(seq);
+  std::vector<uint64_t> codes;
+  std::vector<uint8_t> valid;
+  window_codes(seq, len, kl, codes, valid);
+  int n = (int)codes.size();
+  for (int w = 0; w < n; w++) {
+    if (!valid[w]) continue;
+    if (w != 1) {
+      uint64_t prev = (w == 0) ? 0 : codes[w - 1];
+      if (codes[w] == prev) continue;
+    }
+    F->index[codes[w]].push_back({sid, w});
+  }
+}
+
+// out[i] = 0 if read i is not a candidate (low-complexity or no chained
+// hit), else the HasHitInSet strand (-1 / 1).
+void t4x_filter_batch(void *h, const char **reads, const int *lens, int n,
+                      int threads, int8_t *out) {
+  Filter *F = (Filter *)h;
+  auto work = [&](int lo, int hi) {
+    std::vector<Hit> buf;
+    for (int i = lo; i < hi; i++) {
+      if (is_low_complexity(reads[i], lens[i])) {
+        out[i] = 0;
+        continue;
+      }
+      out[i] = (int8_t)has_hit_in_set(*F, reads[i], lens[i], buf);
+    }
+  };
+  if (threads <= 1 || n < 64) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int per = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; t++) {
+    int lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back(work, lo, hi);
+  }
+  for (auto &th : pool) th.join();
+}
+
+// Raw HasHitInSet without the low-complexity guard (for parity tests).
+int t4x_has_hit(void *h, const char *read, int len) {
+  std::vector<Hit> buf;
+  return has_hit_in_set(*(Filter *)h, read, len, buf);
+}
+
+}  // extern "C"

@@ -33,6 +33,9 @@ import jax
 import jax.numpy as jnp
 
 from trust4_tpu.dna import NUC2NUM_256
+from trust4_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
 
 SCORE_MATCH = 2
 SCORE_MISMATCH = -2

@@ -30,6 +30,9 @@ import jax.numpy as jnp
 
 from trust4_tpu.dna import NUC2NUM_256
 from trust4_tpu.ops.kmer import kmer_codes
+from trust4_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def build_membership_tables(seqs: List[str], k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -106,6 +109,43 @@ def prefilter_kernel(
     return jnp.maximum(fwd_cov, rc_cov) >= hit_len_required
 
 
+class NumpyPrefilter:
+    """Host fallback of the same conservative membership sweep (no device,
+    no transfer latency).  Used by default in extraction so the exact
+    per-read filter only runs on the ~1% of reads that might be candidates;
+    the candidate set stays bit-identical (superset property as above)."""
+
+    def __init__(self, ref_seqs: List[str], k: int = 9, hit_len_required: int = 27):
+        self.k = k
+        self.hit_len_required = hit_len_required
+        self.fwd_table, self.rc_table = build_membership_tables(ref_seqs, k)
+
+    def __call__(self, reads: List[str], pad_len: int = 512, fixed_batch: int = 0) -> np.ndarray:
+        from trust4_tpu.ops.encode import pack_reads, window_codes_batch
+
+        k = self.k
+        mat = pack_reads(reads, max(pad_len, k))
+        codes, valid = window_codes_batch(mat, k)
+        fwd_hit = (self.fwd_table[codes] != 0) & valid
+        rc_hit = (self.rc_table[codes] != 0) & valid
+
+        def total_cover(hits):
+            x = hits.astype(np.int32)
+            csum = np.cumsum(x, axis=1)
+            csum_pad = np.concatenate(
+                [np.zeros((x.shape[0], 1), np.int32), csum], axis=1
+            )
+            W = x.shape[1]
+            P = W + k - 1
+            hi = np.minimum(np.arange(P) + 1, W)
+            lo = np.maximum(np.arange(P) - k + 1, 0)
+            cnt = csum_pad[:, hi] - csum_pad[:, lo]
+            return np.sum(cnt > 0, axis=1)
+
+        cov = np.maximum(total_cover(fwd_hit), total_cover(rc_hit))
+        return cov >= self.hit_len_required
+
+
 class TpuPrefilter:
     """Stateful wrapper: build tables once, stream read batches."""
 
@@ -116,8 +156,21 @@ class TpuPrefilter:
         self.fwd_table = jnp.asarray(fwd)
         self.rc_table = jnp.asarray(rc)
 
-    def __call__(self, reads: List[str], pad_len: int = 512) -> np.ndarray:
-        codes, valid = encode_reads(reads, self.k, pad_len)
+    def __call__(
+        self, reads: List[str], pad_len: int = 512, fixed_batch: int = 0
+    ) -> np.ndarray:
+        from trust4_tpu.ops.encode import pack_reads, window_codes_batch
+
+        # Stable padded shapes: one compile per (batch, width) pair.  Device
+        # compiles are expensive (and enormous over the axon tunnel), so the
+        # caller should keep batch sizes constant; short final batches are
+        # padded up.
+        n = len(reads)
+        pad_len = max(64, 1 << (pad_len - 1).bit_length())
+        if fixed_batch and n < fixed_batch:
+            reads = list(reads) + [""] * (fixed_batch - n)
+        mat = pack_reads(reads, pad_len)
+        codes, valid = window_codes_batch(mat, self.k)
         mask = prefilter_kernel(
             jnp.asarray(codes),
             jnp.asarray(valid),
@@ -126,4 +179,4 @@ class TpuPrefilter:
             self.k,
             self.hit_len_required,
         )
-        return np.asarray(mask)
+        return np.asarray(mask)[:n]

@@ -72,6 +72,7 @@ def extract_candidates(
     ref_set: Optional[SeqSet] = None,
     use_tpu_prefilter: bool = False,
     batch_size: int = 16384,
+    threads: int = 1,
 ) -> Iterator[Tuple[FastxRecord, Optional[FastxRecord]]]:
     """Yield candidate read(-pair)s in input order.
 
@@ -85,6 +86,7 @@ def extract_candidates(
     hit_len = compute_hit_len_required(read1, read2 is not None)
     ref_set.set_hit_len_required(hit_len)
 
+    native_filter = None
     prefilter = None
     if use_tpu_prefilter:
         from trust4_tpu.ops.prefilter import TpuPrefilter
@@ -94,6 +96,17 @@ def extract_candidates(
             k=kmer_length,
             hit_len_required=hit_len,
         )
+    else:
+        from trust4_tpu.pipeline import extract_native
+
+        if extract_native.available():
+            # Exact filter in native code (bit-identical, std::thread).
+            native_filter = extract_native.NativeCandidateFilter(
+                [sw.consensus for sw in ref_set.seqs],
+                kmer_length,
+                ref_set.radius,
+                hit_len,
+            )
 
     it1 = read_fastx(read1)
     it2 = read_fastx(read2) if read2 is not None else None
@@ -110,26 +123,83 @@ def extract_candidates(
             yield batch
 
     for batch in batches():
+        if native_filter is not None:
+            nthreads = threads if threads > 1 else (os.cpu_count() or 1)
+            good1 = native_filter.filter_batch(
+                [r1.seq for r1, _ in batch], threads=nthreads
+            )
+            if it2 is not None:
+                # Mate test only when the first read fails (short-circuit
+                # order matches FastqExtractor.cpp:471-477).
+                pend = [bi for bi in range(len(batch)) if not good1[bi]]
+                if pend:
+                    good2 = native_filter.filter_batch(
+                        [batch[bi][1].seq for bi in pend], threads=nthreads
+                    )
+                else:
+                    good2 = []
+                ok = set(bi for bi in range(len(batch)) if good1[bi])
+                ok.update(bi for bi, g in zip(pend, good2) if g)
+                for bi in range(len(batch)):
+                    if bi in ok:
+                        yield batch[bi]
+            else:
+                for bi in range(len(batch)):
+                    if good1[bi]:
+                        yield batch[bi]
+            continue
+
         if prefilter is not None:
             pad = max(
                 max(len(r1.seq) for r1, _ in batch),
                 max((len(r2.seq) for _, r2 in batch if r2 is not None), default=0),
             )
-            mask1 = prefilter([r1.seq for r1, _ in batch], pad_len=pad)
+            mask1 = prefilter(
+                [r1.seq for r1, _ in batch], pad_len=pad,
+                fixed_batch=batch_size,
+            )
             if it2 is not None:
                 mask2 = prefilter(
-                    [r2.seq for _, r2 in batch], pad_len=pad
+                    [r2.seq for _, r2 in batch], pad_len=pad,
+                    fixed_batch=batch_size,
                 )
             else:
                 mask2 = mask1
-        for bi, (r1, r2) in enumerate(batch):
-            if prefilter is not None and not (mask1[bi] or mask2[bi]):
-                continue
-            good = is_good_candidate(r1.seq, ref_set)
-            if not good and r2 is not None:
-                good = is_good_candidate(r2.seq, ref_set)
-            if good:
-                yield r1, r2
+            survivors = [
+                bi for bi in range(len(batch)) if mask1[bi] or mask2[bi]
+            ]
+        else:
+            survivors = list(range(len(batch)))
+
+        if threads > 1 and len(survivors) > 64 and not use_tpu_prefilter:
+            # (fork after JAX initialisation is unsafe; with the TPU
+            # prefilter active the survivor set is small enough serially)
+            # The exact filter is per-read independent; fork workers share
+            # the index copy-on-write (main.cpp batches of 512*T similarly).
+            from trust4_tpu.utils.parallel import map_fork_chunks
+
+            def work(idx_chunk):
+                out = []
+                for bi in idx_chunk:
+                    r1, r2 = batch[bi]
+                    good = is_good_candidate(r1.seq, ref_set)
+                    if not good and r2 is not None:
+                        good = is_good_candidate(r2.seq, ref_set)
+                    out.append(good)
+                return out
+
+            flags = map_fork_chunks(work, survivors, threads)
+            for bi, good in zip(survivors, flags):
+                if good:
+                    yield batch[bi]
+        else:
+            for bi in survivors:
+                r1, r2 = batch[bi]
+                good = is_good_candidate(r1.seq, ref_set)
+                if not good and r2 is not None:
+                    good = is_good_candidate(r2.seq, ref_set)
+                if good:
+                    yield r1, r2
 
 
 def run_barcoded_extractor(
@@ -241,18 +311,67 @@ def run_barcoded_extractor(
             fp.write(f">{name}\nmissing_barcode\n")
         return 1
 
+    from trust4_tpu.pipeline import extract_native
+
+    native_filter = None
+    if extract_native.available():
+        native_filter = extract_native.NativeCandidateFilter(
+            [sw.consensus for sw in ref_set.seqs],
+            kmer_length,
+            ref_set.radius,
+            hit_len,
+        )
+
     it1 = read_fastx(read1)
     it2 = read_fastx(read2) if has_mate else None
     itb = read_fastx(barcode_files) if has_barcode else None
     itu = read_fastx(umi_files) if has_umi else None
-    for r1 in it1:
-        r2 = next(it2) if it2 is not None else None
-        rb = next(itb) if itb is not None else None
-        ru = next(itu) if itu is not None else None
 
-        good = is_good_candidate(r1.seq, ref_set)
-        if not good and r2 is not None:
-            good = is_good_candidate(r2.seq, ref_set)
+    def tuples():
+        for r1 in it1:
+            r2 = next(it2) if it2 is not None else None
+            rb = next(itb) if itb is not None else None
+            ru = next(itu) if itu is not None else None
+            yield r1, r2, rb, ru
+
+    def candidate_tuples():
+        if native_filter is None:
+            for r1, r2, rb, ru in tuples():
+                good = is_good_candidate(r1.seq, ref_set)
+                if not good and r2 is not None:
+                    good = is_good_candidate(r2.seq, ref_set)
+                yield r1, r2, rb, ru, good
+            return
+        nthreads = os.cpu_count() or 1
+        batch = []
+        def flush():
+            good1 = native_filter.filter_batch(
+                [t[0].seq for t in batch], threads=nthreads
+            )
+            pend = [
+                bi for bi in range(len(batch))
+                if not good1[bi] and batch[bi][1] is not None
+            ]
+            good2 = (
+                native_filter.filter_batch(
+                    [batch[bi][1].seq for bi in pend], threads=nthreads
+                )
+                if pend
+                else []
+            )
+            ok = set(bi for bi in range(len(batch)) if good1[bi])
+            ok.update(bi for bi, g in zip(pend, good2) if g)
+            for bi, t in enumerate(batch):
+                yield (*t, bi in ok)
+        for t in tuples():
+            batch.append(t)
+            if len(batch) >= 16384:
+                yield from flush()
+                batch = []
+        if batch:
+            yield from flush()
+
+    for r1, r2, rb, ru, good in candidate_tuples():
         if good and rb is not None:
             # Guard against barcode==read artifacts (FastqExtractor.cpp:520-526).
             if (
@@ -290,6 +409,7 @@ def run_extractor(
     out_prefix: str = "out",
     kmer_length: int = 9,
     use_tpu_prefilter: bool = False,
+    threads: int = 1,
 ) -> Tuple[str, Optional[str]]:
     """Write *_toassemble FASTQs like the reference extractor binary."""
     if read2 is not None:
@@ -298,7 +418,7 @@ def run_extractor(
         with open(p1, "w") as f1, open(p2, "w") as f2:
             for r1, r2 in extract_candidates(
                 ref_fa, read1, read2, kmer_length,
-                use_tpu_prefilter=use_tpu_prefilter,
+                use_tpu_prefilter=use_tpu_prefilter, threads=threads,
             ):
                 f1.write(f"@{r1.id}\n{r1.seq}\n+\n{r1.qual}\n")
                 f2.write(f"@{r2.id}\n{r2.seq}\n+\n{r2.qual}\n")
@@ -307,7 +427,7 @@ def run_extractor(
     with open(p1, "w") as f1:
         for r1, _ in extract_candidates(
             ref_fa, read1, None, kmer_length,
-            use_tpu_prefilter=use_tpu_prefilter,
+            use_tpu_prefilter=use_tpu_prefilter, threads=threads,
         ):
             if r1.qual is not None:
                 f1.write(f"@{r1.id}\n{r1.seq}\n+\n{r1.qual}\n")

@@ -1,0 +1,112 @@
+"""ctypes loader for the native candidate filter (libt4extract.so).
+
+The exact HasHitInSet test is the extraction bottleneck; the native port
+(native/extract_filter.cpp) is semantics-identical to
+engine/overlap.py:has_hit_in_set and runs the batch over std::thread.
+Set TRUST4_TPU_NATIVE=0 to force the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libt4extract.so"))
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("TRUST4_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR),
+                 "libt4extract.so"],
+                check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    lib.t4x_create.restype = ctypes.c_void_p
+    lib.t4x_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.t4x_destroy.argtypes = [ctypes.c_void_p]
+    lib.t4x_set_hit_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.t4x_add_seq.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.t4x_filter_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8),
+    ]
+    lib.t4x_has_hit.restype = ctypes.c_int
+    lib.t4x_has_hit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeCandidateFilter:
+    """is_good_candidate over read batches, bit-identical to the host path."""
+
+    def __init__(self, ref_seqs: List[str], kmer_length: int, radius: int,
+                 hit_len_required: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native extract filter unavailable")
+        self._lib = lib
+        self._h = lib.t4x_create(kmer_length, radius)
+        for s in ref_seqs:
+            lib.t4x_add_seq(self._h, s.encode("ascii"))
+        lib.t4x_set_hit_len(self._h, hit_len_required)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.t4x_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    def has_hit(self, read: str) -> int:
+        return self._lib.t4x_has_hit(
+            self._h, read.encode("ascii"), len(read)
+        )
+
+    def filter_batch(self, reads: List[str], threads: int = 1) -> np.ndarray:
+        """Per-read candidate code: 0 = reject, else HasHitInSet strand."""
+        n = len(reads)
+        enc = [r.encode("ascii") for r in reads]
+        arr = (ctypes.c_char_p * n)(*enc)
+        lens = (ctypes.c_int * n)(*[len(r) for r in reads])
+        out = np.zeros(n, dtype=np.int8)
+        self._lib.t4x_filter_batch(
+            self._h,
+            arr,
+            lens,
+            n,
+            threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        )
+        return out

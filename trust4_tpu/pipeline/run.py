@@ -76,6 +76,7 @@ def run_trust4(
                 read2_files,
                 prefix + "_toassemble",
                 use_tpu_prefilter=use_tpu_prefilter,
+                threads=threads,
             )
         else:
             run_extractor(
@@ -84,6 +85,7 @@ def run_trust4(
                 None,
                 prefix + "_toassemble",
                 use_tpu_prefilter=use_tpu_prefilter,
+                threads=threads,
             )
 
     if bam_file is not None:
