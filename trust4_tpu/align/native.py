@@ -81,8 +81,21 @@ def available() -> bool:
     return _load() is not None
 
 
+import threading
+
+_TLS = threading.local()
+
+
 def _out_buf(n: int):
-    buf = (ctypes.c_int8 * max(n, 1))()
+    """Reusable per-thread edit-script buffer (allocation dominates the
+    cost of small DP calls; safe across fork since each process gets its
+    own TLS copies)."""
+    n = max(n, 1)
+    buf = getattr(_TLS, "buf", None)
+    if buf is None or len(buf) < n:
+        cap = 1 << max(n - 1, 1).bit_length()
+        buf = (ctypes.c_int8 * cap)()
+        _TLS.buf = buf
     ln = ctypes.c_int(0)
     return buf, ln
 

@@ -218,6 +218,8 @@ class AssembleMixin:
 
         self.kmer_length = kl
         self.nomatch_gap_limit = compute_nomatch_gap_limit(kl)
+        if self.seq_index.native is not None:
+            self.seq_index.native.set_kmer_len(kl)
         self.clean(False)
 
     # ------------------------------------------------------------------

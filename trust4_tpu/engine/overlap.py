@@ -690,30 +690,95 @@ class OverlapMixin:
         if length < kl:
             return -1
 
-        overlap_cnt = 0
-        if skip_repeats and puse is None:
-            hits = self.get_hits_from_read(read, strand, barcode, True, puse)
-            hits = self.sort_hits(hits)
-            overlap_cnt = self.get_overlaps_from_hits(
-                hits, self.hit_len_required, 0, False, overlaps
+        native = self.seq_index.native
+        native_overlaps = None
+        if native is not None:
+            import os as _os
+
+            import numpy as _np2
+
+            skip_limit = kl // 2
+            if (
+                len(self.seqs) > 0
+                and self.seqs[0] is not None
+                and self.seqs[0].is_ref
+            ):
+                skip_limit = 0
+            down_sample = 1
+            if length > 200 and self.is_long_seq_set:
+                down_sample = 1 + length // 200
+            puse_arr = (
+                _np2.asarray(puse, dtype=_np2.uint8)
+                if puse is not None
+                else None
             )
+            rows = native.query(
+                read, strand, barcode, read_type, skip_repeats, puse_arr,
+                self._native_meta(), self.radius, self.hit_len_required,
+                self.is_long_seq_set, skip_limit, down_sample,
+            )
+            native_overlaps = [
+                Overlap(
+                    seq_idx=r0,
+                    read_start=r1,
+                    read_end=r2,
+                    strand=r3,
+                    seq_start=r4,
+                    seq_end=r5,
+                    match_cnt=r6,
+                    similarity=0.0,
+                    hit_coords=coords,
+                )
+                for (r0, r1, r2, r3, r4, r5, r6, coords) in rows
+            ]
+            if _os.environ.get("TRUST4_TPU_OVERLAP_CHECK", "0") != "1":
+                if not native_overlaps:
+                    return 0
+                overlaps.extend(native_overlaps)
+
+        if native is None or native_overlaps is None or not overlaps:
+            overlap_cnt = 0
+            if skip_repeats and puse is None:
+                hits = self.get_hits_from_read(read, strand, barcode, True, puse)
+                hits = self.sort_hits(hits)
+                overlap_cnt = self.get_overlaps_from_hits(
+                    hits, self.hit_len_required, 0, False, overlaps
+                )
+                if overlap_cnt == 0:
+                    overlaps.clear()
+
             if overlap_cnt == 0:
-                overlaps.clear()
+                hits = self.get_hits_from_read(read, strand, barcode, False, puse)
+                hits = self.sort_hits(hits)
+                filter_hits = 1 if read_type == 0 else 0
+                overlap_cnt = self.get_overlaps_from_hits(
+                    hits,
+                    self.hit_len_required,
+                    filter_hits,
+                    read_type != 0,
+                    overlaps,
+                )
 
-        if overlap_cnt == 0:
-            hits = self.get_hits_from_read(read, strand, barcode, False, puse)
-            hits = self.sort_hits(hits)
-            filter_hits = 1 if read_type == 0 else 0
-            overlap_cnt = self.get_overlaps_from_hits(
-                hits,
-                self.hit_len_required,
-                filter_hits,
-                read_type != 0,
-                overlaps,
-            )
+            if overlap_cnt == 0:
+                overlap_cnt = self.get_vj_overlaps_from_hits(hits, overlaps)
 
-        if overlap_cnt == 0:
-            overlap_cnt = self.get_vj_overlaps_from_hits(hits, overlaps)
+            if native_overlaps is not None:
+                # Differential check mode: both paths ran; compare.
+                got = [
+                    (o.seq_idx, o.read_start, o.read_end, o.strand,
+                     o.seq_start, o.seq_end, o.match_cnt, o.hit_coords)
+                    for o in overlaps
+                ]
+                want = [
+                    (o.seq_idx, o.read_start, o.read_end, o.strand,
+                     o.seq_start, o.seq_end, o.match_cnt,
+                     [tuple(c) for c in o.hit_coords])
+                    for o in native_overlaps
+                ]
+                assert got == want, (
+                    f"native overlap mismatch for read {read[:40]}...: "
+                    f"host={got[:3]} native={want[:3]}"
+                )
             if overlap_cnt == 0:
                 return 0
 
@@ -732,6 +797,28 @@ class OverlapMixin:
         overlap_cnt = len(overlaps)
 
         rc_read = revcomp(read)
+
+        # Prefix base counts for the O(1) low-complexity test (same result
+        # as is_overlap_low_complex, SeqSet.hpp:590-617).
+        import numpy as _np
+
+        def _base_prefix(s):
+            b = _np.frombuffer(s.encode("ascii"), dtype=_np.uint8)
+            p = _np.zeros((4, len(s) + 1), dtype=_np.int32)
+            for ci, ch in enumerate("ACGT"):
+                _np.cumsum(b == ord(ch), out=p[ci, 1:])
+            return p
+
+        pfx_fwd = _base_prefix(read)
+        pfx_rc = _base_prefix(rc_read)
+
+        def _low_complex(pfx, o):
+            cnt = pfx[:, o.read_end + 1] - pfx[:, o.read_start]
+            low = cnt <= 2
+            low_total = int(cnt[low].sum())
+            if low_total * 7 >= o.read_end - o.read_start + 1:
+                return False
+            return int(low.sum()) >= 2
 
         first_ref = -1
         best_novel = -1
@@ -867,7 +954,7 @@ class OverlapMixin:
             else:
                 o.similarity = 0
 
-            if self.is_overlap_low_complex(r, o):
+            if _low_complex(pfx_fwd if o.strand == 1 else pfx_rc, o):
                 o.similarity = 0
 
             if not sw.is_ref and o.similarity > 0:

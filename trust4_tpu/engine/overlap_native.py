@@ -1,0 +1,186 @@
+"""ctypes loader for the native overlap engine (libt4overlap.so).
+
+The engine mirrors the dynamic k-mer index and runs the overlap query chain
+(GetHitsFromRead -> SortHits -> GetOverlapsFromHits -> VJ rescue)
+bit-identically to engine/overlap.py; the similarity/extension pass stays
+in Python.  Set TRUST4_TPU_NATIVE=0 to disable, TRUST4_TPU_OVERLAP_CHECK=1
+to run native and host side by side and assert equality.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libt4overlap.so"))
+
+_LIB = None
+_TRIED = False
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i8p = ctypes.POINTER(ctypes.c_int8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("TRUST4_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR),
+                 "libt4overlap.so"],
+                check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    c_int = ctypes.c_int
+    c_char_p = ctypes.c_char_p
+    lib.t4o_create.restype = ctypes.c_void_p
+    lib.t4o_create.argtypes = [c_int]
+    lib.t4o_destroy.argtypes = [ctypes.c_void_p]
+    lib.t4o_set_kmer_len.argtypes = [ctypes.c_void_p, c_int]
+    lib.t4o_set_consider_barcode.argtypes = [ctypes.c_void_p, c_int]
+    lib.t4o_clear.argtypes = [ctypes.c_void_p]
+    lib.t4o_build_from_read.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_int, c_int, ctypes.c_int64, c_int,
+    ]
+    lib.t4o_remove_from_read.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_int, c_int, ctypes.c_int64, c_int,
+    ]
+    lib.t4o_update_from_read.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_int, ctypes.c_int64, c_int,
+        c_int, c_int,
+    ]
+    lib.t4o_query.restype = c_int
+    lib.t4o_query.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int,
+        _u8p, c_int, _i8p, _i32p, _i32p, _u8p, c_int, c_int, c_int, c_int,
+        c_int, _i32p, c_int, _i32p, c_int, _i32p,
+    ]
+    lib.t4o_stats.argtypes = [ctypes.c_void_p, _i64p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeOverlapEngine:
+    """Owns the C++ twin of one KmerIndex; queried by SeqSet."""
+
+    _CAP_OV = 1 << 14
+    _CAP_COORDS = 1 << 20
+
+    def __init__(self, kmer_len: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native overlap engine unavailable")
+        self._lib = lib
+        self._h = lib.t4o_create(kmer_len)
+        self._ov_buf = np.empty((self._CAP_OV, 9), dtype=np.int32)
+        self._coord_buf = np.empty((self._CAP_COORDS, 2), dtype=np.int32)
+        self._counts = np.empty(2, dtype=np.int32)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.t4o_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    # --- index mirror ---
+
+    def set_kmer_len(self, kl: int) -> None:
+        self._lib.t4o_set_kmer_len(self._h, kl)
+
+    def set_consider_barcode(self, v: bool) -> None:
+        self._lib.t4o_set_consider_barcode(self._h, 1 if v else 0)
+
+    def clear(self) -> None:
+        self._lib.t4o_clear(self._h)
+
+    def build_from_read(self, s: str, kl: int, sid: int, barcode: int,
+                        shift: int = 0) -> None:
+        b = s.encode("ascii")
+        self._lib.t4o_build_from_read(self._h, b, len(b), kl, sid, barcode,
+                                      shift)
+
+    def remove_from_read(self, s: str, kl: int, sid: int, barcode: int,
+                         offset: int = 0) -> None:
+        b = s.encode("ascii")
+        self._lib.t4o_remove_from_read(self._h, b, len(b), kl, sid, barcode,
+                                       offset)
+
+    def update_from_read(self, s: str, kl: int, barcode: int, shift: int,
+                         old_id: int, new_id: int) -> None:
+        b = s.encode("ascii")
+        self._lib.t4o_update_from_read(self._h, b, len(b), kl, barcode,
+                                       shift, old_id, new_id)
+
+    def stats(self):
+        out = np.empty(2, dtype=np.int64)
+        self._lib.t4o_stats(self._h, out.ctypes.data_as(_i64p))
+        return int(out[0]), int(out[1])
+
+    # --- query ---
+
+    def query(self, read: str, strand: int, barcode: int, read_type: int,
+              skip_repeats: bool, puse: Optional[np.ndarray],
+              meta, radius: int, hit_len_required: int,
+              is_long_seq_set: bool, skip_limit: int, down_sample: int):
+        """Returns list of (seq_idx, read_start, read_end, strand,
+        seq_start, seq_end, match_cnt, coords) matching the host
+        pre-similarity overlap list."""
+        is_ref, seq_bc, seq_len, name4 = meta
+        n_seqs = len(is_ref)
+        b = read.encode("ascii")
+        puse_p = (
+            puse.ctypes.data_as(_u8p) if puse is not None
+            else ctypes.cast(None, _u8p)
+        )
+        rc = self._lib.t4o_query(
+            self._h, b, len(b), strand, barcode, read_type,
+            1 if skip_repeats else 0, puse_p, n_seqs,
+            is_ref.ctypes.data_as(_i8p),
+            seq_bc.ctypes.data_as(_i32p),
+            seq_len.ctypes.data_as(_i32p),
+            name4.ctypes.data_as(_u8p),
+            radius, hit_len_required, 1 if is_long_seq_set else 0,
+            skip_limit, down_sample,
+            self._ov_buf.ctypes.data_as(_i32p), self._CAP_OV,
+            self._coord_buf.ctypes.data_as(_i32p), self._CAP_COORDS,
+            self._counts.ctypes.data_as(_i32p),
+        )
+        if rc != 0:
+            raise MemoryError("overlap engine output buffer overflow")
+        n_ov = int(self._counts[0])
+        n_pairs = int(self._counts[1])
+        rows = self._ov_buf[:n_ov].tolist()
+        pairs = self._coord_buf[:n_pairs].tolist()
+        out = []
+        for row in rows:
+            coff = row[7]
+            out.append(
+                (row[0], row[1], row[2], row[3], row[4], row[5], row[6],
+                 pairs[coff : coff + row[8]])
+            )
+        return out

@@ -125,6 +125,8 @@ class SeqSet(
         self.nomatch_gap_limit = compute_nomatch_gap_limit(kmer_length)
         self.seqs: List[Optional[SeqWrapper]] = []
         self.seq_index = KmerIndex()
+        if self.seq_index.native is not None:
+            self.seq_index.native.set_kmer_len(kmer_length)
         self.prev_add_info = None
         # barcode -> seq idx list isn't needed; reference scans
 
@@ -136,6 +138,56 @@ class SeqSet(
 
     def set_hit_len_required(self, l: int) -> None:
         self.hit_len_required = l
+
+    def _native_meta(self):
+        """Per-seq metadata arrays for the native overlap engine.
+
+        Only creation-time attributes are captured (is_ref, barcode, name
+        prefix, and length — the latter consulted natively for ref seqs
+        only, whose consensus never changes), so the cache stays valid
+        under append; clean() replaces the seqs list, changing its id.
+        """
+        n = len(self.seqs)
+        cached = getattr(self, "_native_meta_cache", None)
+        if (
+            cached is not None
+            and cached[0] == id(self.seqs)
+            and cached[1] <= n
+            and len(cached[2][0]) >= n
+        ):
+            backing = cached[2]
+            is_ref, barcode, seq_len, name4 = backing
+            # Appends only: fill just the new tail in place.
+            for i in range(cached[1], n):
+                self._fill_meta_row(i, is_ref, barcode, seq_len, name4)
+        else:
+            cap = max(64, 2 * n)
+            is_ref = np.zeros(cap, dtype=np.int8)
+            barcode = np.full(cap, -1, dtype=np.int32)
+            seq_len = np.zeros(cap, dtype=np.int32)
+            name4 = np.zeros((cap, 4), dtype=np.uint8)
+            backing = (is_ref, barcode, seq_len, name4)
+            for i in range(n):
+                self._fill_meta_row(i, is_ref, barcode, seq_len, name4)
+        self._native_meta_cache = (id(self.seqs), n, backing)
+        # Contiguous prefix views: len() == n_seqs for the query layer.
+        return (is_ref[:n], barcode[:n], seq_len[:n], name4[:n])
+
+    def _fill_meta_row(self, i, is_ref, barcode, seq_len, name4):
+        sw = self.seqs[i]
+        if sw is None:
+            is_ref[i] = 0
+            barcode[i] = -1
+            seq_len[i] = 0
+            name4[i] = 0
+            return
+        is_ref[i] = 1 if sw.is_ref else 0
+        barcode[i] = sw.barcode
+        seq_len[i] = sw.consensus_len if sw.consensus is not None else 0
+        name4[i] = 0
+        nm = sw.name or ""
+        for j in range(min(4, len(nm))):
+            name4[i, j] = ord(nm[j])
 
     def set_novel_seq_similarity(self, s: float) -> None:
         self.novel_seq_similarity = s

@@ -38,9 +38,23 @@ class KmerIndex:
         self.consider_barcode = consider_barcode
         # key -> list of (seq_idx, offset)
         self._index: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+        # Native twin (engine/overlap_native.py): receives every
+        # string-level mutation so overlap queries can run in C++.
+        self.native = None
+        try:
+            from trust4_tpu.engine import overlap_native
+
+            if overlap_native.available():
+                self.native = overlap_native.NativeOverlapEngine(9)
+                if consider_barcode:
+                    self.native.set_consider_barcode(True)
+        except Exception:
+            self.native = None
 
     def set_consider_barcode(self, s: bool) -> None:
         self.consider_barcode = s
+        if self.native is not None:
+            self.native.set_consider_barcode(s)
 
     def _key(self, code: int, barcode: int) -> Tuple[int, int]:
         if self.consider_barcode:
@@ -49,6 +63,8 @@ class KmerIndex:
 
     def clear(self) -> None:
         self._index.clear()
+        if self.native is not None:
+            self.native.clear()
 
     def insert(self, code: int, idx: int, offset: int, barcode: int) -> None:
         self._index.setdefault(self._key(code, barcode), []).append((idx, offset))
@@ -94,6 +110,8 @@ class KmerIndex:
                 if int(codes[w]) == prev:
                     continue
             self.insert(int(codes[w]), sid, w + shift, barcode)
+        if self.native is not None:
+            self.native.build_from_read(s, kl, sid, barcode, shift)
 
     def remove_from_read(
         self, s: str, kl: int, sid: int, barcode: int, offset: int = 0
@@ -102,6 +120,8 @@ class KmerIndex:
         for w in range(len(codes)):
             if valid[w]:
                 self.remove(int(codes[w]), sid, w + offset, barcode)
+        if self.native is not None:
+            self.native.remove_from_read(s, kl, sid, barcode, offset)
 
     def update_from_read(
         self, s: str, kl: int, barcode: int, shift: int, old_id: int, new_id: int
@@ -117,3 +137,5 @@ class KmerIndex:
                 if a == old_id and b == w:
                     lst[i] = (new_id, b + shift)
                     break
+        if self.native is not None:
+            self.native.update_from_read(s, kl, barcode, shift, old_id, new_id)
