@@ -51,3 +51,58 @@ def test_longread_mode(tmp_path):
         (tmp_path / "lr_final.out").read_text()
         == open(os.path.join(GOLDEN, "gold_longread_final.out")).read()
     )
+
+
+def test_skip_read_realign_mode(tmp_path):
+    """--skipReadRealign: CDR3s from consensus coverage (run-trust4:521-524)."""
+    from trust4_tpu.pipeline.run import run_trust4
+
+    prefix = str(tmp_path / "skip")
+    run_trust4(
+        "/root/reference/hg38_bcrtcr.fa",
+        "/root/reference/human_IMGT+C.fa",
+        read1_files=["/root/reference/example/example_1.fq"],
+        read2_files=["/root/reference/example/example_2.fq"],
+        output_prefix=prefix,
+        skip_read_realign=True,
+    )
+    got = open(prefix + "_cdr3.out").read()
+    want = open(os.path.join(GOLDEN, "skiprealign_cdr3.out")).read()
+    assert got == want
+
+
+def test_jellyfish_count_file(tmp_path):
+    """-c: pre-computed k-mer counts replace the counting pass."""
+    from trust4_tpu.pipeline.assembler import Assembler
+
+    prefix = str(tmp_path / "jf")
+    asm = Assembler(
+        "/root/reference/hg38_bcrtcr.fa",
+        output_prefix=prefix,
+        kmer_count_file=os.path.join(GOLDEN, "jellyfish_counts.fa"),
+    )
+    asm.run(
+        [os.path.join(GOLDEN, "..", "gold_toassemble_1.fq")],
+        [os.path.join(GOLDEN, "..", "gold_toassemble_2.fq")],
+    )
+    got = open(prefix + "_final.out").read()
+    want = open(os.path.join(GOLDEN, "jellyfish_final.out")).read()
+    assert got == want
+
+
+def test_not_imgt_annotation(tmp_path):
+    """Annotation with a non-IMGT -f reference (annotator --notIMGT)."""
+    from trust4_tpu.pipeline.run import run_trust4
+
+    prefix = str(tmp_path / "ni")
+    run_trust4(
+        "/root/reference/hg38_bcrtcr.fa",
+        "/root/reference/hg38_bcrtcr.fa",
+        read1_files=["/root/reference/example/example_1.fq"],
+        read2_files=["/root/reference/example/example_2.fq"],
+        output_prefix=prefix,
+        ref_is_imgt=False,
+    )
+    got = open(prefix + "_annot.fa").read()
+    want = open(os.path.join(GOLDEN, "notimgt_annot.fa")).read()
+    assert got == want

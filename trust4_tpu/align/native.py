@@ -69,6 +69,14 @@ def _load():
     lib.t4_local_alignment.argtypes = [
         c_char_p, c_int, c_char_p, c_int, int_p, int_p, i8_p, int_p,
     ]
+    lib.t4_global_alignment_counts.restype = c_int64
+    lib.t4_global_alignment_counts.argtypes = [
+        c_char_p, c_int, c_char_p, c_int, int_p,
+    ]
+    lib.t4_global_alignment_posweight_counts.restype = c_int64
+    lib.t4_global_alignment_posweight_counts.argtypes = [
+        i32_p, c_int, c_char_p, c_int, int_p,
+    ]
     lib.t4_is_mate_overlap.restype = c_int
     lib.t4_is_mate_overlap.argtypes = [
         c_char_p, c_int, c_char_p, c_int, c_int, c_int, int_p, int_p,
@@ -98,6 +106,26 @@ def _out_buf(n: int):
         _TLS.buf = buf
     ln = ctypes.c_int(0)
     return buf, ln
+
+
+def global_alignment_counts(t: str, p: str) -> Tuple[int, int, int]:
+    """(match, mismatch, indel) tallies of the global-alignment edit
+    script, without transferring the script itself."""
+    lib = _LIB
+    out = (ctypes.c_int * 3)()
+    lib.t4_global_alignment_counts(t.encode(), len(t), p.encode(), len(p), out)
+    return out[0], out[1], out[2]
+
+
+def global_alignment_posweight_counts(t_weights, p: str) -> Tuple[int, int, int]:
+    lib = _LIB
+    w = np.ascontiguousarray(t_weights, dtype=np.int32)
+    out = (ctypes.c_int * 3)()
+    lib.t4_global_alignment_posweight_counts(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(w), p.encode(), len(p), out,
+    )
+    return out[0], out[1], out[2]
 
 
 def global_alignment(t: str, p: str) -> Tuple[int, List[int]]:

@@ -52,18 +52,39 @@ def cmd_run(argv) -> int:
     p.add_argument("--skipMateExtension", action="store_true")
     p.add_argument("--abnormalUnmapFlag", action="store_true")
     p.add_argument("--imgtAdditionalGap", default=None)
+    p.add_argument("-k", dest="kmerSize", type=int, default=9,
+                   help="starting k-mer size for indexing contigs")
+    p.add_argument("--barcodeLevel", default="cell",
+                   choices=["cell", "molecule"])
+    p.add_argument("--contigMinCov", type=int, default=0)
+    p.add_argument("--minHitLen", type=int, default=-1)
+    p.add_argument("--mateIdSuffixLen", type=int, default=-1)
+    p.add_argument("--cgeneEnd", type=int, default=200)
+    p.add_argument("--skipReadRealign", action="store_true")
+    p.add_argument("--noExtraction", action="store_true")
+    p.add_argument("--assembleWithRef", action="store_true")
+    p.add_argument("--outputReadAssignment", action="store_true")
+    p.add_argument("--clean", type=int, default=0)
     p.add_argument("--tpuPrefilter", action="store_true",
                    help="use the TPU membership prefilter for extraction")
     args = p.parse_args(argv)
 
     from trust4_tpu.pipeline.run import run_trust4
 
+    if args.noExtraction and args.bam:
+        p.error("--noExtraction option can only be set with -1 -2/-u input.")
+    if args.assembleWithRef and not args.imgt_fasta:
+        p.error("--assembleWithRef requires --ref.")
+
     imgt = args.imgt_fasta
     coord = args.coord_fasta
+    ref_is_imgt = True
     if not imgt and _detect_imgt(coord):
+        # run-trust4:526-540 promotes an IMGT-format -f to --ref.
         imgt = coord
     if not imgt:
         imgt = coord
+        ref_is_imgt = False
 
     prefix = args.prefix
     if not prefix:
@@ -93,11 +114,28 @@ def cmd_run(argv) -> int:
         threads=args.threads,
         skip_mate_extension=args.skipMateExtension or args.repseq,
         abnormal_unmap_flag=args.abnormalUnmapFlag,
-        barcode_files=args.barcode or None,
-        umi_files=args.UMI or None,
+        barcode_files=(args.barcode or None) if not args.bam else None,
+        umi_files=(args.UMI or None) if not args.bam else None,
         read_format=args.readFormat,
         barcode_whitelist=args.barcodeWhitelist,
         barcode_translate=args.barcodeTranslate,
+        kmer_size=args.kmerSize,
+        trim_level=2 if args.repseq else 1,
+        contig_min_cov=args.contigMinCov,
+        min_hit_len=args.minHitLen,
+        cgene_end=args.cgeneEnd,
+        skip_read_realign=args.skipReadRealign,
+        no_extraction=args.noExtraction,
+        assemble_with_ref=args.assembleWithRef,
+        output_read_assignment=args.outputReadAssignment,
+        clean_level=args.clean,
+        chains_in_barcode=1 if args.barcodeLevel == "molecule" else 2,
+        ref_is_imgt=ref_is_imgt,
+        imgt_additional_gap=args.imgtAdditionalGap,
+        bam_barcode_field=(
+            args.barcode[0] if (args.bam and args.barcode) else ""
+        ),
+        bam_umi_field=args.UMI[0] if (args.bam and args.UMI) else "",
         use_tpu_prefilter=args.tpuPrefilter,
     )
     return 0
@@ -174,6 +212,8 @@ def cmd_assemble(argv) -> int:
     p.add_argument("-u", dest="single", action="append", default=[])
     p.add_argument("-o", dest="prefix", default="trust")
     p.add_argument("-k", dest="kmer", type=int, default=9)
+    p.add_argument("-c", dest="kmerCountFile", default=None,
+                   help="jellyfish2 k-mer count dump to use instead of counting")
     p.add_argument("--barcode", action="append", default=[])
     p.add_argument("--UMI", action="append", default=[])
     p.add_argument("--trimLevel", type=int, default=1)
@@ -196,6 +236,7 @@ def cmd_assemble(argv) -> int:
         skip_mate_extension=args.skipMateExtension,
         contig_min_cov=args.contigMinCov,
         keep_missing_barcode=args.keepNoBarcode,
+        kmer_count_file=args.kmerCountFile,
     )
     asm.run(
         args.read1 or args.single,

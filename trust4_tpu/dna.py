@@ -36,20 +36,21 @@ def nuc_num(c: str) -> int:
     return int(NUC_TO_NUM[ord(c) - 65])
 
 
+# Complement translation table: A<->T, C<->G, N and everything else -> N
+# (the reference's helpers map any non-ACGT to N).
+_RC_TABLE = bytes(
+    {"A": "T", "C": "G", "G": "C", "T": "A"}.get(chr(c), "N").encode()[0]
+    for c in range(256)
+)
+
+
 def revcomp(seq: str) -> str:
     """Reverse complement; non-ACGT characters map to N.
 
     Mirrors the reference's ReverseComplement helpers (e.g. main.cpp uses
     numToNuc[3 - nucToNum[c]] with N kept as N).
     """
-    out = []
-    for c in reversed(seq):
-        v = NUC_TO_NUM[ord(c) - 65] if "A" <= c <= "Z" else -1
-        if c == "N" or v < 0:
-            out.append("N")
-        else:
-            out.append(NUM_TO_NUC[3 - v])
-    return "".join(out)
+    return seq.encode("ascii").translate(_RC_TABLE)[::-1].decode("ascii")
 
 
 def seq_to_codes(seq: str) -> np.ndarray:

@@ -1019,6 +1019,16 @@ class OverlapMixin:
     ) -> Tuple[int, int, int]:
         """Banded DP over the inter-anchor gap; returns (match, mismatch,
         indel) counts from the edit script."""
+        from trust4_tpu.align import native as align_native
+
+        if align_native.available():
+            if sw.is_ref:
+                return align_native.global_alignment_counts(
+                    sw.consensus[seq_from:seq_to], r[read_from:read_to]
+                )
+            return align_native.global_alignment_posweight_counts(
+                sw.pos_weight[seq_from:seq_to], r[read_from:read_to]
+            )
         if sw.is_ref:
             _, align = align_host.global_alignment(
                 sw.consensus[seq_from:seq_to], r[read_from:read_to]

@@ -533,4 +533,51 @@ int t4_is_mate_overlap(const char* fr, int flen, const char* sr, int slen,
   return overlap_size;
 }
 
+
+// Counts-only variants: same DP, but return only (match, mismatch, indel)
+// tallies of the edit script — avoids marshaling scripts across the FFI
+// for the gap-fill calls in overlap scoring (engine/overlap.py:_gap_fill_align).
+int64_t t4_global_alignment_counts(const char* t, int lent, const char* p,
+                                   int lenp, int* out3) {
+  static thread_local std::vector<int8_t> buf;
+  buf.resize((size_t)lent + lenp + 2);
+  int n = 0;
+  int64_t score = t4_global_alignment(t, lent, p, lenp, buf.data(), &n);
+  int m = 0, mm = 0, ind = 0;
+  for (int i = 0; i < n; i++) {
+    if (buf[i] == 0)
+      m++;
+    else if (buf[i] == 1)
+      mm++;
+    else
+      ind++;
+  }
+  out3[0] = m;
+  out3[1] = mm;
+  out3[2] = ind;
+  return score;
+}
+
+int64_t t4_global_alignment_posweight_counts(const int32_t* w, int lent,
+                                             const char* p, int lenp,
+                                             int* out3) {
+  static thread_local std::vector<int8_t> buf;
+  buf.resize((size_t)lent + lenp + 2);
+  int n = 0;
+  int64_t score = t4_global_alignment_posweight(w, lent, p, lenp, buf.data(), &n);
+  int m = 0, mm = 0, ind = 0;
+  for (int i = 0; i < n; i++) {
+    if (buf[i] == 0)
+      m++;
+    else if (buf[i] == 1)
+      mm++;
+    else
+      ind++;
+  }
+  out3[0] = m;
+  out3[1] = mm;
+  out3[2] = ind;
+  return score;
+}
+
 }  // extern "C"

@@ -75,6 +75,28 @@ class KmerCount:
         for u, c in zip(uniq.tolist(), cnt.tolist()):
             counts[u] = counts.get(u, 0) + c
 
+    def add_count_from_file(self, path: str) -> None:
+        """Ingest jellyfish2 dump output: alternating '>count' / kmer
+        tokens; counts <= 1 are skipped and stored counts OVERWRITE
+        (KmerCount.hpp:99-120 assigns, not accumulates).  The stored code
+        is the raw forward code of the dumped k-mer (the reference appends
+        the token without canonicalizing; jellyfish dumps canonical
+        k-mers already)."""
+        with open(path) as fp:
+            tokens = fp.read().split()
+        i = 0
+        counts = self.counts
+        while i + 1 < len(tokens):
+            c = int(tokens[i][1:])
+            kmer = tokens[i + 1]
+            i += 2
+            if c <= 1:
+                continue
+            codes, _valid = kmer_codes(kmer, self.k)
+            if len(codes) == 0:
+                continue
+            counts[int(codes[0])] = c
+
     def get_count(self, kmer: str) -> int:
         codes, valid = kmer_codes(kmer, self.k)
         if len(codes) == 0 or not valid[0]:

@@ -128,6 +128,7 @@ class Annotator:
         imgt_fa: str,
         output_prefix: str = "trust",
         imgt_additional_gap: Optional[str] = None,
+        is_imgt: bool = True,
         include_partial: bool = True,
         impute: bool = True,
         need_rc: bool = False,
@@ -136,7 +137,7 @@ class Annotator:
         threads: int = 1,
     ):
         self.ref_set = SeqSet(7)
-        self.ref_set.input_ref_fa(imgt_fa, True, imgt_additional_gap)
+        self.ref_set.input_ref_fa(imgt_fa, is_imgt, imgt_additional_gap)
         self.ref_set.set_hit_len_required(17)
         self.ref_set.set_radius(10)
         self.seq_set = SeqSet(17)

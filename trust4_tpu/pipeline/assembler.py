@@ -197,6 +197,7 @@ class Assembler:
         contig_min_cov: int = 0,
         keep_missing_barcode: bool = False,
         threads: int = 1,
+        kmer_count_file: Optional[str] = None,
     ):
         self.index_kmer_length = index_kmer_length
         self.change_kmer_length_threshold = 4096
@@ -204,6 +205,12 @@ class Assembler:
         self.ref_set = SeqSet(9)
         self.ref_set.input_ref_fa(ref_fa)
         self.kmer_count = KmerCount(21)
+        # -c: pre-computed jellyfish counts replace our own counting pass
+        # (main.cpp:694-698 sets countMyself=false).
+        self.count_myself = True
+        if kmer_count_file:
+            self.kmer_count.add_count_from_file(kmer_count_file)
+            self.count_myself = False
         self.output_prefix = output_prefix
         self.trim_level = trim_level
         self.constant_gene_end = constant_gene_end
@@ -283,7 +290,9 @@ class Assembler:
                 mate_r.id = mrec.id
                 mate_r.read = mrec.seq
                 mate_r.qual = mrec.qual
-            process_read(nr, mate_r, True, self.kmer_count, sorted_reads)
+            process_read(
+                nr, mate_r, self.count_myself, self.kmer_count, sorted_reads
+            )
         return sorted_reads
 
     # -- per-read stats + trimming + sorting ---------------------------

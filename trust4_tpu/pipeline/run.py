@@ -39,14 +39,34 @@ def run_trust4(
     barcode_whitelist: Optional[str] = None,
     barcode_translate: Optional[str] = None,
     use_tpu_prefilter: bool = False,
+    kmer_size: int = 9,
+    trim_level: int = 1,
+    contig_min_cov: int = 0,
+    min_hit_len: int = -1,
+    cgene_end: int = 200,
+    skip_read_realign: bool = False,
+    no_extraction: bool = False,
+    assemble_with_ref: bool = False,
+    output_read_assignment: bool = False,
+    clean_level: int = 0,
+    chains_in_barcode: int = 2,
+    ref_is_imgt: bool = True,
+    imgt_additional_gap: Optional[str] = None,
+    bam_barcode_field: str = "",
+    bam_umi_field: str = "",
+    mate_id_suffix_len: int = -1,
 ) -> None:
     prefix = output_prefix
     paired = bool(read1_files)
-    has_barcode = barcode_files is not None
-    has_umi = umi_files is not None
+    has_barcode = barcode_files is not None or (
+        bam_file is not None and bam_barcode_field != ""
+    )
+    has_umi = umi_files is not None or (
+        bam_file is not None and bam_umi_field != ""
+    )
 
     # Stage 0: extraction (reference: run-trust4:404-446).
-    if stage <= 0:
+    if stage <= 0 and not no_extraction:
         if bam_file is not None:
             from trust4_tpu.pipeline.bam_extract import run_bam_extractor
 
@@ -55,6 +75,9 @@ def run_trust4(
                 bam_file,
                 prefix + "_toassemble",
                 abnormal_unaligned_flag=abnormal_unmap_flag,
+                barcode_field=bam_barcode_field,
+                umi_field=bam_umi_field,
+                mate_id_len=mate_id_suffix_len,
             )
         elif has_barcode or has_umi or read_format:
             run_barcoded_extractor(
@@ -93,7 +116,11 @@ def run_trust4(
         # (run-trust4:452-466 checks which files exist).
         paired = os.path.exists(prefix + "_toassemble_1.fq")
 
-    if paired:
+    if no_extraction:
+        # run-trust4:410-448: assemble straight from the provided inputs.
+        asm_reads = list(read1_files) if paired else list(single_files)
+        asm_mates = list(read2_files) if paired else None
+    elif paired:
         asm_reads = [prefix + "_toassemble_1.fq"]
         asm_mates = [prefix + "_toassemble_2.fq"]
     else:
@@ -103,8 +130,13 @@ def run_trust4(
     # Stage 1: assembly (run-trust4:506-508).
     if stage <= 1:
         asm = Assembler(
-            coord_fasta,
+            imgt_fasta if assemble_with_ref else coord_fasta,
             output_prefix=prefix,
+            index_kmer_length=kmer_size,
+            trim_level=trim_level,
+            constant_gene_end=cgene_end,
+            min_hit_len=min_hit_len,
+            contig_min_cov=contig_min_cov,
             skip_mate_extension=skip_mate_extension,
             threads=threads,
         )
@@ -120,6 +152,8 @@ def run_trust4(
         ann = Annotator(
             imgt_fasta,
             output_prefix=prefix,
+            is_imgt=ref_is_imgt,
+            imgt_additional_gap=imgt_additional_gap,
             has_barcode=has_barcode,
             has_umi=has_umi,
             threads=threads,
@@ -129,9 +163,18 @@ def run_trust4(
         with open(prefix + "_annot.fa", "w") as fp:
             ann.write_annotation_fasta(fp)
         ann.write_airr_align(prefix + "_airr_align.tsv")
-        ann.realign_and_write_cdr3(
-            prefix + "_assembled_reads.fa", prefix + "_cdr3.out"
-        )
+        if not skip_read_realign:
+            ann.realign_and_write_cdr3(
+                prefix + "_assembled_reads.fa",
+                prefix + "_cdr3.out",
+                read_assignment_path=(
+                    prefix + "_assign.out" if output_read_assignment else None
+                ),
+            )
+        else:
+            # run-trust4:521-524: --skipReadRealign uses the
+            # consensus-coverage CDR3 writer.
+            ann.write_cdr3_from_consensus(prefix + "_cdr3.out")
 
     # Stage 3: reports (run-trust4:553-566).
     if stage <= 3:
@@ -149,7 +192,8 @@ def run_trust4(
         else:
             with open(prefix + "_barcode_report.tsv", "w") as fp:
                 barcode_rep(
-                    prefix + "_cdr3.out", fp, prefix + "_annot.fa"
+                    prefix + "_cdr3.out", fp, prefix + "_annot.fa",
+                    chains_in_barcode=chains_in_barcode,
                 )
             with open(prefix + "_report.tsv", "w") as fp:
                 simple_rep(
@@ -174,4 +218,29 @@ def run_trust4(
                     "barcoderep",
                     prefix + "_airr_align.tsv",
                 )
+    # --clean levels (run-trust4:569-582).
+    if clean_level > 0:
+        import glob as _glob
+
+        log("Remove intermediate files.")
+        for f in _glob.glob(prefix + "_toassemble_*"):
+            _remove_quiet(f)
+        for suffix in (
+            "_toassemble.fq", "_assembled_reads.fa", "_final.out",
+            "_raw.out", "_airr_align.tsv",
+        ):
+            _remove_quiet(prefix + suffix)
+        if clean_level > 1:
+            for suffix in ("_annot.fa", "_report.tsv", "_cdr3.out"):
+                _remove_quiet(prefix + suffix)
+            if has_barcode:
+                _remove_quiet(prefix + "_barcode_report.tsv")
+
     log("TRUST4 finishes.")
+
+
+def _remove_quiet(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass
