@@ -77,6 +77,11 @@ def _load():
     lib.t4_global_alignment_posweight_counts.argtypes = [
         i32_p, c_int, c_char_p, c_int, int_p,
     ]
+    lib.t4_chain_score.restype = None
+    lib.t4_chain_score.argtypes = [
+        i32_p, c_int, c_int, c_int, c_int, c_int, c_char_p, i32_p,
+        c_char_p, ctypes.POINTER(c_int64),
+    ]
     lib.t4_is_mate_overlap.restype = c_int
     lib.t4_is_mate_overlap.argtypes = [
         c_char_p, c_int, c_char_p, c_int, c_int, c_int, int_p, int_p,
@@ -106,6 +111,35 @@ def _out_buf(n: int):
         _TLS.buf = buf
     ln = ctypes.c_int(0)
     return buf, ln
+
+
+_NULL_I32 = ctypes.POINTER(ctypes.c_int32)()
+
+
+def chain_score(coords, kl, radius, nomatch_gap_limit, is_ref,
+                consensus, posweight, read):
+    """Accumulated (match, mismatch, indel, similarity_zero) along a hit
+    chain, gap-fill DPs included (engine/overlap.py chain walk)."""
+    lib = _LIB
+    c = np.ascontiguousarray(coords, dtype=np.int32)
+    out = (ctypes.c_int64 * 4)()
+    if is_ref:
+        lib.t4_chain_score(
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(c),
+            kl, radius, nomatch_gap_limit, 1,
+            consensus.encode("ascii"), _NULL_I32, read.encode("ascii"), out,
+        )
+    else:
+        w = posweight
+        if not w.flags["C_CONTIGUOUS"] or w.dtype != np.int32:
+            w = np.ascontiguousarray(w, dtype=np.int32)
+        lib.t4_chain_score(
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(c),
+            kl, radius, nomatch_gap_limit, 0,
+            None, w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            read.encode("ascii"), out,
+        )
+    return out[0], out[1], out[2], out[3]
 
 
 def global_alignment_counts(t: str, p: str) -> Tuple[int, int, int]:

@@ -894,56 +894,74 @@ class OverlapMixin:
                     o.similarity = 0
                     continue
 
-            match_cnt += 2 * kl
-            for j in range(1, hit_cnt):
-                pa, pb = hit_coords[j - 1]
-                ca, cb = hit_coords[j]
-                if pb - pa == cb - ca:
-                    if pa + kl - 1 >= ca:
-                        match_cnt += 2 * (ca - pa)
+            from trust4_tpu.align import native as _align_native
+
+            if _align_native.available() and hit_cnt > 0:
+                # Native chain walk: identical accumulation incl. gap-fill
+                # DPs and break rules (native/align_kernels.cpp
+                # t4_chain_score).
+                mc, mm, ind, sz = _align_native.chain_score(
+                    hit_coords, kl, self.radius, self.nomatch_gap_limit,
+                    sw.is_ref, sw.consensus if sw.is_ref else None,
+                    None if sw.is_ref else sw.pos_weight, r,
+                )
+                match_cnt = mc
+                mismatch_cnt = mm
+                indel_cnt = ind
+                if sz:
+                    similarity = 0
+            else:
+                match_cnt += 2 * kl
+                for j in range(1, hit_cnt):
+                    pa, pb = hit_coords[j - 1]
+                    ca, cb = hit_coords[j]
+                    if pb - pa == cb - ca:
+                        if pa + kl - 1 >= ca:
+                            match_cnt += 2 * (ca - pa)
+                        else:
+                            match_cnt += 2 * kl
+                            if (
+                                cb - (pb + kl) > self.nomatch_gap_limit
+                                or ca - (pa + kl) > self.nomatch_gap_limit
+                            ):
+                                similarity = 0
+                                break
+                            cnts = self._gap_fill_align(sw, pb + kl, cb, r, pa + kl, ca)
+                            match_cnt += 2 * cnts[0]
+                            mismatch_cnt += cnts[1]
+                            indel_cnt += cnts[2]
+                            if (self.radius == 0 or not sw.is_ref) and indel_cnt > 0:
+                                similarity = 0
+                                break
                     else:
-                        match_cnt += 2 * kl
-                        if (
-                            cb - (pb + kl) > self.nomatch_gap_limit
-                            or ca - (pa + kl) > self.nomatch_gap_limit
-                        ):
+                        if self.radius == 0 or not sw.is_ref:
                             similarity = 0
                             break
-                        cnts = self._gap_fill_align(sw, pb + kl, cb, r, pa + kl, ca)
-                        match_cnt += 2 * cnts[0]
-                        mismatch_cnt += cnts[1]
-                        indel_cnt += cnts[2]
-                        if (self.radius == 0 or not sw.is_ref) and indel_cnt > 0:
-                            similarity = 0
-                            break
-                else:
-                    if self.radius == 0 or not sw.is_ref:
-                        similarity = 0
-                        break
-                    if pa + kl - 1 >= ca and pb + kl - 1 < cb:
-                        match_cnt += 2 * (ca - pa)
-                        indel_cnt += (cb - (pb + kl)) + (ca + kl - pa)
-                    elif pa + kl - 1 < ca and pb + kl - 1 >= cb:
-                        match_cnt += 2 * (cb - pb)
-                        indel_cnt += (ca - (pa + kl)) + (cb + kl - pb)
-                    elif pa + kl - 1 >= ca and pb + kl - 1 >= cb:
-                        match_cnt += 2 * min(ca - pa, cb - pb)
-                        indel_cnt += _abs((ca - cb) - (pa - pb))
-                    else:
-                        match_cnt += 2 * kl
-                        if (
-                            cb - (pb + kl) > self.nomatch_gap_limit
-                            or ca - (pa + kl) > self.nomatch_gap_limit
-                        ):
-                            similarity = 0
-                            break
-                        cnts = self._gap_fill_align(sw, pb + kl, cb, r, pa + kl, ca)
-                        match_cnt += 2 * cnts[0]
-                        mismatch_cnt += cnts[1]
-                        indel_cnt += cnts[2]
-                        if not sw.is_ref and indel_cnt > 0:
-                            similarity = 0
-                            break
+                        if pa + kl - 1 >= ca and pb + kl - 1 < cb:
+                            match_cnt += 2 * (ca - pa)
+                            indel_cnt += (cb - (pb + kl)) + (ca + kl - pa)
+                        elif pa + kl - 1 < ca and pb + kl - 1 >= cb:
+                            match_cnt += 2 * (cb - pb)
+                            indel_cnt += (ca - (pa + kl)) + (cb + kl - pb)
+                        elif pa + kl - 1 >= ca and pb + kl - 1 >= cb:
+                            match_cnt += 2 * min(ca - pa, cb - pb)
+                            indel_cnt += _abs((ca - cb) - (pa - pb))
+                        else:
+                            match_cnt += 2 * kl
+                            if (
+                                cb - (pb + kl) > self.nomatch_gap_limit
+                                or ca - (pa + kl) > self.nomatch_gap_limit
+                            ):
+                                similarity = 0
+                                break
+                            cnts = self._gap_fill_align(sw, pb + kl, cb, r, pa + kl, ca)
+                            match_cnt += 2 * cnts[0]
+                            mismatch_cnt += cnts[1]
+                            indel_cnt += cnts[2]
+                            if not sw.is_ref and indel_cnt > 0:
+                                similarity = 0
+                                break
+
 
             o.match_cnt = match_cnt
             o.indel_cnt = indel_cnt

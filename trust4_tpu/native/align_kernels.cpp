@@ -580,4 +580,91 @@ int64_t t4_global_alignment_posweight_counts(const int32_t* w, int lent,
   return score;
 }
 
+
+// Chain walk of GetOverlapsFromRead (engine/overlap.py:810-868; reference
+// SeqSet.hpp:1829-2007): accumulate match/mismatch/indel counts along the
+// hit chain, running the banded gap-fill DP over inter-anchor gaps
+// (consensus-vs-read for refs, posWeight-vs-read for novel contigs).
+// coords = (read_off, seq_off) int32 pairs.  out[4] = {match_cnt,
+// mismatch_cnt, indel_cnt, similarity_zero}.
+void t4_chain_score(const int32_t* coords, int n_coords, int kl, int radius,
+                    int nomatch_gap_limit, int is_ref, const char* consensus,
+                    const int32_t* posweight, const char* r, int64_t* out) {
+  int64_t match_cnt = 2 * kl;
+  int64_t mismatch_cnt = 0, indel_cnt = 0;
+  int sim_zero = 0;
+  int cnts[3];
+
+  auto gap_fill = [&](int seq_from, int seq_to, int read_from, int read_to) {
+    if (is_ref)
+      t4_global_alignment_counts(consensus + seq_from, seq_to - seq_from,
+                                 r + read_from, read_to - read_from, cnts);
+    else
+      t4_global_alignment_posweight_counts(posweight + 4 * seq_from,
+                                           seq_to - seq_from, r + read_from,
+                                           read_to - read_from, cnts);
+  };
+
+  for (int j = 1; j < n_coords; j++) {
+    int pa = coords[2 * (j - 1)], pb = coords[2 * (j - 1) + 1];
+    int ca = coords[2 * j], cb = coords[2 * j + 1];
+    if (pb - pa == cb - ca) {
+      if (pa + kl - 1 >= ca) {
+        match_cnt += 2 * (ca - pa);
+      } else {
+        match_cnt += 2 * kl;
+        if (cb - (pb + kl) > nomatch_gap_limit ||
+            ca - (pa + kl) > nomatch_gap_limit) {
+          sim_zero = 1;
+          break;
+        }
+        gap_fill(pb + kl, cb, pa + kl, ca);
+        match_cnt += 2 * cnts[0];
+        mismatch_cnt += cnts[1];
+        indel_cnt += cnts[2];
+        if ((radius == 0 || !is_ref) && indel_cnt > 0) {
+          sim_zero = 1;
+          break;
+        }
+      }
+    } else {
+      if (radius == 0 || !is_ref) {
+        sim_zero = 1;
+        break;
+      }
+      if (pa + kl - 1 >= ca && pb + kl - 1 < cb) {
+        match_cnt += 2 * (ca - pa);
+        indel_cnt += (cb - (pb + kl)) + (ca + kl - pa);
+      } else if (pa + kl - 1 < ca && pb + kl - 1 >= cb) {
+        match_cnt += 2 * (cb - pb);
+        indel_cnt += (ca - (pa + kl)) + (cb + kl - pb);
+      } else if (pa + kl - 1 >= ca && pb + kl - 1 >= cb) {
+        int64_t a = ca - pa, b = cb - pb;
+        match_cnt += 2 * (a < b ? a : b);
+        int64_t d = (int64_t)(ca - cb) - (pa - pb);
+        indel_cnt += d < 0 ? -d : d;
+      } else {
+        match_cnt += 2 * kl;
+        if (cb - (pb + kl) > nomatch_gap_limit ||
+            ca - (pa + kl) > nomatch_gap_limit) {
+          sim_zero = 1;
+          break;
+        }
+        gap_fill(pb + kl, cb, pa + kl, ca);
+        match_cnt += 2 * cnts[0];
+        mismatch_cnt += cnts[1];
+        indel_cnt += cnts[2];
+        if (!is_ref && indel_cnt > 0) {
+          sim_zero = 1;
+          break;
+        }
+      }
+    }
+  }
+  out[0] = match_cnt;
+  out[1] = mismatch_cnt;
+  out[2] = indel_cnt;
+  out[3] = sim_zero;
+}
+
 }  // extern "C"
