@@ -79,8 +79,8 @@ def _load():
     ]
     lib.t4_chain_score.restype = None
     lib.t4_chain_score.argtypes = [
-        i32_p, c_int, c_int, c_int, c_int, c_int, c_char_p, i32_p,
-        c_char_p, ctypes.POINTER(c_int64),
+        ctypes.c_void_p, c_int, c_int, c_int, c_int, c_int, c_char_p,
+        ctypes.c_void_p, c_char_p, ctypes.POINTER(c_int64),
     ]
     lib.t4_is_mate_overlap.restype = c_int
     lib.t4_is_mate_overlap.argtypes = [
@@ -113,31 +113,33 @@ def _out_buf(n: int):
     return buf, ln
 
 
-_NULL_I32 = ctypes.POINTER(ctypes.c_int32)()
-
-
 def chain_score(coords, kl, radius, nomatch_gap_limit, is_ref,
-                consensus, posweight, read):
+                consensus, posweight, read_bytes):
     """Accumulated (match, mismatch, indel, similarity_zero) along a hit
-    chain, gap-fill DPs included (engine/overlap.py chain walk)."""
+    chain, gap-fill DPs included (engine/overlap.py chain walk).
+    read_bytes must be pre-encoded ascii; coords an (n, 2) int32 array or
+    a list of pairs."""
     lib = _LIB
-    c = np.ascontiguousarray(coords, dtype=np.int32)
+    c = coords
+    if not (
+        isinstance(c, np.ndarray)
+        and c.dtype == np.int32
+        and c.flags["C_CONTIGUOUS"]
+    ):
+        c = np.ascontiguousarray(c, dtype=np.int32)
     out = (ctypes.c_int64 * 4)()
     if is_ref:
         lib.t4_chain_score(
-            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(c),
-            kl, radius, nomatch_gap_limit, 1,
-            consensus.encode("ascii"), _NULL_I32, read.encode("ascii"), out,
+            c.ctypes.data, len(c), kl, radius, nomatch_gap_limit, 1,
+            consensus.encode("ascii"), None, read_bytes, out,
         )
     else:
         w = posweight
-        if not w.flags["C_CONTIGUOUS"] or w.dtype != np.int32:
+        if not (w.flags["C_CONTIGUOUS"] and w.dtype == np.int32):
             w = np.ascontiguousarray(w, dtype=np.int32)
         lib.t4_chain_score(
-            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(c),
-            kl, radius, nomatch_gap_limit, 0,
-            None, w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            read.encode("ascii"), out,
+            c.ctypes.data, len(c), kl, radius, nomatch_gap_limit, 0,
+            None, w.ctypes.data, read_bytes, out,
         )
     return out[0], out[1], out[2], out[3]
 

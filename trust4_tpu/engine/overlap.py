@@ -772,7 +772,7 @@ class OverlapMixin:
                 want = [
                     (o.seq_idx, o.read_start, o.read_end, o.strand,
                      o.seq_start, o.seq_end, o.match_cnt,
-                     [tuple(c) for c in o.hit_coords])
+                     [tuple(int(v) for v in c) for c in o.hit_coords])
                     for o in native_overlaps
                 ]
                 assert got == want, (
@@ -797,6 +797,8 @@ class OverlapMixin:
         overlap_cnt = len(overlaps)
 
         rc_read = revcomp(read)
+        read_bytes = read.encode("ascii")
+        rc_read_bytes = rc_read.encode("ascii")
 
         # Prefix base counts for the O(1) low-complexity test (same result
         # as is_overlap_low_complex, SeqSet.hpp:590-617).
@@ -903,7 +905,8 @@ class OverlapMixin:
                 mc, mm, ind, sz = _align_native.chain_score(
                     hit_coords, kl, self.radius, self.nomatch_gap_limit,
                     sw.is_ref, sw.consensus if sw.is_ref else None,
-                    None if sw.is_ref else sw.pos_weight, r,
+                    None if sw.is_ref else sw.pos_weight,
+                    read_bytes if o.strand == 1 else rc_read_bytes,
                 )
                 match_cnt = mc
                 mismatch_cnt = mm
@@ -1000,10 +1003,10 @@ class OverlapMixin:
                         max_s, max_e = j, k - 1
                     j = k
                 if max_len >= self.hit_len_required:
-                    o.read_start = hit_coords[max_s][0]
-                    o.read_end = hit_coords[max_e][0] + kl - 1
-                    o.seq_start = hit_coords[max_s][1]
-                    o.seq_end = hit_coords[max_e][1] + kl - 1
+                    o.read_start = int(hit_coords[max_s][0])
+                    o.read_end = int(hit_coords[max_e][0]) + kl - 1
+                    o.seq_start = int(hit_coords[max_s][1])
+                    o.seq_end = int(hit_coords[max_e][1]) + kl - 1
                     o.similarity = 1.0
                     o.match_cnt = 2 * max_len
                     o.indel_cnt = 0

@@ -175,7 +175,9 @@ class NativeOverlapEngine:
         n_ov = int(self._counts[0])
         n_pairs = int(self._counts[1])
         rows = self._ov_buf[:n_ov].tolist()
-        pairs = self._coord_buf[:n_pairs].tolist()
+        # One copy of the coord block per query; per-overlap coords are
+        # contiguous int32 views into it (zero-copy into t4_chain_score).
+        pairs = self._coord_buf[:n_pairs].copy()
         out = []
         for row in rows:
             coff = row[7]
