@@ -198,6 +198,18 @@ class SeqSet(
     def set_consider_barcode_in_index_hash(self, s: bool) -> None:
         self.seq_index.set_consider_barcode(s)
 
+    def set_native_only_index(self) -> None:
+        """Skip host-dict index maintenance for contig stores whose
+        queries all go through the native overlap engine.  No-op when the
+        engine is unavailable or differential check mode is active."""
+        import os as _os
+
+        if (
+            self.seq_index.native is not None
+            and _os.environ.get("TRUST4_TPU_OVERLAP_CHECK", "0") != "1"
+        ):
+            self.seq_index.native_only = True
+
     # ------------------------------------------------------------------
     # Reference FASTA ingestion (SeqSet.hpp:2673-2984, InputRefFa)
     # ------------------------------------------------------------------

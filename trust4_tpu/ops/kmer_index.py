@@ -41,6 +41,11 @@ class KmerIndex:
         # Native twin (engine/overlap_native.py): receives every
         # string-level mutation so overlap queries can run in C++.
         self.native = None
+        # When True (and the native twin exists) the Python dict postings
+        # are not maintained: queries must go through the native engine.
+        # Enabled per-SeqSet for contig stores that never use the host
+        # search path (ref sets keep both for HasHitInSet).
+        self.native_only = False
         try:
             from trust4_tpu.engine import overlap_native
 
@@ -70,6 +75,10 @@ class KmerIndex:
         self._index.setdefault(self._key(code, barcode), []).append((idx, offset))
 
     def search(self, code: int, barcode: int) -> List[Tuple[int, int]]:
+        assert not self.native_only, (
+            "host search on a native-only index (enable the dict or query "
+            "through the native engine)"
+        )
         return self._index.get(self._key(code, barcode), _EMPTY)
 
     def remove(self, code: int, idx: int, offset: int, barcode: int) -> None:
@@ -95,6 +104,9 @@ class KmerIndex:
     def build_from_read(
         self, s: str, kl: int, sid: int, barcode: int, shift: int = 0
     ) -> None:
+        if self.native_only and self.native is not None:
+            self.native.build_from_read(s, kl, sid, barcode, shift)
+            return
         codes, valid = self._windows(s, kl)
         n = len(codes)
         for w in range(n):
@@ -116,6 +128,9 @@ class KmerIndex:
     def remove_from_read(
         self, s: str, kl: int, sid: int, barcode: int, offset: int = 0
     ) -> None:
+        if self.native_only and self.native is not None:
+            self.native.remove_from_read(s, kl, sid, barcode, offset)
+            return
         codes, valid = self._windows(s, kl)
         for w in range(len(codes)):
             if valid[w]:
@@ -126,6 +141,9 @@ class KmerIndex:
     def update_from_read(
         self, s: str, kl: int, barcode: int, shift: int, old_id: int, new_id: int
     ) -> None:
+        if self.native_only and self.native is not None:
+            self.native.update_from_read(s, kl, barcode, shift, old_id, new_id)
+            return
         codes, valid = self._windows(s, kl)
         for w in range(len(codes)):
             if not valid[w]:

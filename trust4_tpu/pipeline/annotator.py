@@ -141,6 +141,7 @@ class Annotator:
         self.ref_set.set_hit_len_required(17)
         self.ref_set.set_radius(10)
         self.seq_set = SeqSet(17)
+        self.seq_set.set_native_only_index()
         self.output_prefix = output_prefix
         self.include_partial = include_partial
         self.impute = impute

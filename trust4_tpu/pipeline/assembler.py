@@ -202,6 +202,7 @@ class Assembler:
         self.index_kmer_length = index_kmer_length
         self.change_kmer_length_threshold = 4096
         self.seq_set = SeqSet(index_kmer_length)
+        self.seq_set.set_native_only_index()
         self.ref_set = SeqSet(9)
         self.ref_set.input_ref_fa(ref_fa)
         self.kmer_count = KmerCount(21)
