@@ -36,33 +36,42 @@ def _strip_mate_suffix(name: str) -> str:
 
 def _parse_header(line: str) -> tuple[str, Optional[str]]:
     body = line[1:].rstrip("\n").rstrip("\r")
-    for i, c in enumerate(body):
-        if c in " \t":
-            return _strip_mate_suffix(body[:i]), body[i + 1 :]
-    return _strip_mate_suffix(body), None
+    sp = body.find(" ")
+    tb = body.find("\t")
+    if sp == -1:
+        i = tb
+    elif tb == -1:
+        i = sp
+    else:
+        i = sp if sp < tb else tb
+    if i == -1:
+        return _strip_mate_suffix(body), None
+    return _strip_mate_suffix(body[:i]), body[i + 1 :]
 
 
 def _read_one_file(path: str) -> Iterator[FastxRecord]:
     with _open(path) as f:
-        line = f.readline()
+        it = iter(f)
+        line = next(it, "")
         while line:
-            if line[0] == ">":
+            if line[0] == "@":
+                # FASTQ fast path: fixed 4-line records.
+                rid, comment = _parse_header(line)
+                seq = next(it, "").strip()
+                next(it, "")  # '+'
+                qual = next(it, "").rstrip("\n").rstrip("\r")
+                yield FastxRecord(rid, seq, qual, comment)
+                line = next(it, "")
+            elif line[0] == ">":
                 rid, comment = _parse_header(line)
                 seq_parts = []
-                line = f.readline()
+                line = next(it, "")
                 while line and line[0] not in ">@":
                     seq_parts.append(line.strip())
-                    line = f.readline()
+                    line = next(it, "")
                 yield FastxRecord(rid, "".join(seq_parts), None, comment)
-            elif line[0] == "@":
-                rid, comment = _parse_header(line)
-                seq = f.readline().strip()
-                f.readline()  # '+'
-                qual = f.readline().rstrip("\n").rstrip("\r")
-                yield FastxRecord(rid, seq, qual, comment)
-                line = f.readline()
             else:
-                line = f.readline()
+                line = next(it, "")
 
 
 def read_fastx(paths) -> Iterator[FastxRecord]:

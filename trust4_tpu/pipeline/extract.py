@@ -80,8 +80,14 @@ def extract_candidates(
     membership sweep (trust4_tpu/ops/prefilter.py); only survivors run the
     exact host filter, so the candidate set is bit-identical either way.
     """
+    from trust4_tpu.pipeline import extract_native
+
     if ref_set is None:
         ref_set = SeqSet(kmer_length)
+        if not use_tpu_prefilter and extract_native.available():
+            # The native candidate filter owns its own index; skip the
+            # host-dict build (only the fallback path would query it).
+            ref_set.set_native_only_index()
         ref_set.input_ref_fa(ref_fa)
     hit_len = compute_hit_len_required(read1, read2 is not None)
     ref_set.set_hit_len_required(hit_len)
@@ -97,8 +103,6 @@ def extract_candidates(
             hit_len_required=hit_len,
         )
     else:
-        from trust4_tpu.pipeline import extract_native
-
         if extract_native.available():
             # Exact filter in native code (bit-identical, std::thread).
             native_filter = extract_native.NativeCandidateFilter(
@@ -245,7 +249,11 @@ def run_barcoded_extractor(
     if barcode_translate:
         translator.set_translate_table(barcode_translate)
 
+    from trust4_tpu.pipeline import extract_native as _xn
+
     ref_set = SeqSet(kmer_length)
+    if not use_tpu_prefilter and _xn.available():
+        ref_set.set_native_only_index()
     ref_set.input_ref_fa(ref_fa)
     hit_len = compute_hit_len_required(read1, read2 is not None)
     ref_set.set_hit_len_required(hit_len)
