@@ -23,3 +23,29 @@ def test_bam_extractor_parity(tmp_path):
         got = open(prefix + s).read()
         gold = open(os.path.join(GOLDEN, "gold_bam_toassemble" + s)).read()
         assert got == gold
+
+
+def test_native_bam_reader_parity():
+    """Native BAM scanner fields match the pure-Python reader record for
+    record (flags, coords, oriented seq/qual, CIGAR segments)."""
+    from trust4_tpu.io import bam_native
+    from trust4_tpu.io.bam import BamReader
+
+    if not bam_native.available():
+        import pytest
+
+        pytest.skip("native BAM scanner unavailable")
+    a = BamReader("/root/reference/example/example.bam")
+    b = bam_native.NativeBamReader("/root/reference/example/example.bam")
+    assert a.chrom_names == b.chrom_names
+    assert a.header_text == b.header_text
+    n = 0
+    for ra, rb in zip(a, b):
+        assert (
+            ra.name, ra.flag, ra.tid, ra.pos, ra.mtid, ra.mpos, ra.tlen,
+        ) == (rb.name, rb.flag, rb.tid, rb.pos, rb.mtid, rb.mpos, rb.tlen)
+        assert ra.read_seq() == rb.read_seq()
+        assert ra.qual() == rb.qual()
+        assert ra.ref_segments() == rb.ref_segments()
+        n += 1
+    assert n == 908

@@ -570,4 +570,8 @@ int t4x_has_hit(void *h, const char *read, int len) {
   return has_hit_in_set(*(Filter *)h, read, len, buf);
 }
 
+int t4x_is_low_complexity(const char *s, int n) {
+  return is_low_complexity(s, n) ? 1 : 0;
+}
+
 }  // extern "C"

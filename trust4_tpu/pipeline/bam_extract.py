@@ -136,6 +136,31 @@ def run_bam_extractor(
     ref_set.set_hit_len_required(hit_len_required)
 
     paired = info.frag_stdev != 0
+
+    from trust4_tpu.io import bam_native
+
+    if bam_native.available():
+        # Full two-pass extraction in native code (bit-identical).
+        bam_native.native_bam_extract(
+            bam_path,
+            [sw.consensus for sw in ref_set.seqs],
+            9,
+            ref_set.radius,
+            hit_len_required,
+            genes,
+            paired,
+            abnormal_unaligned_flag,
+            mate_id_len,
+            f"{out_prefix}_1.fq" if paired else f"{out_prefix}.fq",
+            f"{out_prefix}_2.fq" if paired else "",
+            f"{out_prefix}_bc.fa" if barcode_field else "",
+            f"{out_prefix}_umi.fa" if umi_field else "",
+            barcode_field,
+            umi_field,
+        )
+        log("Finish extracting reads.")
+        return
+
     if paired:
         fp1 = open(f"{out_prefix}_1.fq", "w")
         fp2 = open(f"{out_prefix}_2.fq", "w")
