@@ -82,6 +82,11 @@ def _load():
         ctypes.c_void_p, c_int, c_int, c_int, c_int, c_int, c_char_p,
         ctypes.c_void_p, c_char_p, ctypes.POINTER(c_int64),
     ]
+    lib.t4_chain_score2.restype = None
+    lib.t4_chain_score2.argtypes = [
+        ctypes.c_void_p, c_int, c_int, c_int, c_int, c_int, c_char_p,
+        ctypes.c_void_p, c_char_p, c_int, c_int, ctypes.POINTER(c_int64),
+    ]
     lib.t4_is_mate_overlap.restype = c_int
     lib.t4_is_mate_overlap.argtypes = [
         c_char_p, c_int, c_char_p, c_int, c_int, c_int, int_p, int_p,
@@ -111,6 +116,36 @@ def _out_buf(n: int):
         _TLS.buf = buf
     ln = ctypes.c_int(0)
     return buf, ln
+
+
+def chain_score2(coords, kl, radius, nomatch_gap_limit, is_ref,
+                 consensus_bytes, posweight, read_bytes, read_start,
+                 read_end):
+    """Chain walk + overlap low-complexity test in one native call:
+    (match, mismatch, indel, similarity_zero, low_complex)."""
+    lib = _LIB
+    c = coords
+    if not (
+        isinstance(c, np.ndarray)
+        and c.dtype == np.int32
+        and c.flags["C_CONTIGUOUS"]
+    ):
+        c = np.ascontiguousarray(c, dtype=np.int32)
+    out = (ctypes.c_int64 * 5)()
+    if is_ref:
+        lib.t4_chain_score2(
+            c.ctypes.data, len(c), kl, radius, nomatch_gap_limit, 1,
+            consensus_bytes, None, read_bytes, read_start, read_end, out,
+        )
+    else:
+        w = posweight
+        if not (w.flags["C_CONTIGUOUS"] and w.dtype == np.int32):
+            w = np.ascontiguousarray(w, dtype=np.int32)
+        lib.t4_chain_score2(
+            c.ctypes.data, len(c), kl, radius, nomatch_gap_limit, 0,
+            None, w.ctypes.data, read_bytes, read_start, read_end, out,
+        )
+    return out[0], out[1], out[2], out[3], out[4]
 
 
 def chain_score(coords, kl, radius, nomatch_gap_limit, is_ref,

@@ -801,7 +801,8 @@ class OverlapMixin:
         rc_read_bytes = rc_read.encode("ascii")
 
         # Prefix base counts for the O(1) low-complexity test (same result
-        # as is_overlap_low_complex, SeqSet.hpp:590-617).
+        # as is_overlap_low_complex, SeqSet.hpp:590-617).  Built lazily —
+        # the native chain scorer covers this check on the fast path.
         import numpy as _np
 
         def _base_prefix(s):
@@ -811,10 +812,12 @@ class OverlapMixin:
                 _np.cumsum(b == ord(ch), out=p[ci, 1:])
             return p
 
-        pfx_fwd = _base_prefix(read)
-        pfx_rc = _base_prefix(rc_read)
+        _pfx = {}
 
-        def _low_complex(pfx, o):
+        def _low_complex(strand, o):
+            if strand not in _pfx:
+                _pfx[strand] = _base_prefix(read if strand == 1 else rc_read)
+            pfx = _pfx[strand]
             cnt = pfx[:, o.read_end + 1] - pfx[:, o.read_start]
             low = cnt <= 2
             low_total = int(cnt[low].sum())
@@ -835,6 +838,7 @@ class OverlapMixin:
             mismatch_cnt = 0
             indel_cnt = 0
             similarity = 1.0
+            native_low_complex = None
 
             sw = self.seqs[o.seq_idx]
             if sw.is_ref:
@@ -902,17 +906,26 @@ class OverlapMixin:
                 # Native chain walk: identical accumulation incl. gap-fill
                 # DPs and break rules (native/align_kernels.cpp
                 # t4_chain_score).
-                mc, mm, ind, sz = _align_native.chain_score(
+                if sw.is_ref:
+                    cb = sw.consensus_bytes_cache
+                    if cb is None:
+                        cb = sw.consensus.encode("ascii")
+                        sw.consensus_bytes_cache = cb
+                else:
+                    cb = None
+                mc, mm, ind, sz, lowc = _align_native.chain_score2(
                     hit_coords, kl, self.radius, self.nomatch_gap_limit,
-                    sw.is_ref, sw.consensus if sw.is_ref else None,
+                    sw.is_ref, cb,
                     None if sw.is_ref else sw.pos_weight,
                     read_bytes if o.strand == 1 else rc_read_bytes,
+                    o.read_start, o.read_end,
                 )
                 match_cnt = mc
                 mismatch_cnt = mm
                 indel_cnt = ind
                 if sz:
                     similarity = 0
+                native_low_complex = bool(lowc)
             else:
                 match_cnt += 2 * kl
                 for j in range(1, hit_cnt):
@@ -975,7 +988,10 @@ class OverlapMixin:
             else:
                 o.similarity = 0
 
-            if _low_complex(pfx_fwd if o.strand == 1 else pfx_rc, o):
+            if native_low_complex is not None:
+                if native_low_complex:
+                    o.similarity = 0
+            elif _low_complex(o.strand, o):
                 o.similarity = 0
 
             if not sw.is_ref and o.similarity > 0:

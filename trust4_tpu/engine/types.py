@@ -27,6 +27,9 @@ class SeqWrapper:
     num_read: int = 0
     index: bool = True
     pos_weight_compressed: bool = False
+    # ascii cache for the native chain scorer; only valid for is_ref seqs
+    # (their consensus never changes after load).
+    consensus_bytes_cache: Optional[bytes] = None
 
     @property
     def consensus_len(self) -> int:

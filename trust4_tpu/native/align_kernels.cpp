@@ -667,4 +667,37 @@ void t4_chain_score(const int32_t* coords, int n_coords, int kl, int radius,
   out[3] = sim_zero;
 }
 
+// Chain walk + the overlap low-complexity test (SeqSet.hpp:590-617) in one
+// call: out[5] = {match, mismatch, indel, sim_zero, low_complex}.
+void t4_chain_score2(const int32_t* coords, int n_coords, int kl, int radius,
+                     int nomatch_gap_limit, int is_ref, const char* consensus,
+                     const int32_t* posweight, const char* r, int read_start,
+                     int read_end, int64_t* out) {
+  t4_chain_score(coords, n_coords, kl, radius, nomatch_gap_limit, is_ref,
+                 consensus, posweight, r, out);
+  long cnt[4] = {0, 0, 0, 0};
+  for (int i = read_start; i <= read_end; i++) {
+    switch (r[i]) {
+      case 'A': cnt[0]++; break;
+      case 'C': cnt[1]++; break;
+      case 'G': cnt[2]++; break;
+      case 'T': cnt[3]++; break;
+      default: break;  // N skipped
+    }
+  }
+  long low_cnt = 0, low_total = 0;
+  for (int i = 0; i < 4; i++) {
+    if (cnt[i] <= 2) {
+      low_cnt++;
+      low_total += cnt[i];
+    }
+  }
+  int low;
+  if (low_total * 7 >= read_end - read_start + 1)
+    low = 0;
+  else
+    low = low_cnt >= 2 ? 1 : 0;
+  out[4] = low;
+}
+
 }  // extern "C"
