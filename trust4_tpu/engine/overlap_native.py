@@ -75,12 +75,85 @@ def _load():
         c_int, _i32p, c_int, _i32p, c_int, _i32p,
     ]
     lib.t4o_stats.argtypes = [ctypes.c_void_p, _i64p]
+    # canonical k-mer counter (t4kc_*)
+    lib.t4kc_create.restype = ctypes.c_void_p
+    lib.t4kc_create.argtypes = [c_int]
+    lib.t4kc_destroy.argtypes = [ctypes.c_void_p]
+    lib.t4kc_get_max_read_len.restype = ctypes.c_int64
+    lib.t4kc_get_max_read_len.argtypes = [ctypes.c_void_p]
+    lib.t4kc_set_max_read_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.t4kc_set_count.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int64,
+    ]
+    lib.t4kc_get_count_code.restype = ctypes.c_int64
+    lib.t4kc_get_count_code.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.t4kc_add_count.restype = c_int
+    lib.t4kc_add_count.argtypes = [ctypes.c_void_p, c_char_p, c_int]
+    lib.t4kc_stats_trim.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, _i64p,
+        ctypes.POINTER(ctypes.c_double),
+    ]
     _LIB = lib
     return _LIB
 
 
 def available() -> bool:
     return _load() is not None
+
+
+class NativeKmerCount:
+    """C++ canonical k-mer counter (t4kc_*), bit-identical stats/trim."""
+
+    def __init__(self, k: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native kmer counter unavailable")
+        self._lib = lib
+        self._h = lib.t4kc_create(k)
+        self._i64 = (ctypes.c_int64 * 4)()
+        self._f64 = (ctypes.c_double * 1)()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.t4kc_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    @property
+    def max_read_len(self) -> int:
+        return self._lib.t4kc_get_max_read_len(self._h)
+
+    @max_read_len.setter
+    def max_read_len(self, v: int) -> None:
+        self._lib.t4kc_set_max_read_len(self._h, v)
+
+    def set_count(self, code: int, c: int) -> None:
+        self._lib.t4kc_set_count(self._h, code, c)
+
+    def get_count_code(self, code: int) -> int:
+        return self._lib.t4kc_get_count_code(self._h, code)
+
+    def add_count(self, read: str) -> int:
+        b = read.encode("ascii")
+        return self._lib.t4kc_add_count(self._h, b, len(b))
+
+    def stats_trim(self, read: str, qual):
+        b = read.encode("ascii")
+        q = qual.encode("ascii") if qual is not None else None
+        self._lib.t4kc_stats_trim(
+            self._h, b, len(b), q, 0 if qual is None else 1,
+            self._i64, self._f64,
+        )
+        mn, med, ok, new_len = (
+            self._i64[0], self._i64[1], self._i64[2], self._i64[3],
+        )
+        if new_len >= 0:
+            read = read[:new_len]
+            if qual is not None:
+                qual = qual[:new_len]
+        return read, qual, mn, med, self._f64[0], ok
 
 
 class NativeOverlapEngine:

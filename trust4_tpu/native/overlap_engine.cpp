@@ -807,4 +807,200 @@ void t4o_stats(void *h, int64_t *out) {
   out[1] = tot;
 }
 
+
+// ---- Canonical k-mer counting (ops/kmer_count.py; KmerCount.hpp) ---------
+//
+// Port of the 21-mer support counter with the reference's persistent
+// stale sort buffer and N-handling quirks (KmerCount.hpp:64-288,
+// ops/kmer_count.py docstring).  Single-thread semantics, matching the
+// host implementation exactly.
+
+namespace {
+
+struct KCount {
+  int k;
+  int64_t max_read_len = -1;
+  std::unordered_map<uint64_t, int64_t> counts;
+  std::vector<int64_t> buf;  // persistent; stale values participate in
+                             // the trim quirk exactly as in the reference
+};
+
+// canonical (min of fwd/rc) window codes with validity.
+void canon_codes(const char *s, int len, int k, std::vector<uint64_t> &codes,
+                 std::vector<uint8_t> &valid) {
+  codes.clear();
+  valid.clear();
+  int n = len - k + 1;
+  if (n <= 0) return;
+  codes.resize(n);
+  valid.resize(n);
+  uint64_t mask = (k >= 32) ? ~uint64_t(0) : ((uint64_t(1) << (2 * k)) - 1);
+  uint64_t code = 0, rc = 0;
+  int last_n = -1;
+  for (int i = 0; i < len; i++) {
+    uint64_t b = (uint64_t)(nuc2num((unsigned char)s[i]) & 3);
+    code = ((code << 2) | b) & mask;
+    rc = (rc >> 2) | ((uint64_t(3) - b) << (2 * (k - 1)));
+    if (s[i] == 'N') last_n = i;
+    if (i >= k - 1) {
+      uint64_t c = code < rc ? code : rc;
+      codes[i - k + 1] = c;
+      valid[i - k + 1] = (last_n < i - k + 1) ? 1 : 0;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void *t4kc_create(int k) {
+  KCount *kc = new KCount;
+  kc->k = k;
+  return kc;
+}
+
+void t4kc_destroy(void *h) { delete (KCount *)h; }
+
+int64_t t4kc_get_max_read_len(void *h) { return ((KCount *)h)->max_read_len; }
+
+void t4kc_set_max_read_len(void *h, int64_t v) {
+  ((KCount *)h)->max_read_len = v;
+}
+
+void t4kc_set_count(void *h, uint64_t code, int64_t c) {
+  ((KCount *)h)->counts[code] = c;
+}
+
+int64_t t4kc_get_count_code(void *h, uint64_t code) {
+  KCount *K = (KCount *)h;
+  auto it = K->counts.find(code);
+  return it == K->counts.end() ? 0 : it->second;
+}
+
+int t4kc_add_count(void *h, const char *read, int len) {
+  KCount *K = (KCount *)h;
+  if (len < K->k) return 0;
+  std::vector<uint64_t> codes;
+  std::vector<uint8_t> valid;
+  canon_codes(read, len, K->k, codes, valid);
+  for (size_t w = 0; w < codes.size(); w++)
+    if (valid[w]) K->counts[codes[w]]++;
+  if (len > K->max_read_len) K->max_read_len = len;
+  return 1;
+}
+
+// GetCountStatsAndTrim.  out_i64 = {min, median, ok, new_len};
+// out_f64 = {avg}.  new_len is the trimmed prefix length of read/qual
+// (caller slices); -1 means unchanged.
+void t4kc_stats_trim(void *h, const char *read, int len, const char *qual,
+                     int has_qual, int64_t *out_i64, double *out_f64) {
+  KCount *K = (KCount *)h;
+  int64_t &omin = out_i64[0];
+  int64_t &omed = out_i64[1];
+  int64_t &ook = out_i64[2];
+  int64_t &olen = out_i64[3];
+  double &oavg = out_f64[0];
+  olen = -1;
+  if (K->max_read_len == -1) {
+    omin = omed = 0;
+    oavg = 0.0;
+    ook = 0;
+    return;
+  }
+  int k = K->k;
+  if (len < k) {
+    omin = omed = -1;
+    oavg = -1.0;
+    ook = 0;
+    return;
+  }
+  if ((int64_t)K->buf.size() < K->max_read_len)
+    K->buf.resize(K->max_read_len, 0);
+  std::vector<int64_t> &c = K->buf;
+  std::vector<uint64_t> codes;
+  std::vector<uint8_t> valid;
+  canon_codes(read, len, k, codes, valid);
+  int64_t s = 0;
+  int nk = 0;
+  for (size_t w = 0; w < codes.size(); w++) {
+    if (!valid[w]) continue;
+    int64_t v = 0;
+    auto it = K->counts.find(codes[w]);
+    if (it != K->counts.end()) v = it->second;
+    if (v <= 0) v = 1;
+    c[nk] = v;
+    s += v;
+    nk++;
+  }
+  int stored = nk;
+  if (nk == 0) {
+    if (has_qual) olen = 0;
+    omin = omed = -(int64_t)len;
+    oavg = (double)(-(int64_t)len);
+    ook = 0;
+    return;
+  }
+
+  bool nulled_trim = false, nulled_zero = false;
+  int trim_start = -1;
+  if (has_qual) {
+    int i = stored - 1;
+    while (i >= 0) {
+      if (c[i] > 1) break;
+      i--;
+    }
+    i++;
+    int bad_cnt = 0;
+    int j = len - 1;
+    while (j >= i + k - 1) {
+      if ((int)qual[j] - 32 <= 15) {
+        bad_cnt++;
+        if ((double)bad_cnt >= 0.1 * (double)(len - j)) trim_start = j;
+      }
+      j--;
+    }
+    if (trim_start > 0) {
+      nk = trim_start - k + 1;
+      olen = trim_start;
+      nulled_trim = true;
+    }
+    if (trim_start > 0 && trim_start < k) {
+      nk = 0;
+      olen = 0;
+      nulled_zero = true;
+    }
+  }
+
+  if (nk == 0) {
+    omin = c[0];
+    omed = c[0];
+    oavg = 1.0 / 0.0;  // +inf, matching the reference's div-by-zero float
+  } else {
+    std::sort(c.begin(), c.begin() + nk);
+    omin = c[0];
+    omed = c[nk / 2];
+    oavg = (double)s / (double)nk;
+  }
+
+  bool has_n = false;
+  for (int i = 0; i < len; i++) {
+    if (nulled_trim && i == trim_start) continue;
+    if (nulled_zero && i == 0) continue;
+    if (read[i] == 'N') {
+      has_n = true;
+      break;
+    }
+  }
+  if (has_n) {
+    if (omin >= 0)
+      omin = 0;
+    else
+      omin -= 1;
+  }
+  ook = 1;
+}
+
+}  // extern "C"
+
 }  // extern "C"

@@ -30,7 +30,17 @@ class KmerCount:
     def __init__(self, k: int):
         self.k = k
         self.counts: Dict[int, int] = {}
-        self.max_read_len = -1
+        # Native backend (engine/overlap_native.py): when present, counts
+        # live C++-side and the host dict stays empty.
+        self._native = None
+        try:
+            from trust4_tpu.engine import overlap_native
+
+            if overlap_native.available():
+                self._native = overlap_native.NativeKmerCount(k)
+        except Exception:
+            self._native = None
+        self._max_read_len = -1
         # Persistent per-window count buffer.  The reference reuses one
         # heap buffer across calls and sorts it in place, so when trimming
         # shrinks the window count below the stored count, the stats read
@@ -38,8 +48,23 @@ class KmerCount:
         # We model the single-thread buffer exactly (fresh pages = 0).
         self._buf: list = []
 
+    @property
+    def max_read_len(self):
+        if self._native is not None:
+            return self._native.max_read_len
+        return self._max_read_len
+
+    @max_read_len.setter
+    def max_read_len(self, v):
+        if self._native is not None:
+            self._native.max_read_len = v
+        else:
+            self._max_read_len = v
+
     def add_count(self, read: str) -> int:
         """Count canonical k-mers of one read (KmerCount.hpp:64-97)."""
+        if self._native is not None:
+            return self._native.add_count(read)
         if len(read) < self.k:
             return 0
         codes, valid = kmer_codes(read, self.k)
@@ -95,13 +120,18 @@ class KmerCount:
             codes, _valid = kmer_codes(kmer, self.k)
             if len(codes) == 0:
                 continue
-            counts[int(codes[0])] = c
+            if self._native is not None:
+                self._native.set_count(int(codes[0]), c)
+            else:
+                counts[int(codes[0])] = c
 
     def get_count(self, kmer: str) -> int:
         codes, valid = kmer_codes(kmer, self.k)
         if len(codes) == 0 or not valid[0]:
             return 0
         canon = int(canonical_codes(codes[:1], self.k)[0])
+        if self._native is not None:
+            return self._native.get_count_code(canon)
         return self.counts.get(canon, 0)
 
     def get_count_stats_and_trim(
@@ -113,6 +143,8 @@ class KmerCount:
         (read, qual, min_count, median_count, avg_count, ok) where read/qual
         are the possibly-trimmed strings (the reference trims in place).
         """
+        if self._native is not None:
+            return self._native.stats_trim(read, qual)
         if self.max_read_len == -1:
             return read, qual, 0, 0, 0.0, 0
         k = self.k
