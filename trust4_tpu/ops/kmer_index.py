@@ -16,8 +16,8 @@ Two reference quirks are reproduced exactly:
   whose barcode is congruent to b modulo the bucket count 1,000,003
   (KmerIndex.hpp:29-33) — per-cell isolation with rare aliasing.
 
-The static germline index used by the TPU probe kernel is a different,
-immutable structure (see ref_index.py).
+The static germline membership tables used by the TPU probe kernel are a
+different, immutable structure (ops/prefilter.py build_membership_tables).
 """
 
 from __future__ import annotations

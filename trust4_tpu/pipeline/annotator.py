@@ -137,6 +137,10 @@ class Annotator:
         threads: int = 1,
     ):
         self.ref_set = SeqSet(7)
+        if not need_rc:
+            # HasHitInSet (host path) is only queried in --needReverseComplement
+            # mode; otherwise all ref queries go through the native engine.
+            self.ref_set.set_native_only_index()
         self.ref_set.input_ref_fa(imgt_fa, is_imgt, imgt_additional_gap)
         self.ref_set.set_hit_len_required(17)
         self.ref_set.set_radius(10)

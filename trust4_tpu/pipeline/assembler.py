@@ -204,6 +204,9 @@ class Assembler:
         self.seq_set = SeqSet(index_kmer_length)
         self.seq_set.set_native_only_index()
         self.ref_set = SeqSet(9)
+        # All assembler-side ref queries go through the native engine
+        # (quick annotation, trimming); skip the host postings dict.
+        self.ref_set.set_native_only_index()
         self.ref_set.input_ref_fa(ref_fa)
         self.kmer_count = KmerCount(21)
         # -c: pre-computed jellyfish counts replace our own counting pass
