@@ -82,6 +82,11 @@ def _load():
         ctypes.c_void_p, c_int, c_int, c_int, c_int, c_int, c_char_p,
         ctypes.c_void_p, c_char_p, ctypes.POINTER(c_int64),
     ]
+    lib.t4_chain_score_batch.restype = None
+    lib.t4_chain_score_batch.argtypes = [
+        ctypes.POINTER(c_int64), i32_p, ctypes.POINTER(c_int64), c_int,
+        c_int, c_int, c_int, c_char_p, c_char_p, ctypes.POINTER(c_int64),
+    ]
     lib.t4_chain_score2.restype = None
     lib.t4_chain_score2.argtypes = [
         ctypes.c_void_p, c_int, c_int, c_int, c_int, c_int, c_char_p,
@@ -116,6 +121,23 @@ def _out_buf(n: int):
         _TLS.buf = buf
     ln = ctypes.c_int(0)
     return buf, ln
+
+
+def chain_score_batch(coord_ptrs, per_meta, seq_ptrs, kl, radius,
+                      nomatch_gap_limit, read_fwd_bytes, read_rc_bytes):
+    """One call scoring all of a query's overlap chains; returns an
+    (n, 5) int64 array {match, mismatch, indel, sim_zero, low_complex}."""
+    lib = _LIB
+    n = len(coord_ptrs)
+    out = np.empty((n, 5), dtype=np.int64)
+    lib.t4_chain_score_batch(
+        coord_ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        per_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        seq_ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, kl, radius, nomatch_gap_limit, read_fwd_bytes, read_rc_bytes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
 
 
 def chain_score2(coords, kl, radius, nomatch_gap_limit, is_ref,

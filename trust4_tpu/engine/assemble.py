@@ -171,7 +171,9 @@ class AssembleMixin:
         cons = sw.consensus
         maxv = w.max(axis=1)
         argmax = w.argmax(axis=1)
-        cur = np.array([nuc_num(c) for c in cons], dtype=np.int64)
+        from trust4_tpu.dna import seq_to_codes
+
+        cur = seq_to_codes(cons).astype(np.int64)
         cur_count = w[np.arange(len(cons)), cur]
         change = (maxv > 0) & (argmax != cur) & (cur_count < maxv)
         if not change.any():

@@ -728,8 +728,9 @@ class OverlapMixin:
                     match_cnt=r6,
                     similarity=0.0,
                     hit_coords=coords,
+                    coord_ref=(cptr, ccnt),
                 )
-                for (r0, r1, r2, r3, r4, r5, r6, coords) in rows
+                for (r0, r1, r2, r3, r4, r5, r6, coords, cptr, ccnt) in rows
             ]
             if _os.environ.get("TRUST4_TPU_OVERLAP_CHECK", "0") != "1":
                 if not native_overlaps:
@@ -825,6 +826,69 @@ class OverlapMixin:
                 return False
             return int(low.sum()) >= 2
 
+        # Batch-score all overlap chains in one native call when no
+        # dominance skip can fire (skips only exist for read_type==0 with
+        # >50 overlaps, see the best_novel guard below); worthwhile from
+        # ~8 overlaps (below that the marshaling beats the FFI savings).
+        chain_batch = None
+        from trust4_tpu.align import native as _chain_native
+
+        if (
+            _chain_native.available()
+            and 8 <= overlap_cnt
+            and (read_type != 0 or overlap_cnt <= 50)
+            and all(o.coord_ref is not None for o in overlaps)
+        ):
+            import numpy as _npb
+
+            cptr_list = []
+            sptr_list = []
+            meta_flat = []
+            keepalive = []
+            batch_ok = True
+            for bi, bo2 in enumerate(overlaps):
+                cptr, ccnt = bo2.coord_ref
+                if ccnt == 0:
+                    batch_ok = False
+                    break
+                sw2 = self.seqs[bo2.seq_idx]
+                if sw2.is_ref:
+                    pc = sw2.ptr_cache
+                    if pc is None:
+                        cb2 = sw2.consensus.encode("ascii")
+                        sw2.consensus_bytes_cache = cb2
+                        view = _npb.frombuffer(cb2, dtype=_npb.uint8)
+                        pc = (view, view.ctypes.data)
+                        sw2.ptr_cache = pc
+                    sptr_list.append(pc[1])
+                else:
+                    w2 = sw2.pos_weight
+                    if w2.flags["C_CONTIGUOUS"] and w2.dtype == _npb.int32:
+                        pc = sw2.ptr_cache
+                        if pc is None or pc[0] is not w2:
+                            pc = (w2, w2.ctypes.data)
+                            sw2.ptr_cache = pc
+                        sptr_list.append(pc[1])
+                    else:
+                        # never cache a converted copy: the source array
+                        # could mutate in place afterwards
+                        wc = _npb.ascontiguousarray(w2, dtype=_npb.int32)
+                        keepalive.append(wc)
+                        sptr_list.append(wc.ctypes.data)
+                cptr_list.append(cptr)
+                meta_flat.extend(
+                    (ccnt, 1 if sw2.is_ref else 0, bo2.strand,
+                     bo2.read_start, bo2.read_end)
+                )
+            if batch_ok:
+                chain_batch = _chain_native.chain_score_batch(
+                    _npb.array(cptr_list, dtype=_npb.int64),
+                    _npb.array(meta_flat, dtype=_npb.int32),
+                    _npb.array(sptr_list, dtype=_npb.int64),
+                    kl, self.radius,
+                    self.nomatch_gap_limit, read_bytes, rc_read_bytes,
+                ).tolist()
+
         first_ref = -1
         best_novel = -1
         representatives: List[int] = []
@@ -902,7 +966,15 @@ class OverlapMixin:
 
             from trust4_tpu.align import native as _align_native
 
-            if _align_native.available() and hit_cnt > 0:
+            if chain_batch is not None:
+                mc, mm, ind, sz, lowc = chain_batch[i]
+                match_cnt = mc
+                mismatch_cnt = mm
+                indel_cnt = ind
+                if sz:
+                    similarity = 0
+                native_low_complex = bool(lowc)
+            elif _align_native.available() and hit_cnt > 0:
                 # Native chain walk: identical accumulation incl. gap-fill
                 # DPs and break rules (native/align_kernels.cpp
                 # t4_chain_score).

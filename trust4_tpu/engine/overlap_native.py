@@ -250,12 +250,16 @@ class NativeOverlapEngine:
         rows = self._ov_buf[:n_ov].tolist()
         # One copy of the coord block per query; per-overlap coords are
         # contiguous int32 views into it (zero-copy into t4_chain_score).
+        # The raw pointer rides along so batch scoring needs no per-
+        # overlap .ctypes access (keepalive: the views hold `pairs`).
         pairs = self._coord_buf[:n_pairs].copy()
+        base = pairs.ctypes.data
         out = []
         for row in rows:
             coff = row[7]
+            ccnt = row[8]
             out.append(
                 (row[0], row[1], row[2], row[3], row[4], row[5], row[6],
-                 pairs[coff : coff + row[8]])
+                 pairs[coff : coff + ccnt], base + 8 * coff, ccnt)
             )
         return out

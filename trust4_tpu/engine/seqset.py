@@ -31,8 +31,22 @@ GENE_V, GENE_D, GENE_J, GENE_C = 0, 1, 2, 3
 CHAIN_NAMES = ["IGH", "IGK", "IGL", "TRA", "TRB", "TRG", "TRD"]
 
 
+_GENE_TYPE_CACHE: Dict[str, int] = {}
+
+
 def get_gene_type(name: str) -> int:
-    """V/D/J/C classification from an allele name (SeqSet.hpp:5076-5100)."""
+    """V/D/J/C classification from an allele name (SeqSet.hpp:5076-5100).
+    Memoized: allele names repeat millions of times in gene ranking."""
+    v = _GENE_TYPE_CACHE.get(name)
+    if v is not None:
+        return v
+    v = _get_gene_type_uncached(name)
+    if len(_GENE_TYPE_CACHE) < (1 << 20):
+        _GENE_TYPE_CACHE[name] = v
+    return v
+
+
+def _get_gene_type_uncached(name: str) -> int:
     if name.startswith("No"):  # "Novel"
         return -1
     if len(name) < 4:

@@ -30,6 +30,10 @@ class SeqWrapper:
     # ascii cache for the native chain scorer; only valid for is_ref seqs
     # (their consensus never changes after load).
     consensus_bytes_cache: Optional[bytes] = None
+    # (source_obj, raw_ptr[, keepalive]) cache for batch chain scoring:
+    # consensus-bytes pointer for refs, posWeight pointer for novels
+    # (invalidated by identity check against the live pos_weight array).
+    ptr_cache: Optional[tuple] = None
 
     @property
     def consensus_len(self) -> int:
@@ -66,6 +70,10 @@ class Overlap:
     hit_coords: Optional[List[Tuple[int, int]]] = None
     info: Optional[List[int]] = None
     info_from_hits: int = 0
+    # (raw_ptr, n_pairs) of this overlap's coordinate block inside the
+    # native query's coord copy (hit_coords keeps the block alive);
+    # rides along through sorting/filtering for batch chain scoring.
+    coord_ref: Optional[Tuple[int, int]] = None
 
     def sort_key(self):
         # Priority: matchCnt desc, similarity desc, read span desc, then

@@ -700,4 +700,26 @@ void t4_chain_score2(const int32_t* coords, int n_coords, int kl, int radius,
   out[4] = low;
 }
 
+// Batched per-query chain scoring: one FFI call for all of a query's
+// overlaps.  per_meta rows of 5 int32: {coord_cnt, is_ref, strand(1/-1),
+// read_start, read_end}; coord_ptrs / seq_ptrs are per-overlap raw
+// pointers (consensus bytes for refs, posWeight int32 for novels).
+void t4_chain_score_batch(const int64_t* coord_ptrs, const int32_t* per_meta,
+                          const int64_t* seq_ptrs, int n_ov, int kl,
+                          int radius, int nomatch_gap_limit,
+                          const char* read_fwd, const char* read_rc,
+                          int64_t* out /* (n_ov, 5) */) {
+  for (int i = 0; i < n_ov; i++) {
+    const int32_t* m = per_meta + 5 * i;
+    const char* r = m[2] == 1 ? read_fwd : read_rc;
+    const int32_t* coords = (const int32_t*)(intptr_t)coord_ptrs[i];
+    const char* consensus =
+        m[1] ? (const char*)(intptr_t)seq_ptrs[i] : nullptr;
+    const int32_t* pw =
+        m[1] ? nullptr : (const int32_t*)(intptr_t)seq_ptrs[i];
+    t4_chain_score2(coords, m[0], kl, radius, nomatch_gap_limit, m[1],
+                    consensus, pw, r, m[3], m[4], out + 5 * i);
+  }
+}
+
 }  // extern "C"
