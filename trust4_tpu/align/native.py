@@ -87,6 +87,11 @@ def _load():
         ctypes.POINTER(c_int64), i32_p, ctypes.POINTER(c_int64), c_int,
         c_int, c_int, c_int, c_char_p, c_char_p, ctypes.POINTER(c_int64),
     ]
+    lib.t4_extend_overlap.restype = None
+    lib.t4_extend_overlap.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int,
+        c_int, ctypes.POINTER(c_int64),
+    ]
     lib.t4_chain_score2.restype = None
     lib.t4_chain_score2.argtypes = [
         ctypes.c_void_p, c_int, c_int, c_int, c_int, c_int, c_char_p,
@@ -138,6 +143,22 @@ def chain_score_batch(coord_ptrs, per_meta, seq_ptrs, kl, radius,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
+
+
+def extend_overlap_core(posweight, read_bytes, read_len, seq_len,
+                        read_start, read_end, seq_start, seq_end):
+    """Both overhang profile-DPs + tallies of ExtendOverlap; returns
+    (ret, left, right, good_left, good_right, match, mismatch, indel)."""
+    lib = _LIB
+    w = posweight
+    if not (w.flags["C_CONTIGUOUS"] and w.dtype == np.int32):
+        w = np.ascontiguousarray(w, dtype=np.int32)
+    out = (ctypes.c_int64 * 8)()
+    lib.t4_extend_overlap(
+        w.ctypes.data, read_bytes, read_len, seq_len,
+        read_start, read_end, seq_start, seq_end, out,
+    )
+    return tuple(out)
 
 
 def chain_score2(coords, kl, radius, nomatch_gap_limit, is_ref,

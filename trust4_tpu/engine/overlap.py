@@ -533,9 +533,23 @@ class OverlapMixin:
         extension; the longest >75%-match prefix survives as the "good"
         extension (reference: ExtendOverlap).
         """
+        from trust4_tpu.align import native as _xo_native
+
+        w = seq.pos_weight
+        if _xo_native.available() and w is not None:
+            (ret, left, right, good_left, good_right, match_cnt,
+             mismatch_cnt, indel_cnt) = _xo_native.extend_overlap_core(
+                w, r.encode("ascii"), length, seq.consensus_len,
+                overlap.read_start, overlap.read_end,
+                overlap.seq_start, overlap.seq_end,
+            )
+            return self._finish_extend_overlap(
+                ret, left, right, good_left, good_right, match_cnt,
+                mismatch_cnt, mismatch_threshold_factor, overlap,
+            )
+
         ret = 1
         left = min(overlap.read_start, overlap.seq_start)
-        w = seq.pos_weight
         _, align = align_host.global_alignment_posweight(
             w[overlap.seq_start - left : overlap.seq_start],
             r[overlap.read_start - left : overlap.read_start],
@@ -591,6 +605,15 @@ class OverlapMixin:
             elif a != 1:
                 break
 
+        return self._finish_extend_overlap(
+            ret, left, right, good_left, good_right, match_cnt,
+            mismatch_cnt, mismatch_threshold_factor, overlap,
+        )
+
+    def _finish_extend_overlap(
+        self, ret, left, right, good_left, good_right, match_cnt,
+        mismatch_cnt, mismatch_threshold_factor, overlap
+    ):
         mismatch_threshold = 2
         if left >= 2:
             mismatch_threshold += 1

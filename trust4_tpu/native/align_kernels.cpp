@@ -722,4 +722,97 @@ void t4_chain_score_batch(const int64_t* coord_ptrs, const int32_t* per_meta,
   }
 }
 
+
+// ExtendOverlap core (engine/overlap.py:extend_overlap; reference
+// SeqSet.hpp:1165-1277): both overhang profile-DPs plus the edit-script
+// tallies and >75%-match prefix scans in one call.
+// out8 = {ret, left, right, good_left, good_right, match_cnt,
+//         mismatch_cnt, indel_cnt}; the caller applies the mismatch-
+//         density and similarity-threshold rules.
+void t4_extend_overlap(const int32_t* w, const char* r, int read_len,
+                       int seq_len, int read_start, int read_end,
+                       int seq_start, int seq_end, int64_t* out8) {
+  static thread_local std::vector<int8_t> buf;
+  int64_t ret = 1;
+  int64_t left = read_start < seq_start ? read_start : seq_start;
+  int64_t match_cnt = 0, mismatch_cnt = 0, indel_cnt = 0;
+
+  buf.resize((size_t)(2 * left + 2 + 4));
+  int n1 = 0;
+  t4_global_alignment_posweight(w + 4 * (seq_start - left), (int)left,
+                                r + (read_start - left), (int)left,
+                                buf.data(), &n1);
+  for (int i = 0; i < n1; i++) {
+    if (buf[i] == 0)
+      match_cnt++;
+    else if (buf[i] == 1)
+      mismatch_cnt++;
+    else
+      indel_cnt++;
+  }
+  if (indel_cnt > 0) {
+    left = 0;
+    ret = 0;
+  }
+  int64_t good_left = 0;
+  {
+    int64_t tmp_match = 0;
+    int64_t k = 1;
+    for (int idx = n1 - 1; idx >= 0; idx--) {
+      int8_t a = buf[idx];
+      if (a == 0) {
+        tmp_match++;
+        if ((double)tmp_match > 0.75 * (double)k) good_left = k;
+      } else if (a != 1) {
+        break;
+      }
+      k++;
+    }
+  }
+
+  int64_t right_a = read_len - 1 - read_end;
+  int64_t right_b = seq_len - 1 - seq_end;
+  int64_t right = right_a < right_b ? right_a : right_b;
+  buf.resize((size_t)(2 * right + 2 + 4));
+  int n2 = 0;
+  t4_global_alignment_posweight(w + 4 * (seq_end + 1), (int)right,
+                                r + (read_end + 1), (int)right, buf.data(),
+                                &n2);
+  int64_t old_indel = indel_cnt;
+  for (int i = 0; i < n2; i++) {
+    if (buf[i] == 0)
+      match_cnt++;
+    else if (buf[i] == 1)
+      mismatch_cnt++;
+    else
+      indel_cnt++;
+  }
+  if (indel_cnt > old_indel) {
+    right = 0;
+    ret = 0;
+  }
+  int64_t good_right = 0;
+  {
+    int64_t tmp_match = 0;
+    for (int idx = 0; idx < n2; idx++) {
+      int8_t a = buf[idx];
+      if (a == 0) {
+        tmp_match++;
+        if ((double)tmp_match > 0.75 * (double)(idx + 1)) good_right = idx + 1;
+      } else if (a != 1) {
+        break;
+      }
+    }
+  }
+
+  out8[0] = ret;
+  out8[1] = left;
+  out8[2] = right;
+  out8[3] = good_left;
+  out8[4] = good_right;
+  out8[5] = match_cnt;
+  out8[6] = mismatch_cnt;
+  out8[7] = indel_cnt;
+}
+
 }  // extern "C"
