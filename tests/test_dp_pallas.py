@@ -25,9 +25,16 @@ def _rand_pairs(rng, n, lo=20, hi=120):
     return pairs
 
 
+import jax
+
+# On a real device the kernel compiles; on CPU it runs in the (slow)
+# pallas interpreter, so shrink the corpus there.
+_ON_DEVICE = jax.default_backend() in ("tpu", "axon")
+
+
 def test_pallas_matches_xla_random():
     rng = np.random.default_rng(3)
-    pairs = _rand_pairs(rng, 192)
+    pairs = _rand_pairs(rng, 192 if _ON_DEVICE else 16, hi=120 if _ON_DEVICE else 60)
     W = 32
     tmax = max(len(t) for t, _ in pairs)
     pmax = max(len(p) for _, p in pairs)
@@ -40,7 +47,7 @@ def test_pallas_matches_xla_random():
 
 def test_pallas_matches_host_oracle():
     rng = np.random.default_rng(7)
-    pairs = _rand_pairs(rng, 32, lo=15, hi=60)
+    pairs = _rand_pairs(rng, 32 if _ON_DEVICE else 6, lo=15, hi=60 if _ON_DEVICE else 40)
     W = 32
     tmax = max(len(t) for t, _ in pairs)
     pmax = max(len(p) for _, p in pairs)
