@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 from trust4_tpu.align import host as align_host
+from trust4_tpu.align import native as align_native
 from trust4_tpu.dna import revcomp
 from trust4_tpu.engine.types import Overlap
 from trust4_tpu.ops.kmer import kmer_codes
@@ -533,12 +534,10 @@ class OverlapMixin:
         extension; the longest >75%-match prefix survives as the "good"
         extension (reference: ExtendOverlap).
         """
-        from trust4_tpu.align import native as _xo_native
-
         w = seq.pos_weight
-        if _xo_native.available() and w is not None:
+        if align_native.available() and w is not None:
             (ret, left, right, good_left, good_right, match_cnt,
-             mismatch_cnt, indel_cnt) = _xo_native.extend_overlap_core(
+             mismatch_cnt, indel_cnt) = align_native.extend_overlap_core(
                 w, r.encode("ascii"), length, seq.consensus_len,
                 overlap.read_start, overlap.read_end,
                 overlap.seq_start, overlap.seq_end,
@@ -854,12 +853,20 @@ class OverlapMixin:
         # >50 overlaps, see the best_novel guard below); worthwhile from
         # ~8 overlaps (below that the marshaling beats the FFI savings).
         chain_batch = None
-        from trust4_tpu.align import native as _chain_native
-
+        # Precompute is exact unless a dominance skip could fire: skips
+        # exist only for read_type==0 with >50 overlaps, and only ever
+        # apply to NOVEL-seq overlaps (the is_ref branch above them never
+        # skips), so all-ref overlap sets always qualify.
         if (
-            _chain_native.available()
-            and 8 <= overlap_cnt
-            and (read_type != 0 or overlap_cnt <= 50)
+            align_native.available()
+            and 2 <= overlap_cnt
+            and (
+                read_type != 0
+                or overlap_cnt <= 50
+                or not any(
+                    not self.seqs[o.seq_idx].is_ref for o in overlaps
+                )
+            )
             and all(o.coord_ref is not None for o in overlaps)
         ):
             import numpy as _npb
@@ -904,7 +911,7 @@ class OverlapMixin:
                      bo2.read_start, bo2.read_end)
                 )
             if batch_ok:
-                chain_batch = _chain_native.chain_score_batch(
+                chain_batch = align_native.chain_score_batch(
                     _npb.array(cptr_list, dtype=_npb.int64),
                     _npb.array(meta_flat, dtype=_npb.int32),
                     _npb.array(sptr_list, dtype=_npb.int64),
@@ -987,8 +994,6 @@ class OverlapMixin:
                     o.similarity = 0
                     continue
 
-            from trust4_tpu.align import native as _align_native
-
             if chain_batch is not None:
                 mc, mm, ind, sz, lowc = chain_batch[i]
                 match_cnt = mc
@@ -997,7 +1002,7 @@ class OverlapMixin:
                 if sz:
                     similarity = 0
                 native_low_complex = bool(lowc)
-            elif _align_native.available() and hit_cnt > 0:
+            elif align_native.available() and hit_cnt > 0:
                 # Native chain walk: identical accumulation incl. gap-fill
                 # DPs and break rules (native/align_kernels.cpp
                 # t4_chain_score).
@@ -1008,7 +1013,7 @@ class OverlapMixin:
                         sw.consensus_bytes_cache = cb
                 else:
                     cb = None
-                mc, mm, ind, sz, lowc = _align_native.chain_score2(
+                mc, mm, ind, sz, lowc = align_native.chain_score2(
                     hit_coords, kl, self.radius, self.nomatch_gap_limit,
                     sw.is_ref, cb,
                     None if sw.is_ref else sw.pos_weight,
@@ -1151,8 +1156,6 @@ class OverlapMixin:
     ) -> Tuple[int, int, int]:
         """Banded DP over the inter-anchor gap; returns (match, mismatch,
         indel) counts from the edit script."""
-        from trust4_tpu.align import native as align_native
-
         if align_native.available():
             if sw.is_ref:
                 return align_native.global_alignment_counts(
