@@ -859,7 +859,7 @@ class OverlapMixin:
         # skips), so all-ref overlap sets always qualify.
         if (
             align_native.available()
-            and 2 <= overlap_cnt
+            and 8 <= overlap_cnt
             and (
                 read_type != 0
                 or overlap_cnt <= 50
