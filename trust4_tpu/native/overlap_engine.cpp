@@ -171,7 +171,9 @@ void longest_increasing_subsequence(const std::vector<RC> &hits,
   for (int i = 1; i < size; i++) avg_diff += hits[i].a - hits[i].b;
   avg_diff /= size;
 
-  std::vector<int> top(size, 0), link(size, -1);
+  static thread_local std::vector<int> top, link;
+  top.assign(size, 0);
+  link.assign(size, -1);
   int ret = 1;
   for (int i = 1; i < size; i++) {
     const RC &hi = hits[i];
@@ -201,7 +203,8 @@ void longest_increasing_subsequence(const std::vector<RC> &hits,
     }
   }
 
-  std::vector<RC> lis;
+  static thread_local std::vector<RC> lis;
+  lis.clear();
   lis.reserve(ret);
   int k = top[ret - 1];
   for (int t = 0; t < ret; t++) {
@@ -210,7 +213,8 @@ void longest_increasing_subsequence(const std::vector<RC> &hits,
   }
   for (int a = 0, b = ret - 1; a < b; a++, b--) std::swap(lis[a], lis[b]);
 
-  std::vector<RC> out;
+  static thread_local std::vector<RC> out;
+  out.clear();
   out.reserve(ret);
   int i = 0;
   while (i < ret) {
@@ -254,7 +258,7 @@ void longest_increasing_subsequence(const std::vector<RC> &hits,
       }
     }
   }
-  out_lis = std::move(out);
+  out_lis = out;  // copy from the reused thread-local buffer
 }
 
 // ---- chain cleanup (overlap.py:148-210; SeqSet.hpp:502-568) --------------
@@ -406,7 +410,8 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
       }
     }
 
-    std::vector<Coord> hcd;
+    static thread_local std::vector<Coord> hcd;
+    hcd.clear();
     hcd.reserve(j - i);
     for (int k = i; k < j; k++)
       hcd.push_back({hits[k].read_off, hits[k].seq_off,
@@ -448,7 +453,8 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
         }
       }
 
-      std::vector<RC> concordant;
+      static thread_local std::vector<RC> concordant;
+      concordant.clear();
       concordant.reserve(e - s);
       for (int k = s; k < e; k++)
         concordant.push_back({hcd[k].read_off, hcd[k].seq_off});
@@ -458,7 +464,7 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
                     if (x.b != y.b) return x.b < y.b;
                     return x.a < y.a;
                   });
-      std::vector<RC> lis;
+      static thread_local std::vector<RC> lis;
       longest_increasing_subsequence(concordant, lis);
       if ((int)lis.size() * kl < hit_len_required) {
         s = e;
@@ -489,6 +495,7 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
 
       std::vector<RC> final_chain(lis.begin() + lis_start,
                                   lis.begin() + lis_end + 1);
+      // (final_chain is moved into the overlap below; keep it local)
       int hit_len = total_hit_length_on_a(final_chain, kl);
       if (hit_len < hit_len_required) {
         s = e;
