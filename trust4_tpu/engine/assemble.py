@@ -937,40 +937,42 @@ class AssembleMixin:
             w = sw.pos_weight
             cons = sw.consensus
             length = sw.consensus_len
-            cov = 0
-            even = True
-            for j in range(length):
-                cidx = nuc_num(cons[j])
-                broke = False
-                for k in range(4):
-                    if k == cidx:
-                        if w[j, k] == 0:
-                            broke = True
-                            break
-                        if j == 0:
-                            cov = int(w[j, k])
-                        elif int(w[j, k]) != cov:
-                            broke = True
-                            break
-                    elif w[j, k] != 0:
-                        broke = True
-                        break
-                if broke:
-                    even = False
-                    break
+            # Even-coverage test, vectorized (same verdict as the scalar
+            # scan: consensus column == cov everywhere, all other columns
+            # zero; a non-ACGTN base demands an all-zero row).
+            codes = seq_to_codes(cons).astype(np.int64)
+            valid = codes >= 0
+            sel = np.where(valid, codes, 0)
+            at = w[np.arange(length), sel].astype(np.int64)
+            row_sum = w.sum(axis=1, dtype=np.int64)
+            others = row_sum - np.where(valid, at, 0)
+            cov = int(at[0]) if length > 0 and valid[0] else 0
+            broke = np.where(
+                valid,
+                (at == 0) | (others != 0) | (at != cov),
+                row_sum != 0,
+            )
+            # empty consensus: the scalar loop never runs -> even
+            even = not bool(broke.any())
             if not even:
-                # Run-length quarter-slot compression (SeqSet.hpp:10883-10915).
-                out: List[int] = []
-                for j in range(length):
-                    row = w[j]
-                    nonzero = [int(x) for x in row if x > 0]
-                    if len(nonzero) != 1:
-                        out.extend(int(x) for x in row)
-                    else:
-                        out.append(-nonzero[0])
-                pad = (-len(out)) % 4
-                out.extend([0] * pad)
-                sw.pos_weight = np.array(out, dtype=np.int32)
+                # Run-length quarter-slot compression
+                # (SeqSet.hpp:10883-10915): rows with exactly one positive
+                # count collapse to -count; others emit all four ints.
+                single = (w > 0).sum(axis=1) == 1
+                lens = np.where(single, 1, 4)
+                offs = np.concatenate(
+                    [[0], np.cumsum(lens)]
+                ).astype(np.int64)
+                total = int(offs[-1])
+                pad = (-total) % 4
+                res = np.zeros(total + pad, dtype=np.int32)
+                if single.any():
+                    res[offs[:-1][single]] = -w.max(axis=1)[single]
+                quad = np.nonzero(~single)[0]
+                if len(quad):
+                    idx = offs[:-1][quad][:, None] + np.arange(4)
+                    res[idx] = w[quad]
+                sw.pos_weight = res
             else:
                 sw.num_read = cov
                 sw.pos_weight = np.zeros((0,), dtype=np.int32)
