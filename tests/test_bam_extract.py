@@ -49,3 +49,32 @@ def test_native_bam_reader_parity():
         assert ra.ref_segments() == rb.ref_segments()
         n += 1
     assert n == 908
+
+
+def test_barcoded_bam_pipeline(tmp_path):
+    """BAM input with --barcode CB --UMI UB aux tags: extraction and the
+    barcoded assembly/annotation chain match the reference goldens."""
+    import os
+
+    from trust4_tpu.pipeline.run import run_trust4
+
+    data = os.path.join(os.path.dirname(__file__), "data", "bambc")
+    prefix = str(tmp_path / "bb")
+    run_trust4(
+        "/root/reference/hg38_bcrtcr.fa",
+        "/root/reference/human_IMGT+C.fa",
+        bam_file=os.path.join(data, "bc.bam"),
+        output_prefix=prefix,
+        bam_barcode_field="CB",
+        bam_umi_field="UB",
+    )
+    for suffix, gold in (
+        ("_toassemble_bc.fa", "gold_bc.fa"),
+        ("_toassemble_umi.fa", "gold_umi.fa"),
+        ("_toassemble_1.fq", "gold_1.fq"),
+        ("_final.out", "gold_final.out"),
+        ("_cdr3.out", "gold_cdr3.out"),
+    ):
+        got = open(prefix + suffix).read()
+        want = open(os.path.join(data, gold)).read()
+        assert got == want, suffix
