@@ -1,21 +1,30 @@
-"""TPU candidate-read prefilter: the extraction hot path.
+"""TPU candidate-read prefilters for extraction.
 
 The reference tests every read against the V/D/J/C k-mer index one k-mer at
 a time on the CPU (SeqSet.hpp:3144-3327, HasHitInSet; FastqExtractor.cpp:129).
-On TPU we restructure this as a dense, batched membership sweep:
+Two conservative device formulations are provided (both are strict
+supersets of the exact filter, so the candidate set stays bit-identical
+after the exact host pass on survivors):
 
-* the germline DB (620 seqs, ~350kb) fits a full 4^k membership table for
-  k=9 (256K entries, uint8) — replicated per chip;
-* reads are 2-bit packed into fixed-shape (B, L) code tensors;
-* one gather per position per strand gives hit masks; a k-wide dilation and
-  row-sum produce each read's total hit coverage per strand — a conservative
-  upper bound on any single-(seq,strand) chain the exact filter could find.
+* ``prefilter_kernel``: dense 4^k membership gather + k-window coverage
+  reduction — the cheapest sweep, used as the scaling/demo unit;
+* ``seq_count_prefilter_kernel``: fixed-width postings gather + the
+  reference's own diagonal-cluster rule (hits grouped per (strand, seq)
+  by sorted diffs with adjacent gaps <= radius, SeqSet.hpp:889-919) —
+  the longest cluster bounds any exact chain from above.
 
-Reads whose coverage is below hitLenRequired can never pass the exact filter,
-so the TPU pass rejects the overwhelming majority (non-receptor reads) at
-HBM bandwidth, and only survivors run the exact host filter for bit-identical
-candidate sets.  No false negatives: coverage over all seqs/offsets is >= the
-per-seq chained hit length used by HasHitInSet.
+**Selectivity finding** (measured, see VALIDATION.md): at k=9 the
+350kb germline DB populates ~29% of the code space and its gene families
+share most k-mers, so random 100-mers genuinely accumulate 3+ clustered
+hits per seq — NO counting/cluster prescreen short of the full
+LIS+coverage computation rejects bulk-RNA-seq negatives at the default
+hitLen=23 (the reference itself runs the full filter on every read for
+the same reason).  The cluster kernel becomes selective once the
+required chain length grows: at long-read thresholds (hitLen>=50,
+n_min>=7) random reads are rejected at >99%.  The shipping bulk
+extraction therefore uses the native exact filter
+(pipeline/extract_native.py); ``--tpuPrefilter`` applies the cluster
+kernel first, which is profitable for long-read/high-threshold data.
 """
 
 from __future__ import annotations
@@ -109,6 +118,109 @@ def prefilter_kernel(
     return jnp.maximum(fwd_cov, rc_cov) >= hit_len_required
 
 
+def build_posting_tables(seqs: List[str], k: int, pmax: int = 16):
+    """Fixed-width postings layout for the device per-seq-count filter.
+
+    For every 4^k code: up to ``pmax`` postings packed as
+    ``seq_id * 2**16 + (offset + 1)`` (0 = empty) plus an overflow flag
+    for codes with more postings (handled as conservative wildcards).
+    A second table with the same layout is indexed by the
+    reverse-complement code, serving the RC-strand scan.
+    """
+    size = 1 << (2 * k)
+    post = np.zeros((size, pmax), dtype=np.int32)
+    fill = np.zeros(size, dtype=np.int32)
+    overflow = np.zeros(size, dtype=bool)
+    for sid, s in enumerate(seqs):
+        if len(s) < k:
+            continue
+        codes, valid = kmer_codes(s, k)
+        for w in range(len(codes)):
+            if not valid[w]:
+                continue
+            c = int(codes[w])
+            n = fill[c]
+            if n < pmax:
+                post[c, n] = sid * 65536 + (w + 1)
+                fill[c] = n + 1
+            else:
+                overflow[c] = True
+
+    # rc view: rc_post[c] = post[revcomp(c)]
+    codes = np.arange(size, dtype=np.uint64)
+    rc = np.zeros(size, dtype=np.uint64)
+    for i in range(k):
+        base = (codes >> np.uint64(2 * i)) & np.uint64(3)
+        rc |= (np.uint64(3) - base) << np.uint64(2 * (k - 1 - i))
+    rc_post = post[rc]
+    rc_overflow = overflow[rc]
+    return post, overflow, rc_post, rc_overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hit_len_required", "k", "radius")
+)
+def seq_count_prefilter_kernel(
+    codes: jnp.ndarray,        # (B, W) int32 window codes
+    valid: jnp.ndarray,        # (B, W) bool
+    post: jnp.ndarray,         # (4^k, PMAX) int32 packed postings
+    overflow: jnp.ndarray,     # (4^k,) bool
+    rc_post: jnp.ndarray,
+    rc_overflow: jnp.ndarray,
+    k: int,
+    hit_len_required: int,
+    radius: int = 10,
+) -> jnp.ndarray:
+    """Per-read candidate mask via the reference's own diagonal-cluster
+    rule: HasHitInSet chains live inside one (strand, seq) group of hits
+    whose diffs (readOffset - seqOffset), sorted, have adjacent gaps
+    <= radius (SeqSet.hpp:889-919).  The device test finds the longest
+    such run per read; any exact chain is a sub-run, so
+    maxrun >= n_min is a strict superset of the exact filter.
+    Overflow-code windows count as wildcards toward every group."""
+    # Minimum hits any passing chain must contain: n hits cover at most
+    # (n-1)*(k-1) + k read positions (runs break beyond k-1 spacing), so
+    # coverage >= hitLen forces n >= (hitLen-k)/(k-1) + 1.
+    if hit_len_required <= k:
+        need = 1
+    else:
+        need = -(-(hit_len_required - k) // (k - 1)) + 1
+
+    w_idx = jnp.arange(codes.shape[1], dtype=jnp.int32)[None, :, None]
+
+    def strand_max_run(tbl, ovf):
+        entries = tbl[codes]                       # (B, W, PMAX)
+        live = (entries > 0) & valid[:, :, None]
+        seqs = entries >> 16
+        offs = (entries & 0xFFFF) - 1
+        diff = w_idx - offs + 2048                 # keep positive
+        key = seqs * jnp.int32(1 << 13) + diff     # diff < 8192
+        key = jnp.where(live, key, jnp.int32(1 << 30))
+        b, w, p = key.shape
+        flat = jnp.sort(key.reshape(b, w * p), axis=1)
+        fseq = flat >> 13
+        fdiff = flat & (jnp.int32(1 << 13) - 1)
+        prev_seq = jnp.concatenate(
+            [jnp.full((b, 1), -1, fseq.dtype), fseq[:, :-1]], axis=1
+        )
+        prev_diff = jnp.concatenate(
+            [jnp.full((b, 1), -(1 << 12), fdiff.dtype), fdiff[:, :-1]],
+            axis=1,
+        )
+        start = (fseq != prev_seq) | (fdiff - prev_diff > radius)
+        idx = jnp.arange(w * p, dtype=jnp.int32)[None, :]
+        last_start = jax.lax.cummax(jnp.where(start, idx, -1), axis=1)
+        runlen = idx - last_start + 1
+        runlen = jnp.where(flat < (1 << 30), runlen, 0)
+        wild = jnp.sum((ovf[codes] & valid).astype(jnp.int32), axis=1)
+        return jnp.max(runlen, axis=1) + wild
+
+    best = jnp.maximum(
+        strand_max_run(post, overflow), strand_max_run(rc_post, rc_overflow)
+    )
+    return best >= need
+
+
 class NumpyPrefilter:
     """Host fallback of the same conservative membership sweep (no device,
     no transfer latency).  Used by default in extraction so the exact
@@ -147,14 +259,21 @@ class NumpyPrefilter:
 
 
 class TpuPrefilter:
-    """Stateful wrapper: build tables once, stream read batches."""
+    """Stateful wrapper: build tables once, stream read batches.
 
-    def __init__(self, ref_seqs: List[str], k: int = 9, hit_len_required: int = 27):
+    Uses the diagonal-cluster kernel (tighter of the two conservative
+    formulations; see module docstring)."""
+
+    def __init__(self, ref_seqs: List[str], k: int = 9, hit_len_required: int = 27,
+                 radius: int = 10):
         self.k = k
         self.hit_len_required = hit_len_required
-        fwd, rc = build_membership_tables(ref_seqs, k)
-        self.fwd_table = jnp.asarray(fwd)
-        self.rc_table = jnp.asarray(rc)
+        self.radius = radius
+        post, ovf, rc_post, rc_ovf = build_posting_tables(ref_seqs, k)
+        self.post = jnp.asarray(post)
+        self.overflow = jnp.asarray(ovf)
+        self.rc_post = jnp.asarray(rc_post)
+        self.rc_overflow = jnp.asarray(rc_ovf)
 
     def __call__(
         self, reads: List[str], pad_len: int = 512, fixed_batch: int = 0
@@ -171,12 +290,15 @@ class TpuPrefilter:
             reads = list(reads) + [""] * (fixed_batch - n)
         mat = pack_reads(reads, pad_len)
         codes, valid = window_codes_batch(mat, self.k)
-        mask = prefilter_kernel(
+        mask = seq_count_prefilter_kernel(
             jnp.asarray(codes),
             jnp.asarray(valid),
-            self.fwd_table,
-            self.rc_table,
+            self.post,
+            self.overflow,
+            self.rc_post,
+            self.rc_overflow,
             self.k,
             self.hit_len_required,
+            self.radius,
         )
         return np.asarray(mask)[:n]
