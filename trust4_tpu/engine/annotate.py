@@ -14,6 +14,7 @@ import numpy as np
 
 from trust4_tpu.align import host as align_host
 from trust4_tpu.dna import dna_to_aa, revcomp
+from trust4_tpu.utils.cxxsort import cxx_sort
 from trust4_tpu.engine.types import Overlap
 
 EDIT_MATCH, EDIT_MISMATCH, EDIT_INSERT, EDIT_DELETE = 0, 1, 2, 3
@@ -224,7 +225,10 @@ class AnnotateMixin:
             for o in ovs:
                 o.read_start += a
                 o.read_end += a
-            ovs.sort(key=lambda o: o.sort_key())
+            # std::sort (unstable): full-key ties between duplicate
+            # cross-contig entries are ordered by libstdc++'s introsort,
+            # which decides infoFromHits-based admissions downstream.
+            cxx_sort(ovs, lambda x, y: x.sort_key() < y.sort_key())
             contig_overlaps.append(ovs)
 
         # Cross-contig overlap stitching (SeqSet.hpp:6070-6165).
@@ -235,6 +239,10 @@ class AnnotateMixin:
             for k in range(contig_cnt):
                 seq_used = {}
                 ovs = extended_overlaps[k]
+                # Reference quirk (SeqSet.hpp:6081): extendedTimes is
+                # declared per CONTIG, so once any entry extends, every
+                # later entry in this contig marks seqUsed too.
+                extended_times = 0
                 for i in range(len(ovs)):
                     if seq_used.get(ovs[i].seq_idx) is not None or ovs[i].similarity < 0.95:
                         continue
@@ -242,7 +250,6 @@ class AnnotateMixin:
                         ovs[i].read_end - ovs[i].read_start + 1
                         + ovs[i].seq_end - ovs[i].seq_start + 1
                     )
-                    extended_times = 0
                     for j in range(k - 1, -1, -1):
                         extended = False
                         for o in contig_overlaps[j]:
@@ -295,7 +302,7 @@ class AnnotateMixin:
         overlaps: List[Overlap] = []
         for ovs in contig_overlaps:
             overlaps.extend(ovs)
-        overlaps.sort(key=lambda o: o.sort_key())
+        cxx_sort(overlaps, lambda x, y: x.sort_key() < y.sort_key())
         overlap_cnt = len(overlaps)
 
         gene_similarity = [0.8, 0.8, 0.8, 0.8]
@@ -681,7 +688,7 @@ class AnnotateMixin:
                             o.match_cnt += 2 * match_len
                             o.similarity = o.match_cnt / (tmp + 2 * match_len)
 
-        all_overlaps.sort(key=lambda o: o.sort_key())
+        cxx_sort(all_overlaps, lambda x, y: x.sort_key() < y.sort_key())
         for i in range(4):
             gene_overlap[i] = Overlap()
             gene_overlap[i].seq_idx = -1
