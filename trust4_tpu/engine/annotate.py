@@ -228,7 +228,11 @@ class AnnotateMixin:
             # std::sort (unstable): full-key ties between duplicate
             # cross-contig entries are ordered by libstdc++'s introsort,
             # which decides infoFromHits-based admissions downstream.
-            cxx_sort(ovs, lambda x, y: x.sort_key() < y.sort_key())
+            # Keys are precomputed; the tie permutation depends only on
+            # comparator outcomes, so pair-sorting is equivalent.
+            keyed = [(o.sort_key(), o) for o in ovs]
+            cxx_sort(keyed, lambda x, y: x[0] < y[0])
+            ovs[:] = [o for _, o in keyed]
             contig_overlaps.append(ovs)
 
         # Cross-contig overlap stitching (SeqSet.hpp:6070-6165).
@@ -302,7 +306,9 @@ class AnnotateMixin:
         overlaps: List[Overlap] = []
         for ovs in contig_overlaps:
             overlaps.extend(ovs)
-        cxx_sort(overlaps, lambda x, y: x.sort_key() < y.sort_key())
+        keyed = [(o.sort_key(), o) for o in overlaps]
+        cxx_sort(keyed, lambda x, y: x[0] < y[0])
+        overlaps = [o for _, o in keyed]
         overlap_cnt = len(overlaps)
 
         gene_similarity = [0.8, 0.8, 0.8, 0.8]
@@ -688,7 +694,9 @@ class AnnotateMixin:
                             o.match_cnt += 2 * match_len
                             o.similarity = o.match_cnt / (tmp + 2 * match_len)
 
-        cxx_sort(all_overlaps, lambda x, y: x.sort_key() < y.sort_key())
+        keyed = [(o.sort_key(), o) for o in all_overlaps]
+        cxx_sort(keyed, lambda x, y: x[0] < y[0])
+        all_overlaps[:] = [o for _, o in keyed]
         for i in range(4):
             gene_overlap[i] = Overlap()
             gene_overlap[i].seq_idx = -1

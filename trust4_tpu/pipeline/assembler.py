@@ -912,7 +912,7 @@ class Assembler:
                 if sw.pos_weight_compressed:
                     w = seq_set.decompress_pos_weight(sw.consensus, w)
                 for k in range(4):
-                    fp.write(" ".join(str(int(x)) for x in w[:, k]) + " \n")
+                    fp.write(" ".join(map(str, w[:, k].tolist())) + " \n")
             else:
                 from trust4_tpu.dna import nuc_num
 
