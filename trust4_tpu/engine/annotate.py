@@ -423,7 +423,7 @@ class AnnotateMixin:
         g3 = gene_overlap[3]
         if (
             g3.seq_idx != -1
-            and g3.read_end - g3.read_start + 1 <= length / 2
+            and g3.read_end - g3.read_start + 1 <= length // 2
             and g3.read_end - g3.read_start + 1 <= 50
         ):
             hit = -1

@@ -62,12 +62,14 @@ def is_low_complexity(seq: str) -> bool:
         else:
             cnt["ACGT".index(c)] += 1
     n = len(seq)
+    # C integer division (main.cpp:195): i/2 truncates, so e.g. 37 of 75
+    # bases IS low-complexity.
     if (
-        cnt[0] >= n / 2
-        or cnt[1] >= n / 2
-        or cnt[2] >= n / 2
-        or cnt[3] >= n / 2
-        or cnt[4] >= n / 10
+        cnt[0] >= n // 2
+        or cnt[1] >= n // 2
+        or cnt[2] >= n // 2
+        or cnt[3] >= n // 2
+        or cnt[4] >= n // 10
     ):
         return True
     low = sum(1 for i in range(4) if cnt[i] <= 2)
