@@ -1910,6 +1910,7 @@ class AnnotateMixin:
         """Splice germline sequence to complete a partial TCR CDR3
         (SeqSet.hpp:5851-5903).  Returns the new consensus or None."""
         seqs = self.seqs
+        self._impute_masked_leak = None
         g0, g2 = gene_overlap[0], gene_overlap[2]
         if (
             cdr[2].seq_idx == -1
@@ -2038,6 +2039,12 @@ class AnnotateMixin:
             for j in range(contigs[i][1] + 1, contigs[i + 1][0]):
                 chars[j] = "M"
         masked = "".join(chars)
+        # Reference quirk (SeqSet.hpp:5510 vs 5564/5646): the gap bases
+        # were changed to 'M' IN PLACE on the consensus buffer, and two
+        # early-return paths skip the N-restore — leaking 'M's into the
+        # stored consensus permanently.  We record the masked string so the
+        # caller can adopt it on those paths.
+        self._impute_masked_leak = None
 
         v_anchor_in_gap = False
         j_anchor_in_gap = False
@@ -2074,6 +2081,7 @@ class AnnotateMixin:
                 )
                 if offset != -1:
                     if offset == 0:
+                        self._impute_masked_leak = masked
                         return None
                     seq_offset = offset + seq.info[2][0]
                     read_offset = cdr[2].read_start
@@ -2118,6 +2126,7 @@ class AnnotateMixin:
                     seq_offset = offset + match_len - 1
                     read_offset = cdr[2].read_end
                     if seq_offset == seq.info[2][0] + 2:
+                        self._impute_masked_leak = masked
                         return None
             else:
                 if j_anchor_in_gap:

@@ -223,6 +223,13 @@ class Annotator:
             )
             if new_consensus is not None:
                 self._set_seq_consensus(i, new_consensus)
+            elif getattr(ref_set, "_impute_masked_leak", None) is not None:
+                # Reference quirk: a failed anchor imputation can leave the
+                # consensus buffer M-masked in place (SeqSet.hpp:5510 with
+                # the 5564/5646 early returns skipping the restore).
+                seq_set.seqs[i].consensus = ref_set._impute_masked_leak
+                seq_set.seqs[i].consensus_bytes_cache = None
+                seq_set.seqs[i].ptr_cache = None
         return ann
 
     def annotate_all(self) -> None:
