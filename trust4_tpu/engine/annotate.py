@@ -20,6 +20,23 @@ from trust4_tpu.engine.types import Overlap
 EDIT_MATCH, EDIT_MISMATCH, EDIT_INSERT, EDIT_DELETE = 0, 1, 2, 3
 
 
+def overlaps_from_g8(rows, sims) -> List[Overlap]:
+    """Build gene_overlap[4] from a native annotate0 (4,8)+(4,) result."""
+    out = []
+    for g in range(4):
+        r8 = rows[g]
+        out.append(
+            Overlap(
+                seq_idx=int(r8[0]), read_start=int(r8[1]),
+                read_end=int(r8[2]), strand=int(r8[3]),
+                seq_start=int(r8[4]), seq_end=int(r8[5]),
+                match_cnt=int(r8[6]), indel_cnt=int(r8[7]),
+                similarity=float(sims[g]),
+            )
+        )
+    return out
+
+
 class AnnotateMixin:
     # ------------------------------------------------------------------
     # Contig intervals (SeqSet.hpp:5289-5331)
@@ -200,9 +217,58 @@ class AnnotateMixin:
         detail_level: int,
         secondary_gene_overlaps: Optional[List[Overlap]] = None,
     ):
-        """Returns (ret, gene_overlap[4], cdr[3], read) — read may be
-        modified by detail>=1 gap handling in the reference; we return it
-        unchanged (M-masking is internal)."""
+        """Returns (ret, gene_overlap[4], cdr[3]).
+
+        Detail-0 (quick annotation) runs natively end-to-end
+        (native/overlap_engine.cpp annotate_detail0); the host code in
+        _annotate_read_host is the oracle (TRUST4_TPU_SCORED=0 forces it,
+        TRUST4_TPU_SCORED_CHECK=1 runs both and asserts field equality)."""
+        if detail_level == 0:
+            import os as _os
+
+            scored_on = _os.environ.get("TRUST4_TPU_SCORED", "1") != "0"
+            check = _os.environ.get("TRUST4_TPU_SCORED_CHECK", "0") == "1"
+            nat = self._native_sync() if scored_on else None
+            if nat is not None:
+                rows, sims = nat.annotate0(
+                    read, self.radius, self.hit_len_required,
+                    self.is_long_seq_set, self.nomatch_gap_limit,
+                    self.novel_seq_similarity, self.ref_seq_similarity,
+                    self.repeat_similarity, self.gap_n,
+                )
+                go = overlaps_from_g8(rows, sims)
+                if check:
+                    ret_h, go_h, cdr_h = self._annotate_read_host(
+                        read, 0, secondary_gene_overlaps
+                    )
+                    got = [
+                        (o.seq_idx, o.read_start, o.read_end, o.strand,
+                         o.seq_start, o.seq_end, o.match_cnt, o.indel_cnt,
+                         o.similarity)
+                        for o in go_h
+                    ]
+                    want = [
+                        (o.seq_idx, o.read_start, o.read_end, o.strand,
+                         o.seq_start, o.seq_end, o.match_cnt, o.indel_cnt,
+                         o.similarity)
+                        for o in go
+                    ]
+                    assert got == want, (
+                        f"annotate0 mismatch for {read[:40]}...: "
+                        f"host={got} native={want}"
+                    )
+                    return ret_h, go_h, cdr_h
+                return 1, go, [Overlap() for _ in range(3)]
+        return self._annotate_read_host(
+            read, detail_level, secondary_gene_overlaps
+        )
+
+    def _annotate_read_host(
+        self,
+        read: str,
+        detail_level: int,
+        secondary_gene_overlaps: Optional[List[Overlap]] = None,
+    ):
         from trust4_tpu.engine.seqset import get_gene_type
 
         gene_overlap = [Overlap() for _ in range(4)]

@@ -200,6 +200,7 @@ class AssembleMixin:
     def clean(self, remove_ref_seq: bool) -> None:
         """Compact seqs and rebuild the index (SeqSet.hpp:4591-4622)."""
         self.seq_index.clear()
+        self._native_reset()  # seq indices change below
         kept: List[SeqWrapper] = []
         for sw in self.seqs:
             if sw is None or sw.consensus is None:

@@ -707,6 +707,78 @@ class OverlapMixin:
         overlaps: List[Overlap],
         puse: Optional[List[bool]] = None,
     ) -> int:
+        """Dispatch: fully-native scored query (default) with the host
+        implementation as oracle (TRUST4_TPU_SCORED=0 forces host,
+        TRUST4_TPU_SCORED_CHECK=1 runs both and asserts equality)."""
+        import os as _os
+
+        import numpy as _np
+
+        scored_on = _os.environ.get("TRUST4_TPU_SCORED", "1") != "0"
+        check = _os.environ.get("TRUST4_TPU_SCORED_CHECK", "0") == "1"
+        nat = self._native_sync() if scored_on else None
+        if nat is None:
+            return self._gofr_host(
+                read, strand, barcode, read_type, skip_repeats, overlaps,
+                puse,
+            )
+        puse_arr = (
+            _np.asarray(puse, dtype=_np.uint8) if puse is not None else None
+        )
+        n, rows, sims = nat.query_scored(
+            read, strand, barcode, read_type, skip_repeats, puse_arr,
+            self.radius, self.hit_len_required, self.is_long_seq_set,
+            self.nomatch_gap_limit, self.novel_seq_similarity,
+            self.ref_seq_similarity, self.repeat_similarity,
+        )
+        res: List[Overlap] = []
+        if n > 0:
+            flat = rows[:n].tolist()
+            fsims = sims[:n].tolist()
+            for i in range(n):
+                r9 = flat[i]
+                res.append(
+                    Overlap(
+                        seq_idx=r9[0], read_start=r9[1], read_end=r9[2],
+                        strand=r9[3], seq_start=r9[4], seq_end=r9[5],
+                        match_cnt=r9[6], indel_cnt=r9[7],
+                        similarity=fsims[i], info_from_hits=r9[8],
+                    )
+                )
+        if check:
+            host: List[Overlap] = []
+            host_n = self._gofr_host(
+                read, strand, barcode, read_type, skip_repeats, host, puse
+            )
+            got = [
+                (o.seq_idx, o.read_start, o.read_end, o.strand, o.seq_start,
+                 o.seq_end, o.match_cnt, o.indel_cnt, o.similarity,
+                 o.info_from_hits)
+                for o in host
+            ]
+            want = [
+                (o.seq_idx, o.read_start, o.read_end, o.strand, o.seq_start,
+                 o.seq_end, o.match_cnt, o.indel_cnt, o.similarity,
+                 o.info_from_hits)
+                for o in res
+            ]
+            assert got == want and max(host_n, 0) == max(n, 0), (
+                f"scored-query mismatch for read {read[:40]}...: "
+                f"host_n={host_n} nat_n={n} host={got[:3]} nat={want[:3]}"
+            )
+        overlaps.extend(res)
+        return n if n < 0 else len(res)
+
+    def _gofr_host(
+        self,
+        read: str,
+        strand: int,
+        barcode: int,
+        read_type: int,
+        skip_repeats: bool,
+        overlaps: List[Overlap],
+        puse: Optional[List[bool]] = None,
+    ) -> int:
         kl = self.kmer_length
         length = len(read)
         if length < kl:

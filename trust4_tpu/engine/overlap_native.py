@@ -75,6 +75,39 @@ def _load():
         c_int, _i32p, c_int, _i32p, c_int, _i32p,
     ]
     lib.t4o_stats.argtypes = [ctypes.c_void_p, _i64p]
+    # scored-query engine (full GetOverlapsFromRead + annotate0 + assign)
+    _f64p = ctypes.POINTER(ctypes.c_double)
+    c_dbl = ctypes.c_double
+    lib.t4o_reg_seq.argtypes = [
+        ctypes.c_void_p, c_int, c_int, c_int, c_char_p, c_int, c_char_p,
+        c_int, _i32p, c_int,
+    ]
+    lib.t4o_clear_seqs.argtypes = [ctypes.c_void_p]
+    lib.t4o_reg_count.restype = c_int
+    lib.t4o_reg_count.argtypes = [ctypes.c_void_p]
+    lib.t4o_destroy_registry.argtypes = [ctypes.c_void_p]
+    lib.t4o_query_scored.restype = c_int
+    lib.t4o_query_scored.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int, _u8p,
+        c_int, c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p, _f64p, c_int,
+    ]
+    lib.t4o_annotate0.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int,
+        c_dbl, c_dbl, c_dbl, c_int, _i32p, _f64p,
+    ]
+    lib.t4o_annotate0_batch.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, c_int, c_int, c_int, c_int, c_int,
+        c_int, c_dbl, c_dbl, c_dbl, c_int, _i32p, _f64p,
+    ]
+    lib.t4o_assign_read.restype = c_int
+    lib.t4o_assign_read.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int, c_int,
+        c_int, c_dbl, c_dbl, c_dbl, _i32p, _f64p,
+    ]
+    lib.t4o_assign_batch.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, c_int, c_int, c_int,
+        c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p, _f64p, _i32p,
+    ]
     # canonical k-mer counter (t4kc_*)
     lib.t4kc_create.restype = ctypes.c_void_p
     lib.t4kc_create.argtypes = [c_int]
@@ -171,10 +204,17 @@ class NativeOverlapEngine:
         self._ov_buf = np.empty((self._CAP_OV, 9), dtype=np.int32)
         self._coord_buf = np.empty((self._CAP_COORDS, 2), dtype=np.int32)
         self._counts = np.empty(2, dtype=np.int32)
+        # scored-query output buffers (grown on demand)
+        self._sc_cap = 1 << 10
+        self._sc_i32 = np.empty((self._sc_cap, 9), dtype=np.int32)
+        self._sc_f64 = np.empty(self._sc_cap, dtype=np.float64)
+        # posWeight keepalives for registered seqs (sid -> ndarray)
+        self._pw_keep = {}
 
     def __del__(self):
         try:
             if getattr(self, "_h", None):
+                self._lib.t4o_destroy_registry(self._h)
                 self._lib.t4o_destroy(self._h)
                 self._h = None
         except Exception:
@@ -263,3 +303,145 @@ class NativeOverlapEngine:
                  pairs[coff : coff + ccnt], base + 8 * coff, ccnt)
             )
         return out
+
+    # --- scored-query engine (registry-backed) ---
+
+    def reg_seq(self, sid: int, is_ref: bool, barcode: int,
+                name: Optional[str], consensus: Optional[str],
+                pos_weight: Optional[np.ndarray], cdr3_anchor: int) -> None:
+        """Register/refresh one sequence record.  The posWeight pointer is
+        kept alive here; name/consensus are copied by the C++ side."""
+        nb = name.encode("ascii") if name is not None else None
+        cb = consensus.encode("ascii") if consensus is not None else None
+        if pos_weight is not None:
+            self._pw_keep[sid] = pos_weight
+            pw_ptr = pos_weight.ctypes.data_as(_i32p)
+        else:
+            self._pw_keep.pop(sid, None)
+            pw_ptr = ctypes.cast(None, _i32p)
+        self._lib.t4o_reg_seq(
+            self._h, sid, 1 if is_ref else 0, barcode,
+            nb, 0 if nb is None else len(nb),
+            cb, 0 if cb is None else len(cb),
+            pw_ptr, cdr3_anchor,
+        )
+
+    def clear_seqs(self) -> None:
+        self._lib.t4o_clear_seqs(self._h)
+        self._pw_keep.clear()
+
+    def query_scored(self, read: str, strand: int, barcode: int,
+                     read_type: int, skip_repeats: bool,
+                     puse: Optional[np.ndarray], radius: int,
+                     hit_len_required: int, is_long_seq_set: bool,
+                     nomatch_gap_limit: int, novel_sim: float,
+                     ref_sim: float, repeat_sim: float):
+        """Full GetOverlapsFromRead.  Returns (n, int32 rows (n,9),
+        similarities (n,)) — n<=0 means none/short-read."""
+        b = read.encode("ascii")
+        puse_p = (
+            puse.ctypes.data_as(_u8p) if puse is not None
+            else ctypes.cast(None, _u8p)
+        )
+        while True:
+            n = self._lib.t4o_query_scored(
+                self._h, b, len(b), strand, barcode, read_type,
+                1 if skip_repeats else 0, puse_p, radius, hit_len_required,
+                1 if is_long_seq_set else 0, nomatch_gap_limit,
+                novel_sim, ref_sim, repeat_sim,
+                self._sc_i32.ctypes.data_as(_i32p),
+                self._sc_f64.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)),
+                self._sc_cap,
+            )
+            if n != -2:
+                return n, self._sc_i32, self._sc_f64
+            self._sc_cap *= 4
+            self._sc_i32 = np.empty((self._sc_cap, 9), dtype=np.int32)
+            self._sc_f64 = np.empty(self._sc_cap, dtype=np.float64)
+
+    def annotate0(self, read: str, radius: int, hit_len_required: int,
+                  is_long_seq_set: bool, nomatch_gap_limit: int,
+                  novel_sim: float, ref_sim: float, repeat_sim: float,
+                  gap_n: int):
+        """Quick annotation (detail 0) of one read.  Returns
+        (int32 (4,8), float64 (4,))."""
+        b = read.encode("ascii")
+        out_i32 = np.empty((4, 8), dtype=np.int32)
+        out_f64 = np.empty(4, dtype=np.float64)
+        self._lib.t4o_annotate0(
+            self._h, b, len(b), radius, hit_len_required,
+            1 if is_long_seq_set else 0, nomatch_gap_limit,
+            novel_sim, ref_sim, repeat_sim, gap_n,
+            out_i32.ctypes.data_as(_i32p),
+            out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out_i32, out_f64
+
+    def annotate0_batch(self, reads, n_threads: int, radius: int,
+                        hit_len_required: int, is_long_seq_set: bool,
+                        nomatch_gap_limit: int, novel_sim: float,
+                        ref_sim: float, repeat_sim: float, gap_n: int):
+        """Quick annotation (detail 0) of many reads.  Returns
+        (int32 (n,4,8), float64 (n,4))."""
+        n = len(reads)
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        out_i32 = np.empty((n, 4, 8), dtype=np.int32)
+        out_f64 = np.empty((n, 4), dtype=np.float64)
+        self._lib.t4o_annotate0_batch(
+            self._h, blob, offs.ctypes.data_as(_i64p), n, n_threads,
+            radius, hit_len_required, 1 if is_long_seq_set else 0,
+            nomatch_gap_limit, novel_sim, ref_sim, repeat_sim, gap_n,
+            out_i32.ctypes.data_as(_i32p),
+            out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out_i32, out_f64
+
+    def assign_read(self, read: str, strand: int, barcode: int, radius: int,
+                    hit_len_required: int, is_long_seq_set: bool,
+                    nomatch_gap_limit: int, novel_sim: float,
+                    ref_sim: float, repeat_sim: float):
+        """AssignRead.  Returns (rc, int32 row (8,), sim) — rc 1 found,
+        0 none, -3 needs host fallback."""
+        b = read.encode("ascii")
+        out_i32 = np.empty(8, dtype=np.int32)
+        out_f64 = np.empty(1, dtype=np.float64)
+        rc = self._lib.t4o_assign_read(
+            self._h, b, len(b), strand, barcode, radius, hit_len_required,
+            1 if is_long_seq_set else 0, nomatch_gap_limit,
+            novel_sim, ref_sim, repeat_sim,
+            out_i32.ctypes.data_as(_i32p),
+            out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return rc, out_i32, float(out_f64[0])
+
+    def assign_batch(self, reads, strands, barcodes, n_threads: int,
+                     radius: int, hit_len_required: int,
+                     is_long_seq_set: bool, nomatch_gap_limit: int,
+                     novel_sim: float, ref_sim: float, repeat_sim: float):
+        """Batched AssignRead.  Returns (found (n,), int32 (n,8),
+        float64 (n,))."""
+        n = len(reads)
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        st = np.asarray(strands, dtype=np.int32)
+        bc = np.asarray(barcodes, dtype=np.int32)
+        out_i32 = np.empty((n, 8), dtype=np.int32)
+        out_f64 = np.empty(n, dtype=np.float64)
+        found = np.empty(n, dtype=np.int32)
+        self._lib.t4o_assign_batch(
+            self._h, blob, offs.ctypes.data_as(_i64p),
+            st.ctypes.data_as(_i32p), bc.ctypes.data_as(_i32p), n,
+            n_threads, radius, hit_len_required,
+            1 if is_long_seq_set else 0, nomatch_gap_limit,
+            novel_sim, ref_sim, repeat_sim,
+            out_i32.ctypes.data_as(_i32p),
+            out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            found.ctypes.data_as(_i32p),
+        )
+        return found, out_i32, out_f64

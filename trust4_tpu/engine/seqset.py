@@ -142,7 +142,12 @@ class SeqSet(
         if self.seq_index.native is not None:
             self.seq_index.native.set_kmer_len(kmer_length)
         self.prev_add_info = None
-        # barcode -> seq idx list isn't needed; reference scans
+        # Native scored-query registry state: seqs[0.._nat_synced) are
+        # registered with the C++ engine; _nat_dirty collects indices whose
+        # name/consensus/pos_weight/barcode were rebound since (see
+        # SeqWrapper.__setattr__).
+        self._nat_synced = 0
+        self._nat_dirty = set()
 
     def size(self) -> int:
         return len(self.seqs)
@@ -186,6 +191,58 @@ class SeqSet(
         self._native_meta_cache = (id(self.seqs), n, backing)
         # Contiguous prefix views: len() == n_seqs for the query layer.
         return (is_ref[:n], barcode[:n], seq_len[:n], name4[:n])
+
+    def _native_sync(self):
+        """Flush new/dirty seqs into the native scored-query registry.
+        Returns the native engine, or None when unavailable."""
+        nat = self.seq_index.native
+        if nat is None:
+            return None
+        n = len(self.seqs)
+        if self._nat_synced < n:
+            for i in range(self._nat_synced, n):
+                sw = self.seqs[i]
+                if sw is not None:
+                    object.__setattr__(sw, "_owner", self)
+                    object.__setattr__(sw, "_idx", i)
+                self._register_native_seq(nat, i)
+            self._nat_synced = n
+        if self._nat_dirty:
+            for i in self._nat_dirty:
+                if i < n:
+                    self._register_native_seq(nat, i)
+            self._nat_dirty.clear()
+        return nat
+
+    def _native_reset(self):
+        """Drop the native registry (seq indices change, e.g. clean())."""
+        nat = self.seq_index.native
+        if nat is not None:
+            nat.clear_seqs()
+        self._nat_synced = 0
+        self._nat_dirty.clear()
+
+    def _register_native_seq(self, nat, i: int) -> None:
+        sw = self.seqs[i]
+        if sw is None or sw.consensus is None:
+            nat.reg_seq(
+                i,
+                False if sw is None else sw.is_ref,
+                -1 if sw is None else sw.barcode,
+                None, None, None, -1,
+            )
+            return
+        pw = sw.pos_weight
+        if pw is not None:
+            if pw.ndim != 2:
+                pw = None  # compressed posWeight: never queried natively
+            elif pw.dtype != np.int32 or not pw.flags["C_CONTIGUOUS"]:
+                pw = np.ascontiguousarray(pw, dtype=np.int32)
+                object.__setattr__(sw, "pos_weight", pw)
+        nat.reg_seq(
+            i, sw.is_ref, sw.barcode, sw.name, sw.consensus, pw,
+            sw.info[2][0],
+        )
 
     def _fill_meta_row(self, i, is_ref, barcode, seq_len, name4):
         sw = self.seqs[i]

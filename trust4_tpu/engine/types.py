@@ -35,6 +35,19 @@ class SeqWrapper:
     # (invalidated by identity check against the live pos_weight array).
     ptr_cache: Optional[tuple] = None
 
+    def __setattr__(self, key, value):
+        # Native-registry dirty tracking: the scored-query engine
+        # (native/overlap_engine.cpp) holds per-seq copies of name/consensus
+        # and the posWeight pointer; any REBIND of these must re-register
+        # before the next native query.  In-place posWeight mutation keeps
+        # the pointer valid and needs no tracking.  _owner/_idx are set by
+        # SeqSet._native_sync at first registration.
+        object.__setattr__(self, key, value)
+        if key in _TRACKED_FIELDS:
+            owner = getattr(self, "_owner", None)
+            if owner is not None:
+                owner._nat_dirty.add(self._idx)
+
     @property
     def consensus_len(self) -> int:
         return len(self.consensus)
@@ -43,6 +56,9 @@ class SeqWrapper:
         if self.pos_weight is None:
             return 0
         return int(self.pos_weight.sum())
+
+
+_TRACKED_FIELDS = frozenset(("consensus", "pos_weight", "name", "barcode"))
 
 
 @dataclass

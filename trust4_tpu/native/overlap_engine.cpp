@@ -1011,3 +1011,1021 @@ void t4kc_stats_trim(void *h, const char *read, int len, const char *qual,
 }  // extern "C"
 
 }  // extern "C"
+
+// ===========================================================================
+// Scored query engine: the COMPLETE GetOverlapsFromRead (similarity pass,
+// dominance filters, low-complexity, core rescue, thresholds) plus the
+// detail-0 AnnotateRead (assembler quick annotation) and AssignRead, all
+// native.  Ports engine/overlap.py:700-1152, engine/annotate.py:87-497
+// (detail 0) and engine/assemble.py:1009-1032 semantics-identically
+// (reference: SeqSet.hpp:1508-2124, 6016-6576 detail-0 subset, 4632-4701,
+// 5160-5287).
+//
+// Per-seq data (name, consensus, posWeight pointer, CDR3 anchor) is
+// registered by Python (engine/overlap_native.py) whenever a sequence is
+// created or mutated; posWeight arrays are Python-owned numpy buffers whose
+// in-place mutations need no re-registration (the pointer is stable).
+//
+// DP primitives come from libt4align.so (linked; see Makefile).
+// ===========================================================================
+
+#include <atomic>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <map>
+#include <thread>
+
+extern "C" {
+int64_t t4_global_alignment_counts(const char* t, int lent, const char* p,
+                                   int lenp, int* out3);
+int64_t t4_global_alignment_posweight_counts(const int32_t* w, int lent,
+                                             const char* p, int lenp,
+                                             int* out3);
+void t4_extend_overlap(const int32_t* w, const char* r, int read_len,
+                       int seq_len, int read_start, int read_end,
+                       int seq_start, int seq_end, int64_t* out8);
+void t4_chain_score2(const int32_t* coords, int n_coords, int kl, int radius,
+                     int nomatch_gap_limit, int is_ref, const char* consensus,
+                     const int32_t* posweight, const char* r, int read_start,
+                     int read_end, int64_t* out);
+}
+
+namespace {
+
+// Registered per-seq record (mirror of engine/types.py SeqWrapper fields the
+// native paths read).
+struct SeqRec {
+  bool active = false;
+  bool is_ref = false;
+  int32_t barcode = -1;
+  int32_t cdr3_anchor = -1;  // info[2][0] for IMGT V refs
+  std::string name;
+  std::string consensus;
+  const int32_t* pw = nullptr;  // (L,4) int32, Python-owned
+};
+
+struct Engine2 {
+  std::vector<SeqRec> seqs;
+  // flat meta arrays for the query layer (kept in sync with seqs)
+  std::vector<int8_t> m_is_ref;
+  std::vector<int32_t> m_barcode;
+  std::vector<int32_t> m_seq_len;
+  std::vector<uint8_t> m_name4;
+};
+
+// One registry per engine handle; keyed by the Engine pointer.  (The Engine
+// struct is defined in an earlier anonymous namespace section; we keep the
+// registry in a side table to avoid touching its layout/ABI.)
+std::map<void*, Engine2> g_registries;
+
+Engine2& registry_for(void* h) { return g_registries[h]; }
+
+// Scored overlap: the final product of GetOverlapsFromRead.
+struct SOv {
+  int seq_idx = -1;
+  int read_start = -1, read_end = -1;
+  int strand = 1;  // +1/-1
+  int seq_start = -1, seq_end = -1;
+  int64_t match_cnt = 0;
+  int64_t indel_cnt = 0;
+  double similarity = 0.0;
+  int info_from_hits = 0;
+  std::vector<RC> coords;  // consumed internally; not exported
+};
+
+// Overlap::sort_key() (engine/types.py:78-91; reference SeqSet.hpp:103-127).
+inline bool sov_key_less(const SOv& a, const SOv& b) {
+  if (a.match_cnt != b.match_cnt) return a.match_cnt > b.match_cnt;
+  if (a.similarity != b.similarity) return a.similarity > b.similarity;
+  long sa = a.read_end - a.read_start, sb = b.read_end - b.read_start;
+  if (sa != sb) return sa > sb;
+  if (a.seq_idx != b.seq_idx) return a.seq_idx < b.seq_idx;
+  if (a.strand != b.strand) return a.strand < b.strand;
+  if (a.read_start != b.read_start) return a.read_start < b.read_start;
+  if (a.read_end != b.read_end) return a.read_end < b.read_end;
+  if (a.seq_start != b.seq_start) return a.seq_start < b.seq_start;
+  return a.seq_end < b.seq_end;
+}
+
+// sort_overlap_on_ref_key (engine/assemble.py:50-61; SeqSet.hpp:139-160).
+inline bool sov_ref_key_less(const SOv& a, const SOv& b) {
+  if (a.match_cnt != b.match_cnt) return a.match_cnt > b.match_cnt;
+  if (a.similarity != b.similarity) return a.similarity > b.similarity;
+  long sa = a.read_end - a.read_start, sb = b.read_end - b.read_start;
+  if (sa != sb) return sa > sb;
+  if (a.strand != b.strand) return a.strand < b.strand;
+  if (a.seq_start != b.seq_start) return a.seq_start < b.seq_start;
+  if (a.seq_end != b.seq_end) return a.seq_end < b.seq_end;
+  if (a.read_start != b.read_start) return a.read_start < b.read_start;
+  return a.read_end < b.read_end;
+}
+
+// Tuning parameters for one scored query (SeqSet tuning state).
+struct SConf {
+  int radius;
+  int hit_len_required;
+  bool is_long_seq_set;
+  int nomatch_gap_limit;
+  double novel_seq_similarity;
+  double ref_seq_similarity;
+  double repeat_similarity;
+};
+
+// is_overlap_substring_of (engine/overlap.py:673-694; SeqSet.hpp:1282-1308).
+bool sov_is_substring_of(const Engine2& R, const SOv& a, const SOv& b,
+                         bool strict, int max_mismatch) {
+  if (a.seq_idx == -1 || b.seq_idx == -1) return false;
+  if (a.read_start < b.read_start || a.read_end > b.read_end) return false;
+  if (strict && a.read_end - a.read_start == b.read_end - b.read_start)
+    return false;
+  int offset = a.read_start - b.read_start;
+  int mism = 0;
+  const std::string& ca = R.seqs[a.seq_idx].consensus;
+  const std::string& cb = R.seqs[b.seq_idx].consensus;
+  int j = b.seq_start + offset;
+  for (int i = a.seq_start; i <= a.seq_end; i++) {
+    if (j >= (int)cb.size() || ca[i] != cb[j]) mism++;
+    if (mism > max_mismatch) return false;
+    j++;
+  }
+  return true;
+}
+
+// Chain scoring + low-complexity via the libt4align entry point
+// (t4_chain_score2 — the exact code the host path runs), so the native and
+// host scored queries share one scoring implementation.
+void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
+                 const char* r, int64_t* out5) {
+  const SeqRec& s = R.seqs[o.seq_idx];
+  static thread_local std::vector<int32_t> flat;
+  flat.clear();
+  flat.reserve(o.coords.size() * 2);
+  for (const RC& p : o.coords) {
+    flat.push_back(p.a);
+    flat.push_back(p.b);
+  }
+  t4_chain_score2(flat.data(), (int)o.coords.size(), kl, C.radius,
+                  C.nomatch_gap_limit, s.is_ref ? 1 : 0,
+                  s.is_ref ? s.consensus.data() : nullptr,
+                  s.is_ref ? nullptr : s.pw, r, o.read_start, o.read_end,
+                  out5);
+}
+
+// The similarity/dominance pass (engine/overlap.py:808-1152; reference
+// SeqSet.hpp:1508-2124 post-chaining part).  `overlaps` arrive unsorted
+// from the hit/chain stage with similarity 0; `out` receives the final
+// thresholded list in order.
+void score_overlaps(const Engine2& R, const SConf& C, int kl,
+                    const char* read, int len, int read_type,
+                    std::vector<SOv>& overlaps) {
+  // Sort (overlap.py:808) — Python list.sort is stable.
+  std::stable_sort(overlaps.begin(), overlaps.end(), sov_key_less);
+  int overlap_cnt = (int)overlaps.size();
+
+  // Strand consistency filter (overlap.py:811-820).
+  {
+    std::vector<SOv> kept;
+    kept.reserve(overlap_cnt);
+    if (read_type == 0) {
+      kept.push_back(std::move(overlaps[0]));
+      for (int i = 1; i < overlap_cnt; i++)
+        if (overlaps[i].strand == kept[0].strand)
+          kept.push_back(std::move(overlaps[i]));
+    } else {
+      for (int i = 0; i < overlap_cnt; i++)
+        if (overlaps[i].strand == 1) kept.push_back(std::move(overlaps[i]));
+    }
+    overlaps = std::move(kept);
+    overlap_cnt = (int)overlaps.size();
+  }
+
+  std::string rc_read;
+  revcomp(read, len, rc_read);
+
+  int first_ref = -1;
+  int best_novel = -1;
+  std::vector<int> representatives;
+  int64_t out5[5];
+
+  for (int i = 0; i < overlap_cnt; i++) {
+    SOv& o = overlaps[i];
+    const char* r = o.strand == 1 ? read : rc_read.c_str();
+    o.info_from_hits = i;
+    const SeqRec& sw = R.seqs[o.seq_idx];
+
+    if (sw.is_ref) {
+      if (first_ref == -1) first_ref = i;
+    } else if (best_novel != -1 && read_type == 0 && overlap_cnt > 50) {
+      // Dominance skips vs the best novel overlap (overlap.py:941-995).
+      const SOv& bo = overlaps[best_novel];
+      if (bo.read_start == 0 && bo.read_end == len - 1) {
+        if (bo.similarity == 1) {
+          o.similarity = 0;
+          continue;
+        } else if (bo.similarity > C.repeat_similarity &&
+                   o.match_cnt < 0.9 * bo.match_cnt) {
+          o.similarity = 0;
+          continue;
+        }
+      }
+      if (bo.read_start + len - 1 - bo.read_end < C.radius) {
+        if (bo.similarity == 1 && o.match_cnt < 0.9 * bo.match_cnt) {
+          o.similarity = 0;
+          continue;
+        } else if ((bo.similarity > C.repeat_similarity ||
+                    C.is_long_seq_set) &&
+                   o.match_cnt < 0.8 * bo.match_cnt) {
+          o.similarity = 0;
+          continue;
+        }
+      }
+      int cons_len = (int)sw.consensus.size();
+      if (o.seq_start - o.read_start >= C.radius &&
+          o.seq_end + (len - 1 - o.read_end) + C.radius < cons_len &&
+          bo.match_cnt > 0.97 * (2 * len) &&
+          bo.similarity > C.repeat_similarity &&
+          o.match_cnt < 0.9 * bo.match_cnt) {
+        o.similarity = 0;
+        continue;
+      }
+      if (!representatives.empty() && C.is_long_seq_set) {
+        bool hit = false;
+        for (int rk : representatives) {
+          const SOv& ro = overlaps[rk];
+          if (o.read_start >= ro.read_start && o.read_end <= ro.read_end &&
+              (o.match_cnt < 0.8 * ro.match_cnt ||
+               sov_is_substring_of(R, o, ro, true, 1))) {
+            hit = true;
+            break;
+          }
+        }
+        if (hit) {
+          o.similarity = 0;
+          continue;
+        }
+      }
+      if (o.match_cnt < 0.4 * bo.match_cnt) {
+        o.similarity = 0;
+        continue;
+      }
+      if (overlap_cnt > 1000 && o.match_cnt < 0.9 * bo.match_cnt) {
+        o.similarity = 0;
+        continue;
+      }
+    }
+
+    score_chain(R, C, kl, o, r, out5);
+    int64_t match_cnt = out5[0];
+    int64_t indel_cnt = out5[2];
+    bool sim_zero = out5[3] != 0;
+    bool low_complex = out5[4] != 0;
+
+    o.match_cnt = match_cnt;
+    o.indel_cnt = indel_cnt;
+    if (!sim_zero)
+      o.similarity =
+          (double)match_cnt / (double)(o.seq_end - o.seq_start + 1 +
+                                       o.read_end - o.read_start + 1);
+    else
+      o.similarity = 0;
+    if (low_complex) o.similarity = 0;
+
+    if (!sw.is_ref && o.similarity > 0) {
+      if (best_novel == -1 || sov_key_less(o, overlaps[best_novel]))
+        best_novel = i;
+    }
+
+    // Core high-identity rescue (overlap.py:1101-1128; SeqSet.hpp:2037-2076).
+    if (!sw.is_ref && read_type == 1 &&
+        o.similarity < C.novel_seq_similarity) {
+      int hit_cnt = (int)o.coords.size();
+      int max_len = 0, max_s = 0, max_e = 0;
+      int j = 0;
+      while (j < hit_cnt) {
+        int k = j + 1;
+        while (k < hit_cnt) {
+          if (o.coords[k].a > o.coords[k - 1].a + kl - 1 ||
+              o.coords[k].a - o.coords[k].b !=
+                  o.coords[k - 1].a - o.coords[k - 1].b)
+            break;
+          k++;
+        }
+        int run_len = o.coords[k - 1].a - o.coords[j].a + kl;
+        if (run_len > max_len) {
+          max_len = run_len;
+          max_s = j;
+          max_e = k - 1;
+        }
+        j = k;
+      }
+      if (max_len >= C.hit_len_required) {
+        o.read_start = o.coords[max_s].a;
+        o.read_end = o.coords[max_e].a + kl - 1;
+        o.seq_start = o.coords[max_s].b;
+        o.seq_end = o.coords[max_e].b + kl - 1;
+        o.similarity = 1.0;
+        o.match_cnt = 2 * max_len;
+        o.indel_cnt = 0;
+      }
+    }
+
+    if (o.similarity > 0) {
+      bool contained = false;
+      for (int rk : representatives) {
+        const SOv& ro = overlaps[rk];
+        if (o.read_start >= ro.read_start && o.read_end <= ro.read_end) {
+          contained = true;
+          break;
+        }
+      }
+      if (!contained) representatives.push_back(i);
+    }
+  }
+
+  // Threshold filter (overlap.py:1143-1151).
+  std::vector<SOv> kept;
+  kept.reserve(overlap_cnt);
+  for (SOv& o : overlaps) {
+    const SeqRec& sw = R.seqs[o.seq_idx];
+    if (sw.is_ref) {
+      if (o.similarity < C.ref_seq_similarity) continue;
+    } else if (o.similarity < C.novel_seq_similarity) {
+      continue;
+    }
+    o.coords.clear();
+    kept.push_back(std::move(o));
+  }
+  overlaps = std::move(kept);
+}
+
+// Phase timing diagnostics (T4_PROF=1): cumulative nanoseconds per phase,
+// printed by t4o_annotate0_batch when enabled.
+std::atomic<int64_t> g_t_hits{0}, g_t_chain{0}, g_t_score{0}, g_t_rest{0};
+inline int64_t now_ns() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+bool prof_on() {
+  static int v = -1;
+  if (v == -1) {
+    const char* e = getenv("T4_PROF");
+    v = (e && e[0] == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
+
+// Full GetOverlapsFromRead: hits -> chains -> VJ rescue -> score
+// (engine/overlap.py:700-1152).  Returns overlap count (0 when none).
+int query_scored_core(Engine* E, Engine2& R, const SConf& C, const char* read,
+                      int len, int strand, int barcode, int read_type,
+                      bool skip_repeats, const uint8_t* puse,
+                      std::vector<SOv>& out) {
+  out.clear();
+  int kl = E->kmer_len;
+  if (len < kl) return -1;
+  int n_seqs = (int)R.seqs.size();
+  int skip_limit = kl / 2;
+  // Python: seqs[0] is not None and seqs[0].is_ref (released wrappers keep
+  // their is_ref flag), engine/overlap.py:237.
+  if (n_seqs > 0 && R.seqs[0].is_ref) skip_limit = 0;
+  int down_sample = 1;
+  if (len > 200 && C.is_long_seq_set) down_sample = 1 + len / 200;
+  Conf C0{C.radius, C.hit_len_required, C.is_long_seq_set, skip_limit,
+          down_sample};
+  Meta M{n_seqs, R.m_is_ref.data(), R.m_barcode.data(), R.m_seq_len.data(),
+         R.m_name4.data()};
+
+  bool prof = prof_on();
+  int64_t t0 = prof ? now_ns() : 0;
+  std::vector<Ov> overlaps;
+  std::vector<Hit> hits;
+  int overlap_cnt = 0;
+  if (skip_repeats && puse == nullptr) {
+    get_hits_from_read(*E, C0, M, read, len, strand, barcode, true, nullptr,
+                       hits);
+    sort_hits(hits, n_seqs);
+    overlap_cnt = get_overlaps_from_hits(kl, C0, M, hits, C.hit_len_required,
+                                         0, false, overlaps);
+    if (overlap_cnt == 0) overlaps.clear();
+  }
+  if (overlap_cnt == 0) {
+    get_hits_from_read(*E, C0, M, read, len, strand, barcode, false, puse,
+                       hits);
+    if (prof) {
+      int64_t t1 = now_ns();
+      g_t_hits += t1 - t0;
+      t0 = t1;
+    }
+    sort_hits(hits, n_seqs);
+    int filter_hits = read_type == 0 ? 1 : 0;
+    overlap_cnt = get_overlaps_from_hits(kl, C0, M, hits, C.hit_len_required,
+                                         filter_hits, read_type != 0,
+                                         overlaps);
+  }
+  if (overlap_cnt == 0)
+    overlap_cnt = get_vj_overlaps_from_hits(kl, C0, M, hits, overlaps);
+  if (prof) {
+    int64_t t1 = now_ns();
+    g_t_chain += t1 - t0;
+    t0 = t1;
+  }
+  if (overlap_cnt == 0) return 0;
+
+  out.reserve(overlaps.size());
+  for (Ov& o : overlaps) {
+    SOv s;
+    s.seq_idx = o.seq_idx;
+    s.read_start = o.read_start;
+    s.read_end = o.read_end;
+    s.strand = o.strand;
+    s.seq_start = o.seq_start;
+    s.seq_end = o.seq_end;
+    s.match_cnt = o.match_cnt;
+    s.indel_cnt = 0;
+    s.similarity = 0.0;
+    s.info_from_hits = 0;
+    s.coords = std::move(o.coords);
+    out.push_back(std::move(s));
+  }
+  score_overlaps(R, C, kl, read, len, read_type, out);
+  if (prof) g_t_score += now_ns() - t0;
+  return (int)out.size();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Register (or refresh) one sequence record.  consensus may be NULL for a
+// released seq; pw may be NULL for reference seqs.
+void t4o_reg_seq(void* h, int sid, int is_ref, int barcode, const char* name,
+                 int name_len, const char* consensus, int cons_len,
+                 const int32_t* pw, int cdr3_anchor) {
+  Engine2& R = registry_for(h);
+  if (sid >= (int)R.seqs.size()) {
+    R.seqs.resize(sid + 1);
+    R.m_is_ref.resize(sid + 1, 0);
+    R.m_barcode.resize(sid + 1, -1);
+    R.m_seq_len.resize(sid + 1, 0);
+    R.m_name4.resize(4 * (sid + 1), 0);
+  }
+  SeqRec& s = R.seqs[sid];
+  s.active = consensus != nullptr;
+  s.is_ref = is_ref != 0;
+  s.barcode = barcode;
+  s.cdr3_anchor = cdr3_anchor;
+  s.name.assign(name ? name : "", name ? name_len : 0);
+  s.consensus.assign(consensus ? consensus : "", consensus ? cons_len : 0);
+  s.pw = pw;
+  R.m_is_ref[sid] = is_ref ? 1 : 0;
+  R.m_barcode[sid] = barcode;
+  R.m_seq_len[sid] = s.active ? cons_len : 0;
+  for (int j = 0; j < 4; j++)
+    R.m_name4[4 * sid + j] =
+        (name && j < name_len) ? (uint8_t)name[j] : 0;
+}
+
+void t4o_clear_seqs(void* h) {
+  Engine2& R = registry_for(h);
+  R.seqs.clear();
+  R.m_is_ref.clear();
+  R.m_barcode.clear();
+  R.m_seq_len.clear();
+  R.m_name4.clear();
+}
+
+int t4o_reg_count(void* h) { return (int)registry_for(h).seqs.size(); }
+
+void t4o_destroy_registry(void* h) { g_registries.erase(h); }
+
+// Full scored GetOverlapsFromRead.  Output: 9 int32 per overlap
+// {seq_idx, read_start, read_end, strand, seq_start, seq_end, match_cnt,
+// indel_cnt, info_from_hits} + 1 double (similarity).  Returns the overlap
+// count, or -2 when cap is too small (retry with a bigger buffer).
+int t4o_query_scored(void* h, const char* read, int len, int strand,
+                     int barcode, int read_type, int skip_repeats,
+                     const uint8_t* puse, int radius, int hit_len_required,
+                     int is_long_seq_set, int nomatch_gap_limit,
+                     double novel_sim, double ref_sim, double repeat_sim,
+                     int32_t* out_i32, double* out_f64, int cap) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius,    hit_len_required, is_long_seq_set != 0,
+          nomatch_gap_limit, novel_sim, ref_sim, repeat_sim};
+  std::vector<SOv> out;
+  int n = query_scored_core(E, R, C, read, len, strand, barcode, read_type,
+                            skip_repeats != 0, puse, out);
+  if (n <= 0) return n;
+  if (n > cap) return -2;
+  for (int i = 0; i < n; i++) {
+    const SOv& o = out[i];
+    int32_t* row = out_i32 + 9 * i;
+    row[0] = o.seq_idx;
+    row[1] = o.read_start;
+    row[2] = o.read_end;
+    row[3] = o.strand;
+    row[4] = o.seq_start;
+    row[5] = o.seq_end;
+    row[6] = (int32_t)o.match_cnt;
+    row[7] = (int32_t)o.indel_cnt;
+    row[8] = o.info_from_hits;
+    out_f64[i] = o.similarity;
+  }
+  return n;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Detail-0 AnnotateRead (assembler quick annotation) + AssignRead
+// ===========================================================================
+
+namespace {
+
+// get_gene_type (engine/seqset.py:49-63; SeqSet.hpp:5076-5100).
+int chain_type_of(const std::string& name);
+
+int gene_type_of(const std::string& name) {
+  if (name.size() >= 2 && name[0] == 'N' && name[1] == 'o') return -1;
+  if (name.size() < 4) return 3;
+  char c = name[3];
+  if (c == 'V') return 0;
+  if (c == 'D')
+    return (name.size() > 4 && name[4] >= '0' && name[4] <= '9') ? 1 : 3;
+  if (c == 'J') return 2;
+  if (c == 'L' && chain_type_of(name) == 2) return -1;  // IGLL genes
+  return 3;
+}
+
+// get_chain_type (engine/seqset.py:66-74; SeqSet.hpp:5132-5155).
+int chain_type_of(const std::string& name) {
+  if (name.empty()) return 8;
+  if (name[0] == 'I' && name.size() > 2) {
+    switch (name[2]) {
+      case 'H': return 0;
+      case 'K': return 1;
+      case 'L': return 2;
+      default: return 8;
+    }
+  }
+  if (name[0] == 'T' && name.size() > 2) {
+    switch (name[2]) {
+      case 'A': return 3;
+      case 'B': return 4;
+      case 'G': return 5;
+      case 'D': return 6;
+      default: return 8;
+    }
+  }
+  return 8;
+}
+
+// is_same_gene_allele (engine/seqset.py:77-84; SeqSet.hpp:5102-5116).
+bool same_gene_allele(const std::string& a, const std::string& b) {
+  size_t i = 0;
+  while (i < a.size() && i < b.size() && a[i] != '*' && b[i] != '*') {
+    if (a[i] != b[i]) return false;
+    i++;
+  }
+  return true;
+}
+
+// is_better_gene_match (engine/annotate.py:87-191; SeqSet.hpp:5160-5287).
+bool is_better_gene_match(const Engine2& R, int kmer_len, const SOv& a,
+                          const SOv& b, double threshold) {
+  int64_t match_cnt = a.match_cnt;
+  int gap_allow = kmer_len + 1;
+  if (threshold >= 1) gap_allow = 3;
+  if (a.seq_idx == -1) return false;
+  if (b.seq_idx == -1) return true;
+  const SeqRec& sa = R.seqs[a.seq_idx];
+  const SeqRec& sb = R.seqs[b.seq_idx];
+  int gene_type = gene_type_of(sa.name);
+  if (gene_type == 2) {
+    int a_len = (int)sa.consensus.size();
+    int b_len = (int)sb.consensus.size();
+    if (a.seq_end >= a_len - gap_allow && b.seq_end >= b_len - gap_allow) {
+      if (a.similarity - 0.1 > b.similarity && a.match_cnt > b.match_cnt - 20) {
+        bool directly_better = true;
+        if (a.seq_end - a.seq_start < b.seq_end - b.seq_start) {
+          int mismatch_cnt = 0;
+          int i = a.seq_end, j = b.seq_end;
+          while (i >= a.seq_start) {
+            if (sa.consensus[i] != sb.consensus[j]) mismatch_cnt++;
+            i--;
+            j--;
+          }
+          if (mismatch_cnt <= 1) directly_better = false;
+        }
+        if (directly_better) return true;
+      } else if (a.similarity + 0.1 < b.similarity &&
+                 a.match_cnt <= b.match_cnt - 20) {
+        return false;
+      }
+    } else if (a.seq_end >= a_len - gap_allow && a.read_end >= a_len &&
+               threshold < 1) {
+      return true;
+    }
+  } else if (gene_type == 0) {
+    if (threshold == 1) {
+      int ia = sa.cdr3_anchor;
+      int ib = sb.cdr3_anchor;
+      if (a.seq_end >= ia && b.seq_end >= ib && ia != -1 && ib != -1 &&
+          iabs(a.read_start - b.read_start) <= 5 &&
+          a.indel_cnt < b.indel_cnt &&
+          (b.similarity < 0.9 || a.indel_cnt == 0)) {
+        if ((a.similarity > b.similarity + 0.03 ||
+             (a.similarity > b.similarity && a.read_start < b.read_start)) &&
+            (a.match_cnt > b.match_cnt - 20 || a.seq_start <= b.seq_start))
+          return true;
+      }
+    } else {
+      if (a.indel_cnt == 0 && b.indel_cnt > 0 && a.similarity > b.similarity)
+        return true;
+    }
+  }
+
+  if (a.read_start == b.read_start && a.read_end == b.read_end) {
+    if (a.similarity > b.similarity) {
+      return true;
+    } else if (a.similarity < b.similarity) {
+      return false;
+    } else {
+      const std::string& name = sb.name;
+      for (size_t i = 0; i + 1 < name.size(); i++) {
+        if ((name[i + 1] == '-' || name[i + 1] == '*') &&
+            !(name[i] >= '0' && name[i] <= '9') && gene_type != 3)
+          return true;
+        if (name[i] == 'O' && name[i + 1] == 'R') return true;
+      }
+    }
+  }
+
+  if (threshold == 1.0 && same_gene_allele(sa.name, sb.name)) {
+    if ((double)(a.seq_end - a.seq_start + 1) / (double)sa.consensus.size() >=
+            (double)(b.seq_end - b.seq_start + 1) /
+                (double)sb.consensus.size() &&
+        a.similarity > b.similarity)
+      return true;
+  }
+
+  if ((double)match_cnt > (double)b.match_cnt * threshold) {
+    return true;
+  } else if (threshold < 1.0 &&
+             (a.match_cnt + 10 >= b.match_cnt ||
+              (a.similarity > b.similarity + 0.01 &&
+               a.match_cnt + 2 * kmer_len >= b.match_cnt))) {
+    return true;
+  }
+  return false;
+}
+
+// get_contig_intervals (engine/annotate.py:28-49; SeqSet.hpp:5289-5331).
+void contig_intervals(const char* read, int n, int gap_n,
+                      std::vector<std::pair<int, int>>& out) {
+  out.clear();
+  int i = 0;
+  while (i < n) {
+    int n_cnt = 0;
+    int j = i + 1;
+    while (j < n) {
+      if (j >= i + gap_n && read[j - gap_n] == 'N') n_cnt--;
+      if (read[j] == 'N') n_cnt++;
+      if (n_cnt >= gap_n) break;
+      j++;
+    }
+    if (j < n) {
+      out.push_back({i, j - gap_n});
+    } else {
+      out.push_back({i, j - 1});
+      break;
+    }
+    i = j + 1;
+  }
+}
+
+// Detail-0 AnnotateRead (engine/annotate.py:197-497 detail-0 subset;
+// SeqSet.hpp:6016-6576 minus the detail>=1 branches).  Fills gene[4].
+void annotate_detail0(Engine* E, Engine2& R, const SConf& C, int gap_n,
+                      const char* read, int len, SOv gene[4]) {
+  for (int g = 0; g < 4; g++) {
+    gene[g] = SOv();
+    gene[g].seq_idx = -1;
+    gene[g].read_start = gene[g].read_end = -1;
+    gene[g].seq_start = gene[g].seq_end = -1;
+    gene[g].strand = 1;
+    gene[g].match_cnt = 0;
+    gene[g].indel_cnt = 0;
+    gene[g].similarity = 0.0;
+  }
+  static thread_local std::vector<std::pair<int, int>> contigs;
+  contig_intervals(read, len, gap_n, contigs);
+
+  std::vector<SOv> overlaps;
+  std::vector<SOv> ovs;
+  for (const auto& ab : contigs) {
+    int a = ab.first, b = ab.second;
+    int n = query_scored_core(E, R, C, read + a, b - a + 1, 0, -1, 0, false,
+                              nullptr, ovs);
+    if (n <= 0) continue;
+    for (SOv& o : ovs) {
+      o.read_start += a;
+      o.read_end += a;
+    }
+    // std::sort — the reference's unstable introsort decides full-key ties
+    // (engine/annotate.py:228-235 runs the libstdc++ replica for this).
+    std::sort(ovs.begin(), ovs.end(), sov_key_less);
+    for (SOv& o : ovs) overlaps.push_back(std::move(o));
+  }
+  std::sort(overlaps.begin(), overlaps.end(), sov_key_less);
+  int overlap_cnt = (int)overlaps.size();
+
+  const double gene_similarity[4] = {0.8, 0.8, 0.8, 0.8};
+
+  // Per-seq dominance filter + J-gene tie-break (annotate.py:337-372).
+  std::unordered_map<int, int> seq_used;
+  std::vector<SOv> kept;
+  kept.reserve(overlap_cnt);
+  for (int i = 0; i < overlap_cnt; i++) {
+    SOv& o = overlaps[i];
+    int gt = gene_type_of(R.seqs[o.seq_idx].name);
+    if (gt < 0 || gt == 1) continue;
+    auto it = seq_used.find(o.seq_idx);
+    if (it == seq_used.end() && o.similarity >= gene_similarity[gt]) {
+      seq_used[o.seq_idx] = (int)kept.size();
+      kept.push_back(o);
+    } else if (it != seq_used.end() && gt == 2) {
+      SOv& baseline = kept[it->second];
+      if (o.match_cnt == baseline.match_cnt &&
+          o.similarity == baseline.similarity) {
+        int cj = -1;
+        for (int j = 0; j < (int)kept.size(); j++) {
+          if (gene_type_of(R.seqs[kept[j].seq_idx].name) == 3) {
+            cj = j;
+            break;
+          }
+        }
+        if (cj != -1) {
+          int cstart = kept[cj].read_start;
+          if (o.read_end <= cstart + 3) {
+            if (baseline.read_end > cstart + 3 ||
+                iabs(o.read_end - cstart) < iabs(baseline.read_end - cstart))
+              kept[it->second] = o;
+          }
+        }
+      }
+    }
+  }
+  overlap_cnt = (int)kept.size();
+  if (overlap_cnt == 0) return;
+
+  // Gene coverage with B/T-cell + chain locking (annotate.py:378-420;
+  // detail 0 skips the all_overlaps secondary tracking).
+  char bt = 0, chain = 0;
+  for (int i = 0; i < overlap_cnt; i++) {
+    SOv& o = kept[i];
+    const std::string& name = R.seqs[o.seq_idx].name;
+    char n0 = name.size() > 0 ? name[0] : 0;
+    char n2 = name.size() > 2 ? name[2] : 0;
+    if (bt && n0 != bt) continue;
+    bt = n0;
+    if (chain && !(n2 == chain || (n2 == 'D' && chain == 'A') ||
+                   (n2 == 'A' && chain == 'D')))
+      continue;
+    chain = n2;
+    int gt = gene_type_of(name);
+    if (gt >= 0 && gene[gt].seq_idx == -1) gene[gt] = o;
+  }
+
+  // Random C-gene match check (annotate.py:423-449; SeqSet.hpp:6307-6337).
+  SOv& g3 = gene[3];
+  if (g3.seq_idx != -1 && g3.read_end - g3.read_start + 1 <= len / 2 &&
+      g3.read_end - g3.read_start + 1 <= 50) {
+    for (int i = 0; i < 3; i++) {
+      SOv& gi = gene[i];
+      if (gi.seq_idx >= 0 &&
+          (gi.read_end - 17 > g3.read_start || g3.read_end < gi.read_end) &&
+          g3.seq_start >= 100) {
+        gene[3] = SOv();
+        gene[3].seq_idx = -1;
+        gene[3].read_start = gene[3].read_end = -1;
+        gene[3].seq_start = gene[3].seq_end = -1;
+        gene[3].strand = 1;
+        gene[3].match_cnt = 0;
+        gene[3].similarity = 0.0;
+        break;
+      }
+    }
+  }
+}
+
+// AssignRead (engine/assemble.py:1009-1032 + overlap.py:528-653;
+// SeqSet.hpp:4632-4701, 1165-1277).  Returns 1 + fills out when assigned,
+// 0 when not, -3 when a hit seq has no registered posWeight (host fallback).
+int assign_read_core(Engine* E, Engine2& R, const SConf& C, const char* read,
+                     int len, int strand, int barcode, SOv* out) {
+  std::vector<SOv> overlaps;
+  int n = query_scored_core(E, R, C, read, len, strand, barcode, 0, false,
+                            nullptr, overlaps);
+  if (n <= 0 || R.seqs.empty()) return 0;
+  if (!R.seqs[0].is_ref)
+    std::stable_sort(overlaps.begin(), overlaps.end(), sov_key_less);
+  else
+    std::stable_sort(overlaps.begin(), overlaps.end(), sov_ref_key_less);
+
+  std::string rc;
+  revcomp(read, len, rc);
+  const char* r = overlaps[0].strand == 1 ? read : rc.c_str();
+  double factor = barcode == -1 ? 1.0 : 2.0;
+  int64_t e8[8];
+  for (const SOv& o : overlaps) {
+    const SeqRec& sw = R.seqs[o.seq_idx];
+    if (sw.pw == nullptr) return -3;
+    int seq_len = (int)sw.consensus.size();
+    t4_extend_overlap(sw.pw, r, len, seq_len, o.read_start, o.read_end,
+                      o.seq_start, o.seq_end, e8);
+    int64_t ret = e8[0], left = e8[1], right = e8[2];
+    int64_t good_left = e8[3], good_right = e8[4];
+    int64_t match_cnt = e8[5], mismatch_cnt = e8[6];
+    // _finish_extend_overlap (overlap.py:612-653).
+    double mismatch_threshold = 2;
+    if (left >= 2) mismatch_threshold += 1;
+    if (right >= 2) mismatch_threshold += 1;
+    double density_threshold = 1.5 / E->kmer_len;
+    mismatch_threshold *= factor;
+    if ((double)mismatch_cnt > mismatch_threshold && (left + right) != 0 &&
+        (double)mismatch_cnt / (double)(left + right) > density_threshold)
+      ret = 0;
+    SOv ext = o;
+    ext.read_start = o.read_start - (int)left;
+    ext.read_end = o.read_end + (int)right;
+    ext.seq_start = o.seq_start - (int)left;
+    ext.seq_end = o.seq_end + (int)right;
+    ext.match_cnt = 2 * match_cnt + o.match_cnt;
+    ext.similarity =
+        (double)(2 * match_cnt + o.match_cnt) /
+        (double)(ext.read_end - ext.read_start + 1 + ext.seq_end -
+                 ext.seq_start + 1);
+    if ((sw.is_ref && ext.similarity < C.ref_seq_similarity) ||
+        (!sw.is_ref && ext.similarity < C.novel_seq_similarity)) {
+      ext = o;
+      ret = 0;
+    }
+    if (ret == 0) {
+      ext.read_start = o.read_start - (int)good_left;
+      ext.read_end = o.read_end + (int)good_right;
+      ext.seq_start = o.seq_start - (int)good_left;
+      ext.seq_end = o.seq_end + (int)good_right;
+    }
+    if (ret == 1 && ext.read_start == 0 && ext.read_end == len - 1) {
+      *out = ext;
+      return 1;
+    }
+  }
+  return 0;
+}
+
+void write_g8(const SOv& o, int32_t* row, double* sim) {
+  row[0] = o.seq_idx;
+  row[1] = o.read_start;
+  row[2] = o.read_end;
+  row[3] = o.strand;
+  row[4] = o.seq_start;
+  row[5] = o.seq_end;
+  row[6] = (int32_t)o.match_cnt;
+  row[7] = (int32_t)o.indel_cnt;
+  *sim = o.similarity;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Quick annotation of one read (detail 0).  out_i32: 4 genes x 8 int32;
+// out_f64: 4 similarities.
+void t4o_annotate0(void* h, const char* read, int len, int radius,
+                   int hit_len_required, int is_long_seq_set,
+                   int nomatch_gap_limit, double novel_sim, double ref_sim,
+                   double repeat_sim, int gap_n, int32_t* out_i32,
+                   double* out_f64) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  SOv gene[4];
+  annotate_detail0(E, R, C, gap_n, read, len, gene);
+  for (int g = 0; g < 4; g++)
+    write_g8(gene[g], out_i32 + 8 * g, out_f64 + g);
+}
+
+// Batched quick annotation with internal threads.  Reads are concatenated
+// in `blob` with offsets offs[0..n] (offs[i]..offs[i+1] is read i).
+// Consecutive identical reads within a thread's contiguous chunk reuse the
+// previous result (pure cache, mirroring main.cpp:524-529).
+void t4o_annotate0_batch(void* h, const char* blob, const int64_t* offs,
+                         int n_reads, int n_threads, int radius,
+                         int hit_len_required, int is_long_seq_set,
+                         int nomatch_gap_limit, double novel_sim,
+                         double ref_sim, double repeat_sim, int gap_n,
+                         int32_t* out_i32, double* out_f64) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  auto work = [&](int lo, int hi) {
+    SOv gene[4];
+    const char* prev = nullptr;
+    int prev_len = -1;
+    for (int i = lo; i < hi; i++) {
+      const char* rd = blob + offs[i];
+      int len = (int)(offs[i + 1] - offs[i]);
+      if (prev == nullptr || len != prev_len ||
+          memcmp(rd, prev, len) != 0) {
+        annotate_detail0(E, R, C, gap_n, rd, len, gene);
+        prev = rd;
+        prev_len = len;
+      }
+      for (int g = 0; g < 4; g++)
+        write_g8(gene[g], out_i32 + 32 * (int64_t)i + 8 * g,
+                 out_f64 + 4 * (int64_t)i + g);
+    }
+  };
+  if (n_threads <= 1 || n_reads < 64) {
+    work(0, n_reads);
+  } else {
+    std::vector<std::thread> ts;
+    int chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int lo = t * chunk;
+      int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+  if (prof_on())
+    fprintf(stderr, "[t4prof] annotate0_batch hits=%.3fs chain=%.3fs score=%.3fs\n",
+            g_t_hits.load() / 1e9, g_t_chain.load() / 1e9,
+            g_t_score.load() / 1e9);
+}
+
+// Single AssignRead.  Returns 1 (assigned; out filled), 0 (no), -3 (a hit
+// seq lacks a registered posWeight -> caller must use the host path).
+int t4o_assign_read(void* h, const char* read, int len, int strand,
+                    int barcode, int radius, int hit_len_required,
+                    int is_long_seq_set, int nomatch_gap_limit,
+                    double novel_sim, double ref_sim, double repeat_sim,
+                    int32_t* out_i32, double* out_f64) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  SOv out;
+  int rc = assign_read_core(E, R, C, read, len, strand, barcode, &out);
+  if (rc == 1) write_g8(out, out_i32, out_f64);
+  return rc;
+}
+
+// Batched AssignRead with internal threads.  strands/barcodes per read.
+// out_found[i] = 1/0/-3 as above.
+void t4o_assign_batch(void* h, const char* blob, const int64_t* offs,
+                      const int32_t* strands, const int32_t* barcodes,
+                      int n_reads, int n_threads, int radius,
+                      int hit_len_required, int is_long_seq_set,
+                      int nomatch_gap_limit, double novel_sim, double ref_sim,
+                      double repeat_sim, int32_t* out_i32, double* out_f64,
+                      int32_t* out_found) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  auto work = [&](int lo, int hi) {
+    SOv out;
+    for (int i = lo; i < hi; i++) {
+      const char* rd = blob + offs[i];
+      int len = (int)(offs[i + 1] - offs[i]);
+      int rc = assign_read_core(E, R, C, rd, len, strands[i], barcodes[i],
+                                &out);
+      out_found[i] = rc;
+      if (rc == 1)
+        write_g8(out, out_i32 + 8 * (int64_t)i, out_f64 + i);
+    }
+  };
+  if (n_threads <= 1 || n_reads < 64) {
+    work(0, n_reads);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int chunk = (n_reads + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    int lo = t * chunk;
+    int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // extern "C"

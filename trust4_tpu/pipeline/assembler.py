@@ -361,7 +361,30 @@ class Assembler:
         # (main.cpp:1084-1093).
         if self.trim_level > 1:
             self.ref_set.set_radius(0)
-        if self.threads > 1 and len(sorted_reads) > 1:
+        import os as _os
+
+        _nat = (
+            self.ref_set._native_sync()
+            if _os.environ.get("TRUST4_TPU_SCORED", "1") != "0"
+            and _os.environ.get("TRUST4_TPU_SCORED_CHECK", "0") != "1"
+            else None
+        )
+        if _nat is not None and sorted_reads:
+            # One threaded native batch (native/overlap_engine.cpp
+            # t4o_annotate0_batch); per-chunk consecutive dedup mirrors
+            # main.cpp:524-529's per-thread cache.
+            from trust4_tpu.engine.annotate import overlaps_from_g8
+
+            rs = self.ref_set
+            rows, sims = _nat.annotate0_batch(
+                [r.read for r in sorted_reads], max(1, self.threads),
+                rs.radius, rs.hit_len_required, rs.is_long_seq_set,
+                rs.nomatch_gap_limit, rs.novel_seq_similarity,
+                rs.ref_seq_similarity, rs.repeat_similarity, rs.gap_n,
+            )
+            for i, r in enumerate(sorted_reads):
+                r.gene_overlap = overlaps_from_g8(rows[i], sims[i])
+        elif self.threads > 1 and len(sorted_reads) > 1:
             # Block-split quick annotation (main.cpp:513-532); per-read
             # results are independent, dedup is a pure cache.
             from trust4_tpu.utils.parallel import map_fork_chunks
