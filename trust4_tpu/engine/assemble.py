@@ -91,6 +91,10 @@ class AssembleMixin:
         return sid
 
     def input_novel_read(self, name: str, read: str, strand: int, barcode: int) -> int:
+        if self.native_master:
+            return self.seq_index.native.s_input_novel_read(
+                name, read, strand, barcode
+            )
         consensus = revcomp(read) if strand == -1 else read
         sw = SeqWrapper(name=name, consensus=consensus, is_ref=False)
         sw.barcode = barcode
@@ -192,6 +196,9 @@ class AssembleMixin:
             )
 
     def update_all_consensus(self) -> None:
+        if self.native_master:
+            self.seq_index.native.s_update_all_consensus()
+            return
         for i, sw in enumerate(self.seqs):
             if sw is None or sw.is_ref or sw.consensus is None:
                 continue
@@ -221,6 +228,11 @@ class AssembleMixin:
 
         self.kmer_length = kl
         self.nomatch_gap_limit = compute_nomatch_gap_limit(kl)
+        if self.native_master:
+            # Native clean: compaction + full reindex at the new k
+            # (t4s_change_kmer_length also updates the engine's kmer_len).
+            self.seq_index.native.s_change_kmer_length(kl)
+            return
         if self.seq_index.native is not None:
             self.seq_index.native.set_kmer_len(kl)
         self.clean(False)
@@ -244,6 +256,11 @@ class AssembleMixin:
         Returns (ret, strand): ret is the contig idx, -1 on hard reject, -2
         when overlaps existed but no placement was possible (rescue queue).
         """
+        if self.native_master:
+            return self.seq_index.native.s_add_read(
+                read, gene_name, strand, barcode, min_kmer_count,
+                repetitive_data, similarity_threshold, self._sconf(),
+            )
         length = len(read)
         self.set_prev_add_info(-1, -1, -1, -1, -1, 0)
 
@@ -909,6 +926,12 @@ class AssembleMixin:
         early_stop: bool,
     ) -> None:
         """Compress/release seqs of finished barcodes (SeqSet.hpp:10815-10924)."""
+        if self.native_master:
+            for bc in barcodes:
+                self.seq_index.native.s_release_finished_barcode(
+                    bc, remove_from_index, contig_min_cov, early_stop
+                )
+            return
         for i in range(len(self.seqs) - 1, -1, -1):
             sw = self.seqs[i]
             if sw is None or sw.consensus is None:
@@ -984,6 +1007,8 @@ class AssembleMixin:
     # ------------------------------------------------------------------
 
     def repeat_add_read(self, read: str) -> int:
+        if self.native_master:
+            return self.seq_index.native.s_repeat_add_read(read)
         info = self.prev_add_info
         if info is None or info.seq_idx < 0:
             return info.seq_idx if info else -1

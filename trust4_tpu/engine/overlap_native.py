@@ -108,6 +108,32 @@ def _load():
         ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, c_int, c_int, c_int,
         c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p, _f64p, _i32p,
     ]
+    # master-mode assembly (t4s_*)
+    lib.t4s_add_read.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, c_int, c_int,
+        c_int, c_int, c_dbl, c_int, c_int, c_int, c_int, c_dbl, c_dbl,
+        c_dbl, _i32p,
+    ]
+    lib.t4s_repeat_add_read.restype = c_int
+    lib.t4s_repeat_add_read.argtypes = [ctypes.c_void_p, c_char_p, c_int]
+    lib.t4s_input_novel_read.restype = c_int
+    lib.t4s_input_novel_read.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, c_int, c_int,
+    ]
+    lib.t4s_update_all_consensus.argtypes = [ctypes.c_void_p]
+    lib.t4s_release_finished_barcode.argtypes = [
+        ctypes.c_void_p, c_int, c_int, c_int, c_int,
+    ]
+    lib.t4s_change_kmer_length.argtypes = [ctypes.c_void_p, c_int]
+    lib.t4s_seq_count.restype = c_int
+    lib.t4s_seq_count.argtypes = [ctypes.c_void_p]
+    lib.t4s_get_prev_add.argtypes = [ctypes.c_void_p, _i32p]
+    lib.t4s_pull_meta.argtypes = [ctypes.c_void_p, c_int, _i64p]
+    lib.t4s_pull_name_len.restype = c_int
+    lib.t4s_pull_name_len.argtypes = [ctypes.c_void_p, c_int]
+    lib.t4s_pull_data.argtypes = [
+        ctypes.c_void_p, c_int, c_char_p, c_char_p, _i32p,
+    ]
     # canonical k-mer counter (t4kc_*)
     lib.t4kc_create.restype = ctypes.c_void_p
     lib.t4kc_create.argtypes = [c_int]
@@ -417,6 +443,80 @@ class NativeOverlapEngine:
             out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
         return rc, out_i32, float(out_f64[0])
+
+    # --- master-mode assembly (native-owned contig state) ---
+
+    def s_add_read(self, read: str, gene_name: str, strand: int,
+                   barcode: int, min_kmer_count: int, repetitive: bool,
+                   sim_threshold: float, conf) -> tuple:
+        """conf = (radius, hit_len_required, is_long, nomatch, nsim, rsim,
+        repsim)."""
+        b = read.encode("ascii")
+        g = gene_name.encode("ascii")
+        out2 = np.empty(2, dtype=np.int32)
+        self._lib.t4s_add_read(
+            self._h, b, len(b), g, len(g), strand, barcode, min_kmer_count,
+            1 if repetitive else 0, sim_threshold, *conf,
+            out2.ctypes.data_as(_i32p),
+        )
+        return int(out2[0]), int(out2[1])
+
+    def s_repeat_add_read(self, read: str) -> int:
+        b = read.encode("ascii")
+        return self._lib.t4s_repeat_add_read(self._h, b, len(b))
+
+    def s_input_novel_read(self, name: str, read: str, strand: int,
+                           barcode: int) -> int:
+        nb = name.encode("ascii")
+        b = read.encode("ascii")
+        return self._lib.t4s_input_novel_read(
+            self._h, nb, len(nb), b, len(b), strand, barcode
+        )
+
+    def s_update_all_consensus(self) -> None:
+        self._lib.t4s_update_all_consensus(self._h)
+
+    def s_release_finished_barcode(self, barcode: int,
+                                   remove_from_index: bool,
+                                   contig_min_cov: int,
+                                   early_stop: bool) -> None:
+        self._lib.t4s_release_finished_barcode(
+            self._h, barcode, 1 if remove_from_index else 0,
+            contig_min_cov, 1 if early_stop else 0,
+        )
+
+    def s_change_kmer_length(self, kl: int) -> None:
+        self._lib.t4s_change_kmer_length(self._h, kl)
+
+    def s_seq_count(self) -> int:
+        return self._lib.t4s_seq_count(self._h)
+
+    def s_get_prev_add(self):
+        out = np.empty(6, dtype=np.int32)
+        self._lib.t4s_get_prev_add(self._h, out.ctypes.data_as(_i32p))
+        return tuple(int(v) for v in out)
+
+    def s_pull(self, sid: int):
+        """Pull one seq's full state.  Returns (meta11, name, consensus,
+        pw_flat_int32)."""
+        meta = np.empty(11, dtype=np.int64)
+        self._lib.t4s_pull_meta(self._h, sid, meta.ctypes.data_as(_i64p))
+        cons_len = int(meta[8])
+        pw_len = int(meta[9])
+        name_len = self._lib.t4s_pull_name_len(self._h, sid)
+        cons_buf = ctypes.create_string_buffer(cons_len)
+        name_buf = ctypes.create_string_buffer(name_len)
+        pw = np.empty(pw_len, dtype=np.int32)
+        self._lib.t4s_pull_data(
+            self._h, sid, cons_buf, name_buf,
+            pw.ctypes.data_as(_i32p),
+        )
+        return (
+            meta,
+            name_buf.raw[:name_len].decode("ascii"),
+            cons_buf.raw[:cons_len].decode("ascii"),
+            pw,
+        )
 
     def assign_batch(self, reads, strands, barcodes, n_threads: int,
                      radius: int, hit_len_required: int,

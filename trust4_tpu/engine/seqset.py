@@ -148,9 +148,86 @@ class SeqSet(
         # SeqWrapper.__setattr__).
         self._nat_synced = 0
         self._nat_dirty = set()
+        # Master mode: the C++ engine owns contig state during the greedy
+        # assembly loop (pipeline/assembler.py); Python pulls it back via
+        # pull_from_native() before output/scaffolding.
+        self.native_master = False
 
     def size(self) -> int:
+        if self.native_master:
+            return self.seq_index.native.s_seq_count()
         return len(self.seqs)
+
+    def _sconf(self):
+        """Tuning parameters for native scored/master calls."""
+        return (
+            self.radius, self.hit_len_required,
+            1 if self.is_long_seq_set else 0, self.nomatch_gap_limit,
+            self.novel_seq_similarity, self.ref_seq_similarity,
+            self.repeat_similarity,
+        )
+
+    def enable_native_master(self) -> bool:
+        """Hand contig-state ownership to the C++ engine (empty set only).
+        Returns False (pure-Python path) when the native engine is off."""
+        import os as _os
+
+        if _os.environ.get("TRUST4_TPU_MASTER", "1") == "0":
+            return False
+        if _os.environ.get("TRUST4_TPU_SCORED", "1") == "0":
+            return False
+        nat = self.seq_index.native
+        if nat is None or self.seqs:
+            return False
+        self.seq_index.native_only = True
+        self.native_master = True
+        return True
+
+    def pull_from_native(self) -> None:
+        """Materialize Python SeqWrappers from the native master state and
+        leave master mode.  All seqs are marked dirty so later scored
+        queries re-register from the Python-owned copies."""
+        if not self.native_master:
+            return
+        nat = self.seq_index.native
+        n = nat.s_seq_count()
+        seqs: List[Optional[SeqWrapper]] = []
+        for i in range(n):
+            meta, name, consensus, pw_flat = nat.s_pull(i)
+            (active, is_ref, barcode, num_read, min_l, min_r, index_flag,
+             compressed, cons_len, pw_len, info_zero) = (
+                int(v) for v in meta
+            )
+            if not active:
+                sw = SeqWrapper(name=None, consensus=None,
+                                is_ref=bool(is_ref))
+            else:
+                sw = SeqWrapper(
+                    name=name, consensus=consensus, is_ref=bool(is_ref)
+                )
+                if compressed:
+                    sw.pos_weight = pw_flat
+                    sw.pos_weight_compressed = True
+                else:
+                    sw.pos_weight = pw_flat.reshape(-1, 4)
+            sw.barcode = barcode
+            sw.num_read = num_read
+            sw.min_left_ext_anchor = min_l
+            sw.min_right_ext_anchor = min_r
+            sw.index = bool(index_flag)
+            if info_zero:
+                sw.info = [[0, 0, 0], [0, 0, 0], [0, 0, 0]]
+            seqs.append(sw)
+        self.seqs = seqs
+        pi = nat.s_get_prev_add()
+        self.set_prev_add_info(*pi)
+        self.native_master = False
+        # Future native queries must re-register from Python-owned buffers.
+        self._nat_synced = n
+        self._nat_dirty = set(range(n))
+        for i, sw in enumerate(seqs):
+            object.__setattr__(sw, "_owner", self)
+            object.__setattr__(sw, "_idx", i)
 
     def set_radius(self, r: int) -> None:
         self.radius = r

@@ -1062,7 +1062,16 @@ struct SeqRec {
   int32_t cdr3_anchor = -1;  // info[2][0] for IMGT V refs
   std::string name;
   std::string consensus;
-  const int32_t* pw = nullptr;  // (L,4) int32, Python-owned
+  const int32_t* pw = nullptr;  // (L,4) int32; Python-owned in registry
+                                // mode, own_pw.data() in master mode
+  // Master-mode owned state (engine/types.py SeqWrapper fields):
+  std::vector<int32_t> own_pw;  // (L,4) flattened, or compressed flat
+  int64_t num_read = 0;
+  int32_t min_left_ext_anchor = 0;
+  int32_t min_right_ext_anchor = 0;
+  bool index_flag = true;
+  bool pw_compressed = false;
+  bool info_zero = false;  // info was zeroed (input_novel_read)
 };
 
 struct Engine2 {
@@ -1821,6 +1830,53 @@ void annotate_detail0(Engine* E, Engine2& R, const SConf& C, int gap_n,
   }
 }
 
+// ExtendOverlap + _finish_extend_overlap (engine/overlap.py:528-653;
+// SeqSet.hpp:1165-1277): both overhang profile DPs, the mismatch-density
+// rule, and the similarity-threshold rejection.  Returns 1 on a full
+// extension, 0 otherwise (ext holds the "good"-prefix fallback coords).
+int extend_overlap_full(int kmer_len, const SConf& C, const SeqRec& sw,
+                        const char* r, int len, double factor, const SOv& o,
+                        SOv* out) {
+  int64_t e8[8];
+  int seq_len = (int)sw.consensus.size();
+  t4_extend_overlap(sw.pw, r, len, seq_len, o.read_start, o.read_end,
+                    o.seq_start, o.seq_end, e8);
+  int64_t ret = e8[0], left = e8[1], right = e8[2];
+  int64_t good_left = e8[3], good_right = e8[4];
+  int64_t match_cnt = e8[5], mismatch_cnt = e8[6];
+  double mismatch_threshold = 2;
+  if (left >= 2) mismatch_threshold += 1;
+  if (right >= 2) mismatch_threshold += 1;
+  double density_threshold = 1.5 / kmer_len;
+  mismatch_threshold *= factor;
+  if ((double)mismatch_cnt > mismatch_threshold && (left + right) != 0 &&
+      (double)mismatch_cnt / (double)(left + right) > density_threshold)
+    ret = 0;
+  SOv ext = o;
+  ext.read_start = o.read_start - (int)left;
+  ext.read_end = o.read_end + (int)right;
+  ext.seq_start = o.seq_start - (int)left;
+  ext.seq_end = o.seq_end + (int)right;
+  ext.match_cnt = 2 * match_cnt + o.match_cnt;
+  ext.similarity =
+      (double)(2 * match_cnt + o.match_cnt) /
+      (double)(ext.read_end - ext.read_start + 1 + ext.seq_end -
+               ext.seq_start + 1);
+  if ((sw.is_ref && ext.similarity < C.ref_seq_similarity) ||
+      (!sw.is_ref && ext.similarity < C.novel_seq_similarity)) {
+    ext = o;
+    ret = 0;
+  }
+  if (ret == 0) {
+    ext.read_start = o.read_start - (int)good_left;
+    ext.read_end = o.read_end + (int)good_right;
+    ext.seq_start = o.seq_start - (int)good_left;
+    ext.seq_end = o.seq_end + (int)good_right;
+  }
+  *out = ext;
+  return (int)ret;
+}
+
 // AssignRead (engine/assemble.py:1009-1032 + overlap.py:528-653;
 // SeqSet.hpp:4632-4701, 1165-1277).  Returns 1 + fills out when assigned,
 // 0 when not, -3 when a hit seq has no registered posWeight (host fallback).
@@ -1839,47 +1895,12 @@ int assign_read_core(Engine* E, Engine2& R, const SConf& C, const char* read,
   revcomp(read, len, rc);
   const char* r = overlaps[0].strand == 1 ? read : rc.c_str();
   double factor = barcode == -1 ? 1.0 : 2.0;
-  int64_t e8[8];
   for (const SOv& o : overlaps) {
     const SeqRec& sw = R.seqs[o.seq_idx];
     if (sw.pw == nullptr) return -3;
-    int seq_len = (int)sw.consensus.size();
-    t4_extend_overlap(sw.pw, r, len, seq_len, o.read_start, o.read_end,
-                      o.seq_start, o.seq_end, e8);
-    int64_t ret = e8[0], left = e8[1], right = e8[2];
-    int64_t good_left = e8[3], good_right = e8[4];
-    int64_t match_cnt = e8[5], mismatch_cnt = e8[6];
-    // _finish_extend_overlap (overlap.py:612-653).
-    double mismatch_threshold = 2;
-    if (left >= 2) mismatch_threshold += 1;
-    if (right >= 2) mismatch_threshold += 1;
-    double density_threshold = 1.5 / E->kmer_len;
-    mismatch_threshold *= factor;
-    if ((double)mismatch_cnt > mismatch_threshold && (left + right) != 0 &&
-        (double)mismatch_cnt / (double)(left + right) > density_threshold)
-      ret = 0;
-    SOv ext = o;
-    ext.read_start = o.read_start - (int)left;
-    ext.read_end = o.read_end + (int)right;
-    ext.seq_start = o.seq_start - (int)left;
-    ext.seq_end = o.seq_end + (int)right;
-    ext.match_cnt = 2 * match_cnt + o.match_cnt;
-    ext.similarity =
-        (double)(2 * match_cnt + o.match_cnt) /
-        (double)(ext.read_end - ext.read_start + 1 + ext.seq_end -
-                 ext.seq_start + 1);
-    if ((sw.is_ref && ext.similarity < C.ref_seq_similarity) ||
-        (!sw.is_ref && ext.similarity < C.novel_seq_similarity)) {
-      ext = o;
-      ret = 0;
-    }
-    if (ret == 0) {
-      ext.read_start = o.read_start - (int)good_left;
-      ext.read_end = o.read_end + (int)good_right;
-      ext.seq_start = o.seq_start - (int)good_left;
-      ext.seq_end = o.seq_end + (int)good_right;
-    }
-    if (ret == 1 && ext.read_start == 0 && ext.read_end == len - 1) {
+    SOv ext;
+    int ok = extend_overlap_full(E->kmer_len, C, sw, r, len, factor, o, &ext);
+    if (ok == 1 && ext.read_start == 0 && ext.read_end == len - 1) {
       *out = ext;
       return 1;
     }
@@ -2026,6 +2047,1091 @@ void t4o_assign_batch(void* h, const char* blob, const int64_t* offs,
     ts.emplace_back(work, lo, hi);
   }
   for (auto& t : ts) t.join();
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Master-mode assembly: the native engine OWNS novel-contig state
+// (consensus, posWeight, anchors, index) for the duration of the greedy
+// assembly loop, and Python pulls wrappers back afterwards.  Ports
+// engine/assemble.py:231-999 (AddRead + helpers, RepeatAddRead,
+// InputNovelRead, UpdateAllConsensus, ReleaseFinishedBarcodeSeq, clean)
+// semantics-identically (reference: SeqSet.hpp:3426-4738, 10815-10924,
+// 4591-4622).
+// ===========================================================================
+
+namespace {
+
+struct PrevAdd {
+  int seq_idx = -1;
+  int read_start = -1, read_end = -1;
+  int seq_start = -1, seq_end = -1;
+  int strand = 0;
+};
+
+std::map<void*, PrevAdd> g_prev_add;
+
+// Owned posWeight lives in SeqRec::own_pw; keep SeqRec::pw pointing at it
+// and the flat meta arrays current.
+void ms_sync(Engine2& R, int sid) {
+  SeqRec& s = R.seqs[sid];
+  s.pw = (s.own_pw.empty() || s.pw_compressed) ? nullptr : s.own_pw.data();
+  R.m_is_ref[sid] = s.is_ref ? 1 : 0;
+  R.m_barcode[sid] = s.barcode;
+  R.m_seq_len[sid] = s.active ? (int32_t)s.consensus.size() : 0;
+  for (int j = 0; j < 4; j++)
+    R.m_name4[4 * sid + j] =
+        ((int)s.name.size() > j) ? (uint8_t)s.name[j] : 0;
+}
+
+int ms_new_seq(Engine2& R) {
+  int sid = (int)R.seqs.size();
+  R.seqs.emplace_back();
+  R.m_is_ref.push_back(0);
+  R.m_barcode.push_back(-1);
+  R.m_seq_len.push_back(0);
+  R.m_name4.insert(R.m_name4.end(), 4, 0);
+  return sid;
+}
+
+// accumulate_read (engine/assemble.py:34-40): N skipped; the reference's
+// nucToNum maps other non-ACGT to -1, which numpy's add.at folds into
+// column 3 (negative index) — reproduced.
+void ms_accumulate(SeqRec& s, int offset, const char* r, int len) {
+  for (int i = 0; i < len; i++) {
+    char c = r[i];
+    if (c == 'N') continue;
+    int v = nuc2num((unsigned char)c);
+    int col = v < 0 ? 3 : v;
+    s.own_pw[(size_t)(offset + i) * 4 + col]++;
+  }
+}
+
+void ms_pw_from_seq(SeqRec& s) {
+  s.own_pw.assign(s.consensus.size() * 4, 0);
+  ms_accumulate(s, 0, s.consensus.data(), (int)s.consensus.size());
+}
+
+void ms_release(Engine2& R, int sid) {
+  SeqRec& s = R.seqs[sid];
+  // Python release_seq: name/consensus/pos_weight -> None; anchors kept
+  // (the reference reads released wrappers' anchors, SeqSet.hpp:4118-4120).
+  s.active = false;
+  s.name.clear();
+  s.consensus.clear();
+  s.own_pw.clear();
+  s.own_pw.shrink_to_fit();
+  ms_sync(R, sid);
+}
+
+// update_consensus (engine/assemble.py:166-192).
+void ms_update_consensus(Engine* E, Engine2& R, int sid, bool update_index) {
+  SeqRec& s = R.seqs[sid];
+  if (s.pw_compressed) return;
+  int L = (int)s.consensus.size();
+  static thread_local std::vector<int> changes;
+  changes.clear();
+  for (int i = 0; i < L; i++) {
+    const int32_t* row = s.own_pw.data() + (size_t)i * 4;
+    int arg = 0;
+    int32_t mx = row[0];
+    for (int j = 1; j < 4; j++)
+      if (row[j] > mx) {
+        mx = row[j];
+        arg = j;
+      }
+    int cur = nuc2num((unsigned char)s.consensus[i]);  // N->0, other -1
+    int32_t cur_count = row[cur < 0 ? 3 : cur];
+    if (mx > 0 && arg != cur && cur_count < mx) changes.push_back(i);
+  }
+  if (changes.empty()) return;
+  if (update_index && s.index_flag)
+    t4o_remove_from_read((void*)E, s.consensus.data(), L, E->kmer_len, sid,
+                         s.barcode, 0);
+  for (int i : changes) {
+    const int32_t* row = s.own_pw.data() + (size_t)i * 4;
+    int arg = 0;
+    int32_t mx = row[0];
+    for (int j = 1; j < 4; j++)
+      if (row[j] > mx) {
+        mx = row[j];
+        arg = j;
+      }
+    s.consensus[i] = "ACGT"[arg];
+  }
+  if (update_index && s.index_flag)
+    t4o_build_from_read((void*)E, s.consensus.data(), L, E->kmer_len, sid,
+                        s.barcode, 0);
+  ms_sync(R, sid);
+}
+
+// substitute_consensus_pos (engine/assemble.py:147-164).
+void ms_substitute(Engine* E, Engine2& R, int sid, int pos, char c,
+                   bool update_index) {
+  SeqRec& s = R.seqs[sid];
+  int L = (int)s.consensus.size();
+  if (pos >= L || s.consensus[pos] == c) return;
+  int kl = E->kmer_len;
+  int start = pos - kl + 1;
+  if (start < 0) start = 0;
+  int end = pos + kl - 1;
+  if (end > L - 1) end = L - 1;
+  if (update_index)
+    t4o_remove_from_read((void*)E, s.consensus.data() + start,
+                         end - start + 1, kl, sid, s.barcode, start);
+  s.consensus[pos] = c;
+  if (update_index && s.index_flag)
+    t4o_build_from_read((void*)E, s.consensus.data() + start,
+                        end - start + 1, kl, sid, s.barcode, start);
+}
+
+// is_name_compatible (engine/seqset.py:91-108).
+bool ms_name_compatible(const std::string& a, const std::string& b) {
+  int max_a = -1;
+  size_t i = 0;
+  while (i <= a.size()) {
+    size_t j = a.find('+', i);
+    if (j == std::string::npos) j = a.size();
+    if (j > i) {
+      int gt = gene_type_of(a.substr(i, j - i));
+      if (gt > max_a) max_a = gt;
+    }
+    i = j + 1;
+  }
+  int min_b = 10;
+  i = 0;
+  while (i <= b.size()) {
+    size_t j = b.find('+', i);
+    if (j == std::string::npos) j = b.size();
+    if (j > i) {
+      int gt = gene_type_of(b.substr(i, j - i));
+      if (gt < min_b && gt != -1) min_b = gt;
+    }
+    i = j + 1;
+  }
+  return max_a <= min_b;
+}
+
+// _merge_contigs_with_read (engine/assemble.py:573-690).  Returns 0 on
+// name-incompatibility (caller returns -1), else 1 with *out_seq/-offset.
+int ms_merge_contigs(Engine* E, Engine2& R, const char* r, int len,
+                     std::vector<SOv>& extended, bool sort_extended,
+                     int barcode, int* out_seq, int* out_offset) {
+  if (sort_extended)
+    std::stable_sort(extended.begin(), extended.end(),
+                     [](const SOv& a, const SOv& b) {
+                       return a.read_start < b.read_start;
+                     });
+  int n = (int)extended.size();
+  for (int i = 0; i < n; i++)
+    for (int j = i + 1; j < n; j++)
+      if (!ms_name_compatible(R.seqs[extended[i].seq_idx].name,
+                              R.seqs[extended[j].seq_idx].name))
+        return 0;
+
+  std::vector<int> seq_offset(n, 0);
+  if (extended[0].read_start > 0) {
+    for (int i = 0; i < n; i++) seq_offset[i] = extended[i].read_start;
+  } else {
+    seq_offset[0] = 0;
+    for (int i = 1; i < n; i++)
+      seq_offset[i] =
+          seq_offset[i - 1] +
+          (int)R.seqs[extended[i - 1].seq_idx].consensus.size() - 1 +
+          (extended[i].read_start - extended[i - 1].read_end);
+  }
+
+  size_t total = (size_t)len;
+  for (const SOv& e : extended)
+    total += R.seqs[e.seq_idx].consensus.size();
+  std::string buf(total, '\0');
+  int read_at = extended[0].read_start > 0 ? 0 : extended[0].seq_start;
+  memcpy(&buf[read_at], r, len);
+  for (int i = n - 1; i >= 0; i--) {
+    const std::string& cons = R.seqs[extended[i].seq_idx].consensus;
+    memcpy(&buf[seq_offset[i]], cons.data(), cons.size());
+  }
+
+  int last_end_idx = n - 1;
+  int k = 0;
+  for (int i = 0; i < n; i++) {
+    int end = seq_offset[i] + (int)R.seqs[extended[i].seq_idx].consensus.size();
+    if (end > k) {
+      k = end;
+      last_end_idx = i;
+    }
+  }
+  int new_len;
+  if (extended[last_end_idx].read_end < len)
+    new_len = k + (len - extended[last_end_idx].read_end - 1);
+  else
+    new_len = k;
+  std::string new_consensus = buf.substr(0, new_len);
+
+  int new_seq_idx = extended[0].seq_idx;
+  for (const SOv& e : extended)
+    if (e.seq_idx < new_seq_idx) new_seq_idx = e.seq_idx;
+  int k_at = 0;
+  for (int i = 0; i < n; i++)
+    if (extended[i].seq_idx == new_seq_idx) {
+      k_at = i;
+      break;
+    }
+  SeqRec& host = R.seqs[new_seq_idx];
+  int old_len = (int)host.consensus.size();
+  std::vector<int32_t> w((size_t)new_len * 4, 0);
+  memcpy(w.data() + (size_t)seq_offset[k_at] * 4, host.own_pw.data(),
+         (size_t)old_len * 4 * sizeof(int32_t));
+  for (int i = 0; i < n; i++) {
+    const SOv& e = extended[i];
+    if (e.seq_idx == new_seq_idx) continue;
+    SeqRec& donor = R.seqs[e.seq_idx];
+    host.num_read += donor.num_read;
+    int dl = (int)donor.consensus.size();
+    for (size_t t = 0; t < (size_t)dl * 4; t++)
+      w[(size_t)seq_offset[i] * 4 + t] += donor.own_pw[t];
+  }
+  host.own_pw = std::move(w);
+
+  for (const SOv& e : extended) {
+    SeqRec& sw = R.seqs[e.seq_idx];
+    t4o_remove_from_read((void*)E, sw.consensus.data(),
+                         (int)sw.consensus.size(), E->kmer_len, e.seq_idx,
+                         barcode, 0);
+  }
+
+  // Merge names with '+' (assemble.py:656-671).
+  int name_idx = 0;
+  for (int i = 0; i < n; i++)
+    if (R.seqs[extended[i].seq_idx].name != "Novel") {
+      name_idx = i;
+      break;
+    }
+  std::string merged = R.seqs[extended[name_idx].seq_idx].name;
+  for (int i = 0; i < n; i++) {
+    if (i == name_idx) continue;
+    if (i > 0 && R.seqs[extended[i].seq_idx].name !=
+                     R.seqs[extended[i - 1].seq_idx].name)
+      merged += "+" + R.seqs[extended[i].seq_idx].name;
+  }
+  host.name = merged;
+
+  for (const SOv& e : extended)
+    if (e.seq_idx != new_seq_idx) ms_release(R, e.seq_idx);
+
+  host.consensus = new_consensus;
+  ms_sync(R, new_seq_idx);
+  ms_update_consensus(E, R, new_seq_idx, false);
+  t4o_build_from_read((void*)E, host.consensus.data(),
+                      (int)host.consensus.size(), E->kmer_len, new_seq_idx,
+                      barcode, 0);
+  // Released donors keep their anchor ints (SeqSet.hpp:4118-4120).
+  host.min_left_ext_anchor = R.seqs[extended[0].seq_idx].min_left_ext_anchor;
+  host.min_right_ext_anchor =
+      R.seqs[extended[last_end_idx].seq_idx].min_right_ext_anchor;
+  ms_sync(R, new_seq_idx);
+
+  *out_seq = new_seq_idx;
+  *out_offset = extended[0].seq_start > 0 ? extended[0].seq_start : 0;
+  return 1;
+}
+
+// _extend_contig_with_read (engine/assemble.py:692-807).
+void ms_extend_contig(Engine* E, Engine2& R, const char* r, int len,
+                      const SOv& ext, const std::vector<SOv>& overlaps,
+                      int barcode, int min_kmer_count, int* out_seq,
+                      int* out_offset) {
+  int seq_idx = ext.seq_idx;
+  SeqRec& sw = R.seqs[seq_idx];
+  sw.num_read += 1;
+  int kl = E->kmer_len;
+
+  if (ext.read_start > 0 || ext.read_end < len - 1) {
+    std::vector<std::pair<int, char>> consensus_replacement;
+    int old_len = (int)sw.consensus.size();
+    std::string new_consensus;
+    new_consensus.reserve(old_len + len);
+    new_consensus.append(r, ext.read_start);
+    new_consensus += sw.consensus;
+    new_consensus.append(r + ext.read_end + 1, len - ext.read_end - 1);
+    int new_len = (int)new_consensus.size();
+    int shift = ext.read_start;
+
+    if (shift > 0) {
+      t4o_build_from_read((void*)E, new_consensus.data(),
+                          ext.read_start + kl - 1, kl, seq_idx, barcode, 0);
+      t4o_update_from_read((void*)E, sw.consensus.data(), old_len, kl,
+                           barcode, shift, seq_idx, seq_idx);
+    }
+    if (ext.read_end < len - 1) {
+      int start = ext.read_start + ext.seq_end - kl + 2;
+      t4o_build_from_read((void*)E, new_consensus.data() + start,
+                          new_len - start, kl, seq_idx, barcode, start);
+    }
+
+    std::vector<int32_t> w((size_t)new_len * 4, 0);
+    memcpy(w.data() + (size_t)shift * 4, sw.own_pw.data(),
+           (size_t)old_len * 4 * sizeof(int32_t));
+    if (shift > 0) {
+      // Demote boundary weights of the original prefix
+      // (SeqSet.hpp:4192-4213).
+      if (barcode == -1 || min_kmer_count > 1) {
+        for (int i = 0; i < 2; i++) {
+          int p = i + shift;
+          if (p >= len || r[p] == 'N') continue;
+          char cbase = new_consensus[p];
+          int cb = nuc2num((unsigned char)cbase);
+          int cbcol = cb < 0 ? 3 : cb;
+          if (r[p] != cbase && cbase != 'N' &&
+              w[(size_t)p * 4 + cbcol] == 1)
+            consensus_replacement.push_back({p, r[p]});
+          for (int j = 0; j < 4; j++)
+            if (r[p] != "ACGT"[j] && w[(size_t)p * 4 + j] > 1)
+              w[(size_t)p * 4 + j] -= 1;
+        }
+      }
+      memset(w.data(), 0, (size_t)shift * 4 * sizeof(int32_t));
+    }
+
+    if (ext.read_end < len - 1) {
+      int start = ext.read_start + old_len;
+      memset(w.data() + (size_t)start * 4, 0,
+             (size_t)(len - ext.read_end - 1) * 4 * sizeof(int32_t));
+      if (barcode == -1 || min_kmer_count > 1) {
+        for (int i = old_len - 2; i < old_len; i++) {
+          int pos = i - ext.seq_start;
+          int seq_pos = i + shift;
+          if (pos < 0 || r[pos] == 'N') continue;
+          char cbase = new_consensus[seq_pos];
+          int cb = nuc2num((unsigned char)cbase);
+          int cbcol = cb < 0 ? 3 : cb;
+          if (r[pos] != cbase && cbase != 'N' &&
+              w[(size_t)seq_pos * 4 + cbcol] == 1)
+            consensus_replacement.push_back({seq_pos, r[pos]});
+          for (int j = 0; j < 4; j++)
+            if (r[pos] != "ACGT"[j] && w[(size_t)seq_pos * 4 + j] > 1)
+              w[(size_t)seq_pos * 4 + j] -= 1;
+        }
+      }
+    }
+    sw.own_pw = std::move(w);
+
+    if (shift > 0) sw.min_left_ext_anchor = 0;
+    if (ext.read_end < len - 1) sw.min_right_ext_anchor = 0;
+
+    // Attach the best reference gene name (SeqSet.hpp:4256-4296).
+    int ref_idx = -1;
+    for (int i = 0; i < (int)overlaps.size(); i++) {
+      const SOv& o = overlaps[i];
+      if (!R.seqs[o.seq_idx].is_ref) continue;
+      if (ref_idx == -1 ||
+          o.read_end - o.read_start > overlaps[ref_idx].read_end -
+                                          overlaps[ref_idx].read_start)
+        ref_idx = i;
+      if (sw.name.find(R.seqs[o.seq_idx].name) != std::string::npos) {
+        ref_idx = i;
+        break;
+      }
+    }
+    if (ref_idx != -1) {
+      int rsid = overlaps[ref_idx].seq_idx;
+      if (sw.name.find(R.seqs[rsid].name) == std::string::npos) {
+        if (ext.read_start > 0)
+          sw.name = R.seqs[rsid].name + "+" + sw.name;
+        else
+          sw.name = sw.name + "+" + R.seqs[rsid].name;
+      }
+    }
+
+    int offset = ext.seq_start > 0 ? ext.seq_start : 0;
+    sw.consensus = new_consensus;
+    ms_sync(R, seq_idx);
+    for (const auto& pc : consensus_replacement)
+      ms_substitute(E, R, seq_idx, pc.first, pc.second, true);
+    ms_sync(R, seq_idx);
+    *out_seq = seq_idx;
+    *out_offset = offset;
+    return;
+  }
+
+  *out_seq = seq_idx;
+  *out_offset = ext.seq_start;
+}
+
+// _accumulate_into_contig (engine/assemble.py:809-848).
+int ms_accumulate_into_contig(Engine* E, Engine2& R, void* h, const char* r,
+                              int len, int seq_idx, int offset, int barcode,
+                              int strand) {
+  SeqRec& sw = R.seqs[seq_idx];
+  int kl = E->kmer_len;
+  ms_accumulate(sw, offset, r, len);
+  static thread_local std::vector<int> n_pos;
+  n_pos.clear();
+  for (int i = 0; i < len; i++)
+    if (r[i] != 'N' && sw.consensus[i + offset] == 'N') n_pos.push_back(i);
+  g_prev_add[h] = {seq_idx, 0, len - 1, offset, offset + len - 1, strand};
+  int i = 0;
+  int size = (int)n_pos.size();
+  while (i < size) {
+    int j = i + 1;
+    while (j < size && n_pos[j] <= n_pos[j - 1] + kl - 1) j++;
+    for (int l = i; l < j; l++)
+      sw.consensus[n_pos[l] + offset] = r[n_pos[l]];
+    int start = n_pos[i] - kl + 1 + offset;
+    if (start < 0) start = 0;
+    int end = n_pos[j - 1] + kl - 1 + offset;
+    if (end > (int)sw.consensus.size() - 1) end = (int)sw.consensus.size() - 1;
+    t4o_build_from_read((void*)E, sw.consensus.data() + start,
+                        end - start + 1, kl, seq_idx, barcode, start);
+    i = j;
+  }
+  ms_sync(R, seq_idx);
+  return seq_idx;
+}
+
+}  // namespace
+
+namespace {
+
+// AddRead (engine/assemble.py:231-569; SeqSet.hpp:3426-4473).  Fills
+// out2 = {ret, strand}.
+void ms_add_read(void* h, const char* read, int len, const char* gene_name,
+                 int gene_name_len, int strand, int barcode,
+                 int min_kmer_count, bool repetitive, double sim_threshold,
+                 const SConf& C, int* out2) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  g_prev_add[h] = PrevAdd{-1, -1, -1, -1, -1, 0};
+
+  std::vector<SOv> overlaps;
+  int overlap_cnt = query_scored_core(E, R, C, read, len, strand, barcode, 0,
+                                      repetitive, nullptr, overlaps);
+  if (overlap_cnt <= 0) {
+    out2[0] = -1;
+    out2[1] = strand;
+    return;
+  }
+
+  if (gene_name_len > 0) {
+    std::vector<SOv> kept;
+    for (SOv& o : overlaps) {
+      const std::string& name = R.seqs[o.seq_idx].name;
+      int j = 3;
+      if (!name.empty() && name[0] >= 'A' && name[0] <= 'Z') {
+        j = 0;
+        while (j < 3 && j < (int)name.size() && j < gene_name_len &&
+               name[j] == gene_name[j])
+          j++;
+      }
+      if (j == 3 || name == "Novel") kept.push_back(std::move(o));
+    }
+    overlaps = std::move(kept);
+    overlap_cnt = (int)overlaps.size();
+    if (overlap_cnt <= 0) {
+      out2[0] = -1;
+      out2[1] = strand;
+      return;
+    }
+  }
+
+  std::stable_sort(overlaps.begin(), overlaps.end(), sov_key_less);
+
+  int first_novel = 0;
+  while (first_novel < overlap_cnt &&
+         R.seqs[overlaps[first_novel].seq_idx].is_ref)
+    first_novel++;
+
+  std::vector<SOv> extended;
+  std::vector<SOv> failed_extended;
+  int ret = -1;
+  bool add_new = true;
+  bool have_good_extended = false;
+  SOv good_extended;
+  int read_in_consensus_offset = 0;
+  int seq_idx = -1;
+  int tag = -1;
+  std::string rc_read;
+
+  if (first_novel < overlap_cnt) {
+    revcomp(read, len, rc_read);
+    const char* r = overlaps[0].strand == 1 ? read : rc_read.c_str();
+    bool sort_extended = true;
+    std::vector<std::pair<int, int>> old_min_ext_anchor;
+    double mismatch_factor =
+        (barcode == -1 && !repetitive) ? 1.0 : 2.0;
+
+    for (int i = 0; i < overlap_cnt; i++) {
+      const SOv& o = overlaps[i];
+      SeqRec& sw = R.seqs[o.seq_idx];
+      old_min_ext_anchor.push_back(
+          {sw.min_left_ext_anchor, sw.min_right_ext_anchor});
+      // Subset relation vs already-extended overlaps (SeqSet.hpp:3564-3589).
+      bool skip = false;
+      for (const SOv& e : extended) {
+        int lrad = e.seq_start == 0 ? 0 : C.radius;
+        int rrad = (e.seq_end ==
+                    (int)R.seqs[e.seq_idx].consensus.size() - 1)
+                       ? 0
+                       : C.radius;
+        if (o.read_start >= e.read_start - lrad &&
+            o.read_end <= e.read_end + rrad &&
+            (o.seq_start >= C.radius ||
+             o.seq_end <= (int)sw.consensus.size() - C.radius - 1)) {
+          skip = true;
+          break;
+        }
+        lrad = o.seq_start == 0 ? 0 : C.radius;
+        rrad = (o.seq_end == (int)sw.consensus.size() - 1) ? 0 : C.radius;
+        if (e.read_start >= o.read_start - lrad &&
+            e.read_end <= o.read_end + rrad) {
+          skip = true;
+          break;
+        }
+      }
+      if (skip || sw.is_ref) continue;
+
+      SOv ext;
+      int ok = extend_overlap_full(E->kmer_len, C, sw, r, len,
+                                   mismatch_factor, o, &ext);
+      if (ok == 1) {
+        if (ext.similarity < sim_threshold) {
+          if ((min_kmer_count <= 1 ||
+               ext.similarity + 0.01 >= sim_threshold) &&
+              ext.read_start == 0 && ext.read_end == len - 1) {
+            good_extended = ext;
+            have_good_extended = true;
+          }
+          continue;
+        }
+        // Double-check subset vs already extended (SeqSet.hpp:3615-3641).
+        skip = false;
+        for (const SOv& e : extended) {
+          int lrad = e.seq_start == 0 ? 0 : C.radius;
+          int rrad = (e.seq_end ==
+                      (int)R.seqs[e.seq_idx].consensus.size() - 1)
+                         ? 0
+                         : C.radius;
+          if (ext.read_start >= e.read_start - lrad &&
+              ext.read_end <= e.read_end + rrad &&
+              (o.seq_start > 0 ||
+               o.seq_end < (int)sw.consensus.size() - 1)) {
+            skip = true;
+            break;
+          }
+          if (e.read_start >= ext.read_start - C.radius &&
+              e.read_end <= ext.read_end + C.radius) {
+            skip = true;
+            break;
+          }
+        }
+        if (skip) continue;
+
+        // Extended portion subset of earlier overlaps' matched portions
+        // (SeqSet.hpp:3644-3677).
+        skip = false;
+        for (int j = 0; j < i; j++) {
+          const SOv& oj = overlaps[j];
+          if (R.seqs[oj.seq_idx].is_ref) continue;
+          if (ext.seq_start == 0 &&
+              ext.seq_end ==
+                  (int)R.seqs[ext.seq_idx].consensus.size() - 1)
+            continue;
+          if (ext.read_start >= oj.read_start &&
+              ext.read_end <= oj.read_end &&
+              (oj.read_end - oj.read_start >=
+                   ext.read_end - ext.read_start + 10 ||
+               oj.similarity + 0.02 >= ext.similarity)) {
+            SeqRec& esw = R.seqs[ext.seq_idx];
+            int span = ext.read_end - ext.read_start + 1;
+            if (ext.read_start > 0 && esw.min_left_ext_anchor < span)
+              esw.min_left_ext_anchor = span;
+            if (ext.read_end < len - 1 && esw.min_right_ext_anchor < span)
+              esw.min_right_ext_anchor = span;
+            skip = true;
+            break;
+          }
+        }
+        if (skip) continue;
+
+        // Previously failed extensions covering this one
+        // (SeqSet.hpp:3680-3708).
+        skip = false;
+        for (const SOv& fe : failed_extended) {
+          if (ext.seq_start == 0 &&
+              ext.seq_end ==
+                  (int)R.seqs[ext.seq_idx].consensus.size() - 1)
+            continue;
+          if (ext.read_start >= fe.read_start &&
+              ext.read_end <= fe.read_end) {
+            SeqRec& esw = R.seqs[ext.seq_idx];
+            int span = ext.read_end - ext.read_start + 1;
+            if (ext.read_start > 0 && esw.min_left_ext_anchor < span)
+              esw.min_left_ext_anchor = span;
+            if (ext.read_end < len - 1 && esw.min_right_ext_anchor < span)
+              esw.min_right_ext_anchor = span;
+            skip = true;
+            break;
+          }
+        }
+        if (skip) continue;
+
+        SeqRec& esw = R.seqs[ext.seq_idx];
+        int span = ext.read_end - ext.read_start + 1;
+        if (ext.read_start > 0 && esw.min_left_ext_anchor >= span) continue;
+        if (ext.read_end < len - 1 && esw.min_right_ext_anchor >= span)
+          continue;
+
+        tag = i;
+        extended.push_back(ext);
+      } else {
+        failed_extended.push_back(ext);
+      }
+    }
+
+    // Possibly merge two contigs that already overlap each other
+    // (SeqSet.hpp:3732-3793).
+    if (extended.size() == 1 && extended[0].read_start <= C.radius &&
+        extended[0].read_end >= len - C.radius) {
+      int jtag = -1;
+      for (int i = 0; i < overlap_cnt; i++) {
+        if (i == tag) continue;
+        SeqRec& sw = R.seqs[overlaps[i].seq_idx];
+        if (sw.is_ref) continue;
+        SOv ext;
+        int ok = extend_overlap_full(E->kmer_len, C, sw, r, len,
+                                     mismatch_factor, overlaps[i], &ext);
+        if (ok == 1) {
+          jtag = i;
+          extended.push_back(ext);
+        }
+      }
+      if (extended.size() > 2) {
+        extended.resize(1);
+      } else if (extended.size() == 2) {
+        int span1 = extended[1].read_end - extended[1].read_start + 1;
+        if (extended[1].read_start > 0 &&
+            old_min_ext_anchor[jtag].first >= span1)
+          extended.resize(1);
+        else if (extended[1].read_end < len - 1 &&
+                 old_min_ext_anchor[jtag].second >= span1)
+          extended.resize(1);
+        if (extended.size() == 2) {
+          if (extended[0].seq_end ==
+                  (int)R.seqs[extended[0].seq_idx].consensus.size() - 1 &&
+              extended[1].seq_start == 0) {
+            sort_extended = false;
+          } else if (extended[0].seq_start == 0 &&
+                     extended[1].seq_end ==
+                         (int)R.seqs[extended[1].seq_idx].consensus.size() -
+                             1) {
+            sort_extended = false;
+            std::swap(extended[0], extended[1]);
+          } else {
+            extended.resize(1);
+          }
+        }
+      }
+    }
+
+    if (sim_threshold > C.novel_seq_similarity) {
+      std::vector<SOv> kept;
+      for (SOv& e : extended)
+        if (e.similarity >= sim_threshold) kept.push_back(std::move(e));
+      extended = std::move(kept);
+    }
+
+    if (extended.empty() && have_good_extended)
+      extended.push_back(good_extended);
+
+    if (extended.size() > 1) {
+      bool all_bad = true;
+      for (const SOv& e : extended)
+        if (e.similarity >= 0.95) {
+          all_bad = false;
+          break;
+        }
+      if (all_bad) {
+        // min by sort_key — Python min keeps the FIRST minimal element.
+        int best = 0;
+        for (int i = 1; i < (int)extended.size(); i++)
+          if (sov_key_less(extended[i], extended[best])) best = i;
+        SOv keep = extended[best];
+        extended.clear();
+        extended.push_back(keep);
+      }
+    }
+
+    if (extended.size() > 1) {
+      std::vector<int> ids;
+      for (const SOv& e : extended) ids.push_back(e.seq_idx);
+      std::sort(ids.begin(), ids.end());
+      if (std::adjacent_find(ids.begin(), ids.end()) != ids.end())
+        extended.clear();
+    }
+
+    if (extended.size() > 1) {
+      int ok = ms_merge_contigs(E, R, r, len, extended, sort_extended,
+                                barcode, &seq_idx,
+                                &read_in_consensus_offset);
+      if (!ok) {
+        out2[0] = -1;
+        out2[1] = strand;
+        return;
+      }
+      add_new = false;
+    } else if (extended.size() == 1) {
+      ms_extend_contig(E, R, r, len, extended[0], overlaps, barcode,
+                       min_kmer_count, &seq_idx, &read_in_consensus_offset);
+      add_new = false;
+    }
+
+    if (!add_new)
+      ret = ms_accumulate_into_contig(E, R, h, r, len, seq_idx,
+                                      read_in_consensus_offset, barcode,
+                                      overlaps[0].strand);
+  }
+
+  // Novel contig creation anchored on a reference overlap
+  // (SeqSet.hpp:4370-4458).
+  if (add_new) {
+    int anchor_seq_idx = -1;
+    for (const SOv& o : overlaps)
+      if (R.seqs[o.seq_idx].is_ref) {
+        anchor_seq_idx = o.seq_idx;
+        break;
+      }
+    if (anchor_seq_idx == -1) add_new = false;
+
+    if (add_new) {
+      int idx = ms_new_seq(R);
+      SeqRec& ns = R.seqs[idx];
+      ns.active = true;
+      ns.is_ref = false;
+      ns.name = R.seqs[anchor_seq_idx].name;
+      // Reference quirk (SeqSet.hpp:4426): the strand test indexes the
+      // overlap list with the *seq* index; out-of-range reads never
+      // equal -1 in practice, so no RC happens then.
+      if (anchor_seq_idx < (int)overlaps.size() &&
+          overlaps[anchor_seq_idx].strand == -1) {
+        std::string rc2;
+        revcomp(read, len, rc2);
+        ns.consensus = rc2;
+      } else {
+        ns.consensus.assign(read, len);
+      }
+      ns.barcode = barcode;
+      ns.num_read = 1;
+      ms_pw_from_seq(ns);
+      ms_sync(R, idx);
+      t4o_build_from_read((void*)E, ns.consensus.data(),
+                          (int)ns.consensus.size(), E->kmer_len, idx,
+                          barcode, 0);
+      g_prev_add[h] =
+          PrevAdd{idx, 0, len - 1, 0, len - 1, overlaps[0].strand};
+      ret = idx;
+    }
+  }
+
+  if (ret == -1) {
+    g_prev_add[h] = PrevAdd{-2, -1, -1, -1, -1, 0};
+    ret = -2;
+  }
+
+  if (ret >= 0 && strand == 0) strand = overlaps[0].strand;
+  out2[0] = ret;
+  out2[1] = strand;
+}
+
+}  // namespace
+
+namespace {
+
+// decompress_pos_weight (engine/assemble.py:854-871).
+void ms_decompress(const std::string& cons, const std::vector<int32_t>& flat,
+                   std::vector<int32_t>& out) {
+  int length = (int)cons.size();
+  out.assign((size_t)length * 4, 0);
+  size_t k = 0;
+  for (int j = 0; j < length; j++) {
+    int32_t v = k < flat.size() ? flat[k] : 0;
+    if (v < 0) {
+      int code = nuc2num((unsigned char)cons[j]);
+      out[(size_t)j * 4 + (code < 0 ? 3 : code)] = -v;
+      k += 1;
+    } else {
+      for (int i = 0; i < 4; i++) {
+        out[(size_t)j * 4 + i] = k < flat.size() ? flat[k] : 0;
+        k += 1;
+      }
+    }
+  }
+}
+
+// is_contig_shallow (engine/assemble.py:873-899).
+bool ms_is_contig_shallow(Engine2& R, int i, int min_cov) {
+  SeqRec& sw = R.seqs[i];
+  if (!sw.active || sw.is_ref) return false;
+  int length = (int)sw.consensus.size();
+  if (sw.own_pw.empty()) return sw.num_read < min_cov;
+  static thread_local std::vector<int32_t> dec;
+  const int32_t* w;
+  if (sw.pw_compressed) {
+    ms_decompress(sw.consensus, sw.own_pw, dec);
+    w = dec.data();
+  } else {
+    w = sw.own_pw.data();
+  }
+  static thread_local std::vector<int64_t> sums;
+  sums.resize(length);
+  for (int j = 0; j < length; j++)
+    sums[j] = (int64_t)w[j * 4] + w[j * 4 + 1] + w[j * 4 + 2] + w[j * 4 + 3];
+  int j = 0;
+  while (j < length && sums[j] < min_cov) j++;
+  int start = j;
+  j = length - 1;
+  while (j >= start && sums[j] < min_cov) j--;
+  int end = j;
+  for (j = start; j <= end; j++)
+    if (sums[j] < min_cov) return true;
+  if (end < start) return true;
+  return false;
+}
+
+// release_finished_barcode_seq (engine/assemble.py:906-979;
+// SeqSet.hpp:10815-10924) for a single finished barcode.
+void ms_release_finished_barcode(void* h, int barcode, bool remove_from_index,
+                                 int contig_min_cov, bool early_stop) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  for (int i = (int)R.seqs.size() - 1; i >= 0; i--) {
+    SeqRec& sw = R.seqs[i];
+    if (!sw.active) continue;
+    if (early_stop && (!sw.index_flag || sw.own_pw.empty())) break;
+    if (sw.barcode != barcode) {
+      if (early_stop) break;
+      continue;
+    }
+    if (contig_min_cov > 0 && ms_is_contig_shallow(R, i, contig_min_cov)) {
+      t4o_remove_from_read((void*)E, sw.consensus.data(),
+                           (int)sw.consensus.size(), E->kmer_len, i,
+                           sw.barcode, 0);
+      ms_release(R, i);
+      continue;
+    }
+    if (remove_from_index) {
+      sw.index_flag = false;
+      t4o_remove_from_read((void*)E, sw.consensus.data(),
+                           (int)sw.consensus.size(), E->kmer_len, i,
+                           sw.barcode, 0);
+    }
+    ms_update_consensus(E, R, i, false);
+
+    // Even-coverage test (assemble.py:940-957).
+    const std::string& cons = sw.consensus;
+    int length = (int)cons.size();
+    const std::vector<int32_t>& w = sw.own_pw;
+    int32_t cov = 0;
+    if (length > 0) {
+      int c0 = nuc2num((unsigned char)cons[0]);
+      if (c0 >= 0) cov = w[c0];
+    }
+    bool even = true;
+    for (int j = 0; j < length && even; j++) {
+      int code = nuc2num((unsigned char)cons[j]);
+      int64_t row_sum = (int64_t)w[j * 4] + w[j * 4 + 1] + w[j * 4 + 2] +
+                        w[j * 4 + 3];
+      if (code >= 0) {
+        int32_t at = w[j * 4 + code];
+        int64_t others = row_sum - at;
+        if (at == 0 || others != 0 || at != cov) even = false;
+      } else {
+        if (row_sum != 0) even = false;
+      }
+    }
+    if (!even) {
+      // Run-length quarter-slot compression (SeqSet.hpp:10883-10915).
+      std::vector<int32_t> res;
+      res.reserve(length);
+      for (int j = 0; j < length; j++) {
+        const int32_t* row = w.data() + (size_t)j * 4;
+        int pos_cnt = 0;
+        int32_t mx = row[0];
+        for (int t = 0; t < 4; t++) {
+          if (row[t] > 0) pos_cnt++;
+          if (row[t] > mx) mx = row[t];
+        }
+        if (pos_cnt == 1) {
+          res.push_back(-mx);
+        } else {
+          for (int t = 0; t < 4; t++) res.push_back(row[t]);
+        }
+      }
+      while (res.size() % 4 != 0) res.push_back(0);
+      sw.own_pw = std::move(res);
+    } else {
+      sw.num_read = cov;
+      sw.own_pw.clear();
+    }
+    sw.pw_compressed = true;
+    ms_sync(R, i);  // drops the pw pointer for compressed seqs
+  }
+}
+
+// clean + change_kmer_length (engine/assemble.py:200-225).
+void ms_clean(void* h, bool remove_ref_seq) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  E->index.clear();
+  std::vector<SeqRec> kept;
+  for (SeqRec& sw : R.seqs) {
+    if (!sw.active) continue;
+    if (remove_ref_seq && sw.is_ref) continue;
+    kept.push_back(std::move(sw));
+  }
+  R.seqs = std::move(kept);
+  int n = (int)R.seqs.size();
+  R.m_is_ref.assign(n, 0);
+  R.m_barcode.assign(n, -1);
+  R.m_seq_len.assign(n, 0);
+  R.m_name4.assign((size_t)n * 4, 0);
+  for (int k = 0; k < n; k++) {
+    ms_sync(R, k);
+    SeqRec& sw = R.seqs[k];
+    if (sw.index_flag)
+      t4o_build_from_read((void*)E, sw.consensus.data(),
+                          (int)sw.consensus.size(), E->kmer_len, k,
+                          sw.barcode, 0);
+  }
+  g_prev_add[h] = PrevAdd{-1, -1, -1, -1, -1, 0};
+}
+
+}  // namespace
+
+extern "C" {
+
+void t4s_add_read(void* h, const char* read, int len, const char* gene_name,
+                  int gene_name_len, int strand, int barcode,
+                  int min_kmer_count, int repetitive, double sim_threshold,
+                  int radius, int hit_len_required, int is_long_seq_set,
+                  int nomatch_gap_limit, double novel_sim, double ref_sim,
+                  double repeat_sim, int32_t* out2) {
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  int o2[2];
+  ms_add_read(h, read, len, gene_name, gene_name_len, strand, barcode,
+              min_kmer_count, repetitive != 0, sim_threshold, C, o2);
+  out2[0] = o2[0];
+  out2[1] = o2[1];
+}
+
+// repeat_add_read (engine/assemble.py:985-999).
+int t4s_repeat_add_read(void* h, const char* read, int len) {
+  Engine2& R = registry_for(h);
+  PrevAdd& info = g_prev_add[h];
+  if (info.seq_idx < 0) return info.seq_idx;
+  std::string rc;
+  const char* r = read;
+  if (info.strand == -1) {
+    revcomp(read, len, rc);
+    r = rc.c_str();
+  }
+  SeqRec& sw = R.seqs[info.seq_idx];
+  ms_accumulate(sw, info.read_start + info.seq_start, r + info.read_start,
+                info.read_end - info.read_start + 1);
+  sw.num_read += 1;
+  return info.seq_idx;
+}
+
+// input_novel_read (engine/assemble.py:93-104).
+int t4s_input_novel_read(void* h, const char* name, int name_len,
+                         const char* read, int len, int strand, int barcode) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  int sid = ms_new_seq(R);
+  SeqRec& sw = R.seqs[sid];
+  sw.active = true;
+  sw.is_ref = false;
+  sw.name.assign(name, name_len);
+  if (strand == -1) {
+    std::string rc;
+    revcomp(read, len, rc);
+    sw.consensus = rc;
+  } else {
+    sw.consensus.assign(read, len);
+  }
+  sw.barcode = barcode;
+  sw.num_read = 1;
+  sw.info_zero = true;
+  ms_pw_from_seq(sw);
+  ms_sync(R, sid);
+  t4o_build_from_read((void*)E, sw.consensus.data(),
+                      (int)sw.consensus.size(), E->kmer_len, sid, barcode, 0);
+  g_prev_add[h] = PrevAdd{sid, 0, len - 1, 0, len - 1, strand};
+  return sid;
+}
+
+void t4s_update_all_consensus(void* h) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  for (int i = 0; i < (int)R.seqs.size(); i++) {
+    SeqRec& sw = R.seqs[i];
+    if (!sw.active || sw.is_ref) continue;
+    ms_update_consensus(E, R, i, true);
+  }
+}
+
+void t4s_release_finished_barcode(void* h, int barcode, int remove_from_index,
+                                  int contig_min_cov, int early_stop) {
+  ms_release_finished_barcode(h, barcode, remove_from_index != 0,
+                              contig_min_cov, early_stop != 0);
+}
+
+void t4s_change_kmer_length(void* h, int kl) {
+  ((Engine*)h)->kmer_len = kl;
+  ms_clean(h, false);
+}
+
+int t4s_seq_count(void* h) { return (int)registry_for(h).seqs.size(); }
+
+void t4s_get_prev_add(void* h, int32_t* out6) {
+  PrevAdd& p = g_prev_add[h];
+  out6[0] = p.seq_idx;
+  out6[1] = p.read_start;
+  out6[2] = p.read_end;
+  out6[3] = p.seq_start;
+  out6[4] = p.seq_end;
+  out6[5] = p.strand;
+}
+
+// Pull API: per-seq metadata then payloads.
+// out[10] = {active, is_ref, barcode, num_read, min_left, min_right,
+//            index_flag, pw_compressed, cons_len, pw_len_ints, info_zero}
+void t4s_pull_meta(void* h, int sid, int64_t* out11) {
+  SeqRec& s = registry_for(h).seqs[sid];
+  out11[0] = s.active ? 1 : 0;
+  out11[1] = s.is_ref ? 1 : 0;
+  out11[2] = s.barcode;
+  out11[3] = s.num_read;
+  out11[4] = s.min_left_ext_anchor;
+  out11[5] = s.min_right_ext_anchor;
+  out11[6] = s.index_flag ? 1 : 0;
+  out11[7] = s.pw_compressed ? 1 : 0;
+  out11[8] = (int64_t)s.consensus.size();
+  out11[9] = (int64_t)s.own_pw.size();
+  out11[10] = s.info_zero ? 1 : 0;
+}
+
+int t4s_pull_name_len(void* h, int sid) {
+  return (int)registry_for(h).seqs[sid].name.size();
+}
+
+void t4s_pull_data(void* h, int sid, char* cons, char* name, int32_t* pw) {
+  SeqRec& s = registry_for(h).seqs[sid];
+  if (cons) memcpy(cons, s.consensus.data(), s.consensus.size());
+  if (name) memcpy(name, s.name.data(), s.name.size());
+  if (pw && !s.own_pw.empty())
+    memcpy(pw, s.own_pw.data(), s.own_pw.size() * sizeof(int32_t));
 }
 
 }  // extern "C"

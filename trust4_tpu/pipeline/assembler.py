@@ -636,6 +636,11 @@ class Assembler:
         if self.first_read_len > 200 or self.trim_level > 1:
             self.change_kmer_length_threshold //= 2
 
+        # Hand contig-state ownership to the native engine for the greedy
+        # loop (AddRead/RepeatAddRead/consensus/release all run in C++);
+        # pulled back into Python wrappers after the rescue pass below.
+        seq_set.enable_native_master()
+
         rescue_read_idx: List[int] = []
         assembled_read_idx: List[int] = []
         good_candidate = [False] * read_cnt
@@ -911,6 +916,7 @@ class Assembler:
                 rescued += 1
                 assembled_read_idx.append(rescue_read_idx[i])
         seq_set.update_all_consensus()
+        seq_set.pull_from_native()
         log(f"Rescued {rescued} reads.")
         return assembled_read_idx
 
