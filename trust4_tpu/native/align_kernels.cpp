@@ -62,6 +62,14 @@ struct Matrix {
 thread_local Matrix g_m, g_e, g_f;
 thread_local std::vector<uint8_t> g_eq;
 
+// Band-indexed storage for the banded global variants: row i holds the
+// cells j in [i-lb, i+rb] at k = j - i + lb (width W = lb+rb+1).  Cells
+// outside the written window behave exactly like the old full-matrix
+// implementation: row 0 / column 0 return their init formulas, everything
+// else returns the exact neg_inf constant, so scores, tie-breaks and
+// tracebacks are bit-identical to the rectangular code.
+thread_local std::vector<int64_t> g_bm, g_be, g_bf;
+
 // eq[i*lent + j] = 1 when p[i] matches text column j.
 void build_eq_string(const char* t, int lent, const char* p, int lenp) {
   g_eq.assign((size_t)lenp * lent, 0);
@@ -220,15 +228,162 @@ int64_t t4_global_alignment(const char* t, int lent, const char* p, int lenp,
     *out_len = 1;
     return SCORE_MISMATCH;
   }
-  int left_band = 5, right_band = 5;
+  int lb = 5, rb = 5;
   if (lent > lenp)
-    right_band += lent - lenp;
+    rb += lent - lenp;
   else if (lent < lenp)
-    left_band += lenp - lent;
-  build_eq_string(t, lent, p, lenp);
-  affine_fill(lent, lenp, left_band, right_band);
-  int64_t ret = g_m.row(lenp)[lent];
-  *out_len = affine_traceback(lent, lenp, lent, false, out);
+    lb += lenp - lent;
+  const int W = lb + rb + 1;
+  const int64_t neg_inf = (int64_t)(lent + 1) * (lenp + 1) * SCORE_GAPOPEN;
+  const int64_t go_ge = SCORE_GAPOPEN + SCORE_GAPEXTEND;
+
+  if ((size_t)(lenp + 1) * W > g_bm.size()) {
+    g_bm.resize((size_t)(lenp + 1) * W);
+    g_be.resize((size_t)(lenp + 1) * W);
+    g_bf.resize((size_t)(lenp + 1) * W);
+  }
+
+  // Accessors reproduce the rectangular implementation exactly: full row-0
+  // and column-0 initializer formulas (incl. the stale-loop-variable e-row
+  // quirk, AlignAlgo.hpp:271) and the neg_inf constant everywhere outside
+  // the written band.
+  auto get_m = [&](int i, int j) -> int64_t {
+    if (j < 0 || j > lent) return neg_inf;
+    if (i == 0)
+      return j == 0 ? 0 : SCORE_GAPOPEN + (int64_t)j * SCORE_GAPOPEN;
+    if (j == 0) return SCORE_GAPOPEN + (int64_t)i * SCORE_GAPOPEN;
+    int k = j - i + lb;
+    if (k < 0 || k >= W) return neg_inf;
+    return g_bm[(size_t)i * W + k];
+  };
+  auto get_e = [&](int i, int j) -> int64_t {
+    if (j < 0 || j > lent) return neg_inf;
+    if (i == 0)
+      return j == 0 ? 0
+                    : SCORE_GAPOPEN + (int64_t)(lenp + 1) * SCORE_GAPOPEN;
+    if (j == 0) return SCORE_GAPOPEN + (int64_t)i * SCORE_GAPEXTEND;
+    int k = j - i + lb;
+    if (k < 0 || k >= W) return neg_inf;
+    return g_be[(size_t)i * W + k];
+  };
+  auto get_f = [&](int i, int j) -> int64_t {
+    if (j < 0 || j > lent) return neg_inf;
+    if (i == 0)
+      return j == 0 ? 0 : SCORE_GAPOPEN + (int64_t)j * SCORE_GAPEXTEND;
+    if (j == 0) return SCORE_GAPOPEN + (int64_t)i * SCORE_GAPOPEN;
+    int k = j - i + lb;
+    if (k < 0 || k >= W) return neg_inf;
+    return g_bf[(size_t)i * W + k];
+  };
+
+  for (int i = 1; i <= lenp; ++i) {
+    int start = i - lb;
+    if (start < 1) start = 1;
+    int end = i + rb;
+    if (end > lent) end = lent;
+    char pc = p[i - 1];
+    int64_t* rm = g_bm.data() + (size_t)i * W;
+    int64_t* re = g_be.data() + (size_t)i * W;
+    int64_t* rf = g_bf.data() + (size_t)i * W;
+    for (int k = 0; k < start - i + lb; ++k) rm[k] = re[k] = rf[k] = neg_inf;
+    for (int k = end - i + lb + 1; k < W; ++k) rm[k] = re[k] = rf[k] = neg_inf;
+    int64_t m_ul = get_m(i - 1, start - 1);
+    int64_t m_left = get_m(i, start - 1);
+    int64_t f_left = get_f(i, start - 1);
+    const int64_t* pm = g_bm.data() + (size_t)(i - 1) * W;
+    const int64_t* pe = g_be.data() + (size_t)(i - 1) * W;
+    const int64_t e_row0 =
+        SCORE_GAPOPEN + (int64_t)(lenp + 1) * SCORE_GAPOPEN;
+    for (int j = start; j <= end; ++j) {
+      int k = j - i + lb;
+      int64_t e_up, m_up;
+      if (i == 1) {  // row-0 formulas (incl. the stale-e quirk)
+        e_up = e_row0;
+        m_up = SCORE_GAPOPEN + (int64_t)j * SCORE_GAPOPEN;
+      } else if (k + 1 < W) {
+        e_up = pe[k + 1];
+        m_up = pm[k + 1];
+      } else {
+        e_up = neg_inf;
+        m_up = neg_inf;
+      }
+      int64_t ev = m_up + go_ge;
+      int64_t es = e_up + SCORE_GAPEXTEND;
+      int64_t ec = ev > es ? ev : es;
+      int64_t fv = m_left + go_ge;
+      int64_t fs = f_left + SCORE_GAPEXTEND;
+      int64_t fc = fv > fs ? fv : fs;
+      int64_t mc =
+          m_ul + (chars_equal(t[j - 1], pc) ? SCORE_MATCH : SCORE_MISMATCH);
+      if (ec > mc) mc = ec;
+      if (fc > mc) mc = fc;
+      re[k] = ec;
+      rf[k] = fc;
+      rm[k] = mc;
+      m_ul = m_up;
+      m_left = mc;
+      f_left = fc;
+    }
+  }
+  int64_t ret = get_m(lenp, lent);
+
+  // affine_traceback with delete_vs e (AlignAlgo.hpp:174-203), via the
+  // banded accessors.
+  int n = 0;
+  int mat = 0;
+  int ti = lenp, tj = lent;
+  while (ti > 0 || tj > 0) {
+    if (mat == 0) {
+      int a = EDIT_INSERT;
+      int64_t cmp = get_e(ti, tj);
+      if (get_f(ti, tj) >= cmp) a = EDIT_DELETE;
+      if (ti > 0 && tj > 0) {
+        int64_t diff =
+            chars_equal(t[tj - 1], p[ti - 1]) ? SCORE_MATCH : SCORE_MISMATCH;
+        if (get_m(ti - 1, tj - 1) + diff == get_m(ti, tj))
+          a = (diff == SCORE_MATCH) ? EDIT_MATCH : EDIT_MISMATCH;
+      }
+      if (a == EDIT_MATCH || a == EDIT_MISMATCH) {
+        out[n++] = (int8_t)a;
+        --ti;
+        --tj;
+      } else if (a == EDIT_INSERT) {
+        mat = 1;
+      } else {
+        mat = 2;
+      }
+    } else if (mat == 1) {
+      out[n++] = EDIT_INSERT;
+      if (ti > 0) {
+        if (get_m(ti - 1, tj) + go_ge == get_e(ti, tj)) {
+          --ti;
+          mat = 0;
+        } else {
+          --ti;
+        }
+      } else {
+        mat = 2;
+      }
+    } else {
+      out[n++] = EDIT_DELETE;
+      if (tj > 0) {
+        if (get_m(ti, tj - 1) + go_ge == get_f(ti, tj)) {
+          --tj;
+          mat = 0;
+        } else {
+          --tj;
+        }
+      } else {
+        mat = 1;
+      }
+    }
+  }
+  for (int a = 0, b = n - 1; a < b; ++a, --b) {
+    int8_t tmp = out[a];
+    out[a] = out[b];
+    out[b] = tmp;
+  }
+  *out_len = n;
   return ret;
 }
 
@@ -305,67 +460,99 @@ int64_t t4_global_alignment_posweight(const int32_t* w, int lent,
     return SCORE_MISMATCH;
   }
 
-  build_eq_posweight(w, lent, p, lenp);
-
   if (lent == lenp) {
-    // No-indel fast path (AlignAlgo.hpp:81-103).
+    // No-indel fast path (AlignAlgo.hpp:81-103); diagonal equality only.
     int64_t score = 0;
     for (int i = 0; i < lent; ++i)
-      score += g_eq[(size_t)i * lent + i] ? SCORE_MATCH : SCORE_MISMATCH;
+      score += is_base_equal(w + 4 * i, p[i]) ? SCORE_MATCH : SCORE_MISMATCH;
     if (score >= lent * SCORE_MATCH + 2 * SCORE_INDEL) {
       for (int i = 0; i < lent; ++i)
-        out[i] = g_eq[(size_t)i * lent + i] ? EDIT_MATCH : EDIT_MISMATCH;
+        out[i] = is_base_equal(w + 4 * i, p[i]) ? EDIT_MATCH : EDIT_MISMATCH;
       *out_len = lent;
       return score;
     }
   }
 
-  int left_band = 5, right_band = 5;
+  int lb = 5, rb = 5;
   if (lent > lenp)
-    right_band += lent - lenp;
+    rb += lent - lenp;
   else if (lent < lenp)
-    left_band += lenp - lent;
+    lb += lenp - lent;
+  const int W = lb + rb + 1;
+  const int64_t neg_inf = (int64_t)(lent + 1) * (lenp + 1) * SCORE_INDEL;
 
-  int64_t neg_inf = (int64_t)(lent + 1) * (lenp + 1) * SCORE_INDEL;
-  g_m.init(lenp + 1, lent + 1, neg_inf);
-  g_m.row(0)[0] = 0;
-  for (int i = 1; i <= lenp; ++i) g_m.row(i)[0] = SCORE_INDEL + i * SCORE_INDEL;
-  {
-    int64_t* m0 = g_m.row(0);
-    for (int j = 1; j <= lent; ++j) m0[j] = SCORE_INDEL + j * SCORE_INDEL;
-  }
+  if ((size_t)(lenp + 1) * W > g_bm.size())
+    g_bm.resize((size_t)(lenp + 1) * W);
+  auto get = [&](int i, int j) -> int64_t {
+    if (j < 0 || j > lent) return neg_inf;
+    if (i == 0) return j == 0 ? 0 : SCORE_INDEL + (int64_t)j * SCORE_INDEL;
+    if (j == 0) return SCORE_INDEL + (int64_t)i * SCORE_INDEL;
+    int k = j - i + lb;
+    if (k < 0 || k >= W) return neg_inf;
+    return g_bm[(size_t)i * W + k];
+  };
+
   for (int i = 1; i <= lenp; ++i) {
-    int start = i - left_band;
+    int start = i - lb;
     if (start < 1) start = 1;
-    int end = i + right_band;
+    int end = i + rb;
     if (end > lent) end = lent;
-    const uint8_t* row_eq = g_eq.data() + (size_t)(i - 1) * lent;
-    const int64_t* prev = g_m.row(i - 1);
-    int64_t* cur = g_m.row(i);
-    for (int j = start; j <= end; ++j) {
-      int64_t score =
-          prev[j - 1] + (row_eq[j - 1] ? SCORE_MATCH : SCORE_MISMATCH);
-      int64_t v = cur[j - 1] + SCORE_INDEL;
-      if (v > score) score = v;
-      v = prev[j] + SCORE_INDEL;
-      if (v > score) score = v;
-      cur[j] = score;
+    char pc = p[i - 1];
+    int64_t* row = g_bm.data() + (size_t)i * W;
+    // Unwritten band-edge cells must read as the exact neg_inf constant
+    // (the rectangular implementation's out-of-window value).
+    for (int k = 0; k < start - i + lb; ++k) row[k] = neg_inf;
+    for (int k = end - i + lb + 1; k < W; ++k) row[k] = neg_inf;
+    int64_t up_left = get(i - 1, start - 1);   // m[i-1][j-1]
+    int64_t left = get(i, start - 1);          // m[i][j-1]
+    const int64_t* prow = g_bm.data() + (size_t)(i - 1) * W;
+    if (i == 1) {
+      for (int j = start; j <= end; ++j) {
+        int k = j - i + lb;
+        int64_t up = SCORE_INDEL + (int64_t)j * SCORE_INDEL;  // row-0 formula
+        int64_t score =
+            up_left + (is_base_equal(w + 4 * (j - 1), pc) ? SCORE_MATCH
+                                                          : SCORE_MISMATCH);
+        int64_t v = left + SCORE_INDEL;
+        if (v > score) score = v;
+        v = up + SCORE_INDEL;
+        if (v > score) score = v;
+        row[k] = score;
+        up_left = up;
+        left = score;
+      }
+    } else {
+      for (int j = start; j <= end; ++j) {
+        int k = j - i + lb;
+        int64_t up = (k + 1 < W) ? prow[k + 1] : neg_inf;
+        int64_t score =
+            up_left + (is_base_equal(w + 4 * (j - 1), pc) ? SCORE_MATCH
+                                                          : SCORE_MISMATCH);
+        int64_t v = left + SCORE_INDEL;
+        if (v > score) score = v;
+        v = up + SCORE_INDEL;
+        if (v > score) score = v;
+        row[k] = score;
+        up_left = up;
+        left = score;
+      }
     }
   }
-  int64_t ret = g_m.row(lenp)[lent];
+  int64_t ret = get(lenp, lent);
 
   // Last-writer-wins traceback (AlignAlgo.hpp:168-211).
   int n = 0;
   int ti = lenp, tj = lent;
   while (ti > 0 || tj > 0) {
-    int64_t mx = g_m.row(ti)[tj];
+    int64_t mx = get(ti, tj);
     int a = 0;
-    if (tj > 0 && g_m.row(ti)[tj - 1] + SCORE_INDEL == mx) a = EDIT_DELETE;
-    if (ti > 0 && g_m.row(ti - 1)[tj] + SCORE_INDEL == mx) a = EDIT_INSERT;
+    if (tj > 0 && get(ti, tj - 1) + SCORE_INDEL == mx) a = EDIT_DELETE;
+    if (ti > 0 && get(ti - 1, tj) + SCORE_INDEL == mx) a = EDIT_INSERT;
     if (tj > 0 && ti > 0) {
-      int64_t diff = g_eq[(size_t)(ti - 1) * lent + (tj - 1)] ? SCORE_MATCH
-                                                              : SCORE_MISMATCH;
-      if (g_m.row(ti - 1)[tj - 1] + diff == mx)
+      int64_t diff = is_base_equal(w + 4 * (tj - 1), p[ti - 1])
+                         ? SCORE_MATCH
+                         : SCORE_MISMATCH;
+      if (get(ti - 1, tj - 1) + diff == mx)
         a = (diff == SCORE_MATCH) ? EDIT_MATCH : EDIT_MISMATCH;
     }
     out[n++] = (int8_t)a;

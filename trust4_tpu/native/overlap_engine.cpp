@@ -580,9 +580,9 @@ void get_hits_from_read(const Engine &E, const Conf &C, const Meta &M,
                         std::vector<Hit> &hits) {
   hits.clear();
   int kl = E.kmer_len;
-  std::vector<uint64_t> codes;
-  std::vector<uint8_t> valid;
-  std::string rc;
+  static thread_local std::vector<uint64_t> codes;
+  static thread_local std::vector<uint8_t> valid;
+  static thread_local std::string rc;
   static const std::vector<std::pair<int, int>> kEmpty;
 
   auto scan = [&](const char *s, int slen, int st) {
@@ -635,10 +635,18 @@ void get_hits_from_read(const Engine &E, const Conf &C, const Meta &M,
 
 void sort_hits(std::vector<Hit> &hits, int n_seqs) {
   if ((int)hits.size() > 2 * n_seqs) {
-    std::stable_sort(hits.begin(), hits.end(), [](const Hit &x, const Hit &y) {
-      if (x.strand_key != y.strand_key) return x.strand_key < y.strand_key;
-      return x.seq_idx < y.seq_idx;
-    });
+    // True bucket sort by (strand_key, seq_idx), preserving insertion
+    // order within buckets (the reference's SortHits fast path,
+    // SeqSet.hpp:1312-1339) — O(n + seqs) instead of O(n log n).
+    static thread_local std::vector<int> cnt;
+    static thread_local std::vector<Hit> out;
+    cnt.assign(2 * n_seqs + 1, 0);
+    for (const Hit &hh : hits) cnt[hh.strand_key * n_seqs + hh.seq_idx + 1]++;
+    for (int i = 1; i <= 2 * n_seqs; i++) cnt[i] += cnt[i - 1];
+    out.resize(hits.size());
+    for (const Hit &hh : hits)
+      out[cnt[hh.strand_key * n_seqs + hh.seq_idx]++] = hh;
+    hits.swap(out);
   } else {
     // Python's sorted() is stable; (strand, idx, read_off, seq_off) keys
     // are unique in practice but stable_sort removes any doubt.
@@ -1990,6 +1998,14 @@ void t4o_annotate0_batch(void* h, const char* blob, const int64_t* offs,
     fprintf(stderr, "[t4prof] annotate0_batch hits=%.3fs chain=%.3fs score=%.3fs\n",
             g_t_hits.load() / 1e9, g_t_chain.load() / 1e9,
             g_t_score.load() / 1e9);
+}
+
+// Dump/reset the T4_PROF phase counters (hits/chain/score seconds).
+void t4o_prof_dump(void* h, double* out3) {
+  (void)h;
+  out3[0] = g_t_hits.exchange(0) / 1e9;
+  out3[1] = g_t_chain.exchange(0) / 1e9;
+  out3[2] = g_t_score.exchange(0) / 1e9;
 }
 
 // Single AssignRead.  Returns 1 (assigned; out filled), 0 (no), -3 (a hit
