@@ -36,3 +36,33 @@ def test_native_matches_oracle():
         assert host.is_mate_overlap_py(t, p, 5) == native.is_mate_overlap(
             t, p, 5
         )
+
+
+def test_interleaved_variant_buffer_reuse():
+    """Regression: the banded affine and linear-gap variants share the g_bm
+    band buffer; a large posweight call followed by a smaller affine call
+    must not leave the affine e/f buffers unallocated (segfault found by
+    ASan in round 2)."""
+    import numpy as np
+
+    from trust4_tpu.align import host as align_host
+    from trust4_tpu.align import native as align_native
+
+    if not align_native.available():
+        return
+    rng = np.random.default_rng(7)
+    bases = "ACGT"
+    for trial in range(30):
+        lp = int(rng.integers(150, 400))
+        t_big = "".join(bases[i] for i in rng.integers(0, 4, lp))
+        p_big = "".join(bases[i] for i in rng.integers(0, 4, lp - 3))
+        w = np.zeros((len(t_big), 4), dtype=np.int32)
+        for i, c in enumerate(t_big):
+            w[i, bases.index(c)] = 2
+        align_native.global_alignment_posweight(w, p_big)
+        ls = int(rng.integers(5, 120))
+        t_s = "".join(bases[i] for i in rng.integers(0, 4, ls))
+        p_s = "".join(bases[i] for i in rng.integers(0, 4, max(2, ls - 2)))
+        sn, an = align_native.global_alignment(t_s, p_s)
+        sh, ah = align_host.global_alignment(t_s, p_s)
+        assert sn == sh and list(an) == list(ah)

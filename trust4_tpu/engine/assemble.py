@@ -1034,8 +1034,48 @@ class AssembleMixin:
 
     def assign_read(self, read: str, strand: int, barcode: int) -> Optional[Overlap]:
         """Find the contig a read belongs to (SeqSet.hpp:4632-4701)."""
+        import os as _os
+
+        if _os.environ.get("TRUST4_TPU_SCORED", "1") != "0":
+            nat = self._native_sync()
+            if nat is not None and len(read) >= self.kmer_length:
+                rc, row, sim = nat.assign_read(
+                    read, strand, barcode, *self._sconf()
+                )
+                if rc >= 0:
+                    got = None
+                    if rc == 1:
+                        got = Overlap(
+                            seq_idx=int(row[0]), read_start=int(row[1]),
+                            read_end=int(row[2]), strand=int(row[3]),
+                            seq_start=int(row[4]), seq_end=int(row[5]),
+                            match_cnt=int(row[6]), indel_cnt=int(row[7]),
+                            similarity=sim,
+                        )
+                    if _os.environ.get(
+                        "TRUST4_TPU_SCORED_CHECK", "0"
+                    ) == "1":
+                        want = self._assign_read_host(read, strand, barcode)
+                        gk = None if got is None else (
+                            got.seq_idx, got.read_start, got.read_end,
+                            got.strand, got.seq_start, got.seq_end,
+                            got.match_cnt, got.similarity,
+                        )
+                        wk = None if want is None else (
+                            want.seq_idx, want.read_start, want.read_end,
+                            want.strand, want.seq_start, want.seq_end,
+                            want.match_cnt, want.similarity,
+                        )
+                        assert gk == wk, f"assign mismatch {gk} vs {wk}"
+                    return got
+                # rc == -3: a hit seq lacks posWeight -> host fallback
+        return self._assign_read_host(read, strand, barcode)
+
+    def _assign_read_host(
+        self, read: str, strand: int, barcode: int
+    ) -> Optional[Overlap]:
         overlaps: List[Overlap] = []
-        overlap_cnt = self.get_overlaps_from_read(
+        overlap_cnt = self._gofr_host(
             read, strand, barcode, 0, False, overlaps
         )
         if overlap_cnt <= 0 or len(self.seqs) == 0:

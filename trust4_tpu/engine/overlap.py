@@ -716,6 +716,28 @@ class OverlapMixin:
 
         scored_on = _os.environ.get("TRUST4_TPU_SCORED", "1") != "0"
         check = _os.environ.get("TRUST4_TPU_SCORED_CHECK", "0") == "1"
+        # Precomputed batch results (annotator phase-1; see
+        # pipeline/annotator.py) keyed by the full query tuple.
+        cache = getattr(self, "_scored_cache", None)
+        if cache is not None and puse is None and not check:
+            hit = cache.get((read, strand, barcode, read_type, skip_repeats))
+            if hit is not None:
+                n, rows, sims = hit
+                if n > 0:
+                    flat = rows.tolist()
+                    fsims = sims.tolist()
+                    for i in range(n):
+                        r9 = flat[i]
+                        overlaps.append(
+                            Overlap(
+                                seq_idx=r9[0], read_start=r9[1],
+                                read_end=r9[2], strand=r9[3],
+                                seq_start=r9[4], seq_end=r9[5],
+                                match_cnt=r9[6], indel_cnt=r9[7],
+                                similarity=fsims[i], info_from_hits=r9[8],
+                            )
+                        )
+                return n if n < 0 else max(n, 0)
         nat = self._native_sync() if scored_on else None
         if nat is None:
             return self._gofr_host(

@@ -108,6 +108,12 @@ def _load():
         ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, c_int, c_int, c_int,
         c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p, _f64p, _i32p,
     ]
+    lib.t4o_query_scored_batch.restype = c_int
+    lib.t4o_query_scored_batch.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, _i32p, _i32p, c_int,
+        c_int, c_int, c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p,
+        _f64p, c_int, _i64p,
+    ]
     # master-mode assembly (t4s_*)
     lib.t4s_add_read.argtypes = [
         ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, c_int, c_int,
@@ -443,6 +449,51 @@ class NativeOverlapEngine:
             out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
         return rc, out_i32, float(out_f64[0])
+
+    def query_scored_batch(self, jobs, n_threads: int, radius: int,
+                           hit_len_required: int, is_long_seq_set: bool,
+                           nomatch_gap_limit: int, novel_sim: float,
+                           ref_sim: float, repeat_sim: float):
+        """Threaded batch of scored queries.  jobs = list of (read, strand,
+        barcode, read_type, skip_repeats).  Returns a list of
+        (n, rows(n,9), sims(n)) per job (n = -1 for short reads)."""
+        n = len(jobs)
+        blobs = [j[0].encode("ascii") for j in jobs]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        st = np.array([j[1] for j in jobs], dtype=np.int32)
+        bc = np.array([j[2] for j in jobs], dtype=np.int32)
+        rt = np.array([j[3] for j in jobs], dtype=np.int32)
+        sk = np.array([1 if j[4] else 0 for j in jobs], dtype=np.int32)
+        rng = np.empty(2 * n, dtype=np.int64)
+        cap = max(1 << 14, 64 * n)
+        while True:
+            out_i32 = np.empty((cap, 9), dtype=np.int32)
+            out_f64 = np.empty(cap, dtype=np.float64)
+            rc = self._lib.t4o_query_scored_batch(
+                self._h, blob, offs.ctypes.data_as(_i64p),
+                st.ctypes.data_as(_i32p), bc.ctypes.data_as(_i32p),
+                rt.ctypes.data_as(_i32p), sk.ctypes.data_as(_i32p),
+                n, n_threads, radius, hit_len_required,
+                1 if is_long_seq_set else 0, nomatch_gap_limit,
+                novel_sim, ref_sim, repeat_sim,
+                out_i32.ctypes.data_as(_i32p),
+                out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                cap, rng.ctypes.data_as(_i64p),
+            )
+            if rc != -2:
+                break
+            cap *= 4
+        out = []
+        for i in range(n):
+            a = int(rng[2 * i])
+            c = int(rng[2 * i + 1])
+            if c < 0:
+                out.append((-1, None, None))
+            else:
+                out.append((c, out_i32[a : a + c], out_f64[a : a + c]))
+        return out
 
     # --- master-mode assembly (native-owned contig state) ---
 

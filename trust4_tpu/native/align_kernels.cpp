@@ -237,8 +237,11 @@ int64_t t4_global_alignment(const char* t, int lent, const char* p, int lenp,
   const int64_t neg_inf = (int64_t)(lent + 1) * (lenp + 1) * SCORE_GAPOPEN;
   const int64_t go_ge = SCORE_GAPOPEN + SCORE_GAPEXTEND;
 
-  if ((size_t)(lenp + 1) * W > g_bm.size()) {
+  // g_bm is shared with the linear-gap variant (which grows it alone), so
+  // each buffer's capacity must be checked independently.
+  if ((size_t)(lenp + 1) * W > g_bm.size())
     g_bm.resize((size_t)(lenp + 1) * W);
+  if ((size_t)(lenp + 1) * W > g_be.size()) {
     g_be.resize((size_t)(lenp + 1) * W);
     g_bf.resize((size_t)(lenp + 1) * W);
   }

@@ -3151,3 +3151,80 @@ void t4s_pull_data(void* h, int sid, char* cons, char* name, int32_t* pw) {
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Batched scored queries (annotator phase-1 precompute): one threaded call
+// runs GetOverlapsFromRead for many (read, strand, barcode, read_type,
+// skip_repeats) tuples against the read-only engine.
+// ===========================================================================
+
+extern "C" {
+
+// Outputs: out_i32 rows (9 per overlap) + out_f64 sims, shared across all
+// queries; out_range[2*i] = row offset, out_range[2*i+1] = count (or -1 for
+// a short-read query).  Returns 0, or -2 when cap is exceeded (caller grows
+// and retries).
+int t4o_query_scored_batch(void* h, const char* blob, const int64_t* offs,
+                           const int32_t* strands, const int32_t* barcodes,
+                           const int32_t* read_types,
+                           const int32_t* skip_repeats, int n_reads,
+                           int n_threads, int radius, int hit_len_required,
+                           int is_long_seq_set, int nomatch_gap_limit,
+                           double novel_sim, double ref_sim,
+                           double repeat_sim, int32_t* out_i32,
+                           double* out_f64, int cap, int64_t* out_range) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  std::vector<std::vector<SOv>> results((size_t)n_reads);
+  auto work = [&](int lo, int hi) {
+    for (int i = lo; i < hi; i++) {
+      const char* rd = blob + offs[i];
+      int len = (int)(offs[i + 1] - offs[i]);
+      query_scored_core(E, R, C, rd, len, strands[i], barcodes[i],
+                        read_types[i], skip_repeats[i] != 0, nullptr,
+                        results[i]);
+      if (len < E->kmer_len) results[i].clear();
+    }
+  };
+  if (n_threads <= 1 || n_reads < 8) {
+    work(0, n_reads);
+  } else {
+    std::vector<std::thread> ts;
+    int chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int lo = t * chunk;
+      int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+  int64_t total = 0;
+  for (auto& v : results) total += (int64_t)v.size();
+  if (total > cap) return -2;
+  int64_t at = 0;
+  for (int i = 0; i < n_reads; i++) {
+    int len = (int)(offs[i + 1] - offs[i]);
+    out_range[2 * i] = at;
+    out_range[2 * i + 1] = (len < E->kmer_len) ? -1 : (int64_t)results[i].size();
+    for (const SOv& o : results[i]) {
+      int32_t* row = out_i32 + 9 * at;
+      row[0] = o.seq_idx;
+      row[1] = o.read_start;
+      row[2] = o.read_end;
+      row[3] = o.strand;
+      row[4] = o.seq_start;
+      row[5] = o.seq_end;
+      row[6] = (int32_t)o.match_cnt;
+      row[7] = (int32_t)o.indel_cnt;
+      row[8] = o.info_from_hits;
+      out_f64[at] = o.similarity;
+      at++;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

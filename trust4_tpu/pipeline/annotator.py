@@ -236,26 +236,59 @@ class Annotator:
         """Annotator.cpp:640-696."""
         seq_set = self.seq_set
         seq_cnt = seq_set.size()
-        if self.threads > 1 and seq_cnt > 1:
-            from trust4_tpu.utils.parallel import map_fork
-
-            def work(idx):
-                ann = self._annotate_one(idx)
-                # consensus may change under need_rc/impute; ship it back
-                return ann, self.seq_set.seqs[idx].consensus
-
-            results = map_fork(work, list(range(seq_cnt)), self.threads)
-            self.annotations = []
-            for i, (ann, consensus) in enumerate(results):
-                if consensus != seq_set.seqs[i].consensus:
-                    self._set_seq_consensus(i, consensus)
-                self.annotations.append(ann)
-        else:
+        # Phase 1: precompute every contig-piece's scored overlap query in
+        # one threaded native batch (the annotator's hot scan,
+        # Annotator.cpp:640-688); phase 2 runs the per-contig decision
+        # logic serially consuming the cache.  Fork-based parallelism is
+        # unsafe here (jax/axon background threads; fork inherits held
+        # locks), so parallelism lives in the C++ engine.
+        self._precompute_contig_queries()
+        try:
             self.annotations = [self._annotate_one(i) for i in range(seq_cnt)]
+        finally:
+            self.ref_set._scored_cache = None
 
         self._annotation_tie_break()
         for i in range(seq_cnt):
             self.annotations[i].is_full_length = self._is_complete_vdj(i)
+
+    def _precompute_contig_queries(self) -> None:
+        """Batch all per-contig-piece scored queries (detail>=1 uses
+        read_type 1, strand 0, barcode -1; engine/annotate.py:222) through
+        the threaded native engine and stash them in ref_set._scored_cache."""
+        import os as _os
+
+        if self.need_rc:
+            return  # consensus may flip before annotation; stay per-contig
+        if _os.environ.get("TRUST4_TPU_SCORED", "1") == "0":
+            return
+        if _os.environ.get("TRUST4_TPU_SCORED_CHECK", "0") == "1":
+            return
+        ref_set = self.ref_set
+        nat = ref_set._native_sync()
+        if nat is None:
+            return
+        from trust4_tpu.utils.parallel import internal_threads
+
+        jobs = []
+        seen = set()
+        for i in range(self.seq_set.size()):
+            cons = self.seq_set.seqs[i].consensus
+            for (a, b) in ref_set.get_contig_intervals(cons):
+                sub = cons[a : b + 1]
+                key = (sub, 0, -1, 1, False)
+                if key not in seen:
+                    seen.add(key)
+                    jobs.append(key)
+        if not jobs:
+            return
+        results = nat.query_scored_batch(
+            jobs, internal_threads(self.threads), ref_set.radius,
+            ref_set.hit_len_required, ref_set.is_long_seq_set,
+            ref_set.nomatch_gap_limit, ref_set.novel_seq_similarity,
+            ref_set.ref_seq_similarity, ref_set.repeat_similarity,
+        )
+        ref_set._scored_cache = dict(zip(jobs, results))
 
     def _reverse_complement_in_seq_set(self, idx: int) -> None:
         sw = self.seq_set.seqs[idx]
@@ -659,6 +692,59 @@ class Annotator:
 
     # -- read realignment + EM + cdr3.out (Annotator.cpp:744-1139) -----
 
+    def _assign_reads_batch(self, assembled_reads, fail):
+        """AssignRead for every assembled read (AssignReads_Thread,
+        Annotator.cpp:399-419) through the threaded native engine, falling
+        back to the serial host loop (consecutive dedup is a pure cache,
+        so both produce the serial results)."""
+        import os as _os
+
+        seq_set = self.seq_set
+        nat = None
+        if _os.environ.get("TRUST4_TPU_SCORED", "1") != "0" and _os.environ.get(
+            "TRUST4_TPU_SCORED_CHECK", "0"
+        ) != "1":
+            nat = seq_set._native_sync()
+        if nat is not None and assembled_reads:
+            from trust4_tpu.utils.parallel import internal_threads
+
+            found, rows, sims = nat.assign_batch(
+                [r.read for r in assembled_reads],
+                [r.overlap.strand for r in assembled_reads],
+                [r.barcode for r in assembled_reads],
+                internal_threads(self.threads),
+                *seq_set._sconf(),
+            )
+            if not (found == -3).any():
+                out = []
+                for i in range(len(assembled_reads)):
+                    if found[i] == 1:
+                        r8 = rows[i]
+                        out.append(
+                            Overlap(
+                                seq_idx=int(r8[0]), read_start=int(r8[1]),
+                                read_end=int(r8[2]), strand=int(r8[3]),
+                                seq_start=int(r8[4]), seq_end=int(r8[5]),
+                                match_cnt=int(r8[6]), indel_cnt=int(r8[7]),
+                                similarity=float(sims[i]),
+                            )
+                        )
+                    else:
+                        out.append(fail)
+                return out
+        out = []
+        assign = fail
+        for i, r in enumerate(assembled_reads):
+            if (
+                i == 0
+                or r.barcode != assembled_reads[i - 1].barcode
+                or r.read != assembled_reads[i - 1].read
+            ):
+                a = seq_set.assign_read(r.read, r.overlap.strand, r.barcode)
+                assign = a if a is not None else fail
+            out.append(assign)
+        return out
+
     def realign_and_write_cdr3(
         self, assembled_reads_fa: str, out_path: str,
         read_assignment_path: Optional[str] = None,
@@ -707,44 +793,11 @@ class Annotator:
 
         fail = Overlap()
         fail.seq_idx = -1
-        if self.threads > 1 and len(assembled_reads) > 1:
-            # Block-partitioned like AssignReads_Thread (Annotator.cpp:399-419);
-            # the dedup is a pure cache, so results match the serial pass.
-            from trust4_tpu.utils.parallel import map_fork_chunks
+        assigned = self._assign_reads_batch(assembled_reads, fail)
+        for r, a in zip(assembled_reads, assigned):
+            r.overlap = a
 
-            def work(chunk):
-                out = []
-                assign = fail
-                prev = None
-                for r in chunk:
-                    if (
-                        prev is None
-                        or r.barcode != prev.barcode
-                        or r.read != prev.read
-                    ):
-                        a = seq_set.assign_read(
-                            r.read, r.overlap.strand, r.barcode
-                        )
-                        assign = a if a is not None else fail
-                    out.append(assign)
-                    prev = r
-                return out
-
-            results = map_fork_chunks(work, assembled_reads, self.threads)
-            for r, a in zip(assembled_reads, results):
-                r.overlap = a
-        else:
-            assign = fail
-            for i, r in enumerate(assembled_reads):
-                if (
-                    i == 0
-                    or r.barcode != assembled_reads[i - 1].barcode
-                    or r.read != assembled_reads[i - 1].read
-                ):
-                    a = seq_set.assign_read(r.read, r.overlap.strand, r.barcode)
-                    assign = a if a is not None else fail
-                r.overlap = assign
-
+        del fail
         if read_assignment_path:
             # --readAssignment dump (Annotator.cpp:856-866).
             with open(read_assignment_path, "w") as fp:

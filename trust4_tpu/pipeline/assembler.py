@@ -374,10 +374,11 @@ class Assembler:
             # t4o_annotate0_batch); per-chunk consecutive dedup mirrors
             # main.cpp:524-529's per-thread cache.
             from trust4_tpu.engine.annotate import overlaps_from_g8
+            from trust4_tpu.utils.parallel import internal_threads
 
             rs = self.ref_set
             rows, sims = _nat.annotate0_batch(
-                [r.read for r in sorted_reads], max(1, self.threads),
+                [r.read for r in sorted_reads], internal_threads(self.threads),
                 rs.radius, rs.hit_len_required, rs.is_long_seq_set,
                 rs.nomatch_gap_limit, rs.novel_seq_similarity,
                 rs.ref_seq_similarity, rs.repeat_similarity, rs.gap_n,
@@ -1011,17 +1012,49 @@ class Assembler:
         fail = Overlap()
         fail.seq_idx = -1
         assembled_reads = []
-        prev_read = None
-        prev_assign = fail
-        for idx in assembled_read_idx:
+        # AssignRead for every assembled read (threaded native batch when
+        # available; assignment is pure, so the reference's consecutive-
+        # duplicate cache and the batch produce identical results.
+        # Reference keeps the overlap's original strand slot when
+        # assignment fails, main.cpp:2077-2082; strand comes from the read
+        # either way.)
+        import os as _os
+
+        nat = None
+        if _os.environ.get("TRUST4_TPU_SCORED", "1") != "0" and _os.environ.get(
+            "TRUST4_TPU_SCORED_CHECK", "0"
+        ) != "1":
+            nat = extended_seq._native_sync()
+        reads_list = [sorted_reads[idx] for idx in assembled_read_idx]
+        if nat is not None and reads_list:
+            from trust4_tpu.utils.parallel import internal_threads
+
+            found, rows, sims = nat.assign_batch(
+                [r.read for r in reads_list],
+                [r.strand for r in reads_list],
+                [r.barcode for r in reads_list],
+                internal_threads(self.threads),
+                *extended_seq._sconf(),
+            )
+        else:
+            found = None
+        for bi, idx in enumerate(assembled_read_idx):
             r = sorted_reads[idx]
-            if prev_read is None or r.read != prev_read:
-                # Reference keeps the overlap's original strand slot when
-                # assignment fails (assign struct reused, main.cpp:2077-2082);
-                # strand comes from the read either way.
+            if found is not None and found[bi] != -3:
+                if found[bi] == 1:
+                    r8 = rows[bi]
+                    assign = Overlap(
+                        seq_idx=int(r8[0]), read_start=int(r8[1]),
+                        read_end=int(r8[2]), strand=int(r8[3]),
+                        seq_start=int(r8[4]), seq_end=int(r8[5]),
+                        match_cnt=int(r8[6]), indel_cnt=int(r8[7]),
+                        similarity=float(sims[bi]),
+                    )
+                else:
+                    assign = fail
+            else:
                 a = extended_seq.assign_read(r.read, r.strand, r.barcode)
-                prev_assign = a if a is not None else fail
-                prev_read = r.read
+                assign = a if a is not None else fail
             assembled_reads.append(
                 AssignedRead(
                     id=r.id,
@@ -1029,7 +1062,7 @@ class Assembler:
                     barcode=r.barcode,
                     umi=r.umi,
                     info=idx,
-                    overlap=prev_assign,
+                    overlap=assign,
                 )
             )
         extended_seq.set_novel_seq_similarity(0.9)

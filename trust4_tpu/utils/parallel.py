@@ -19,6 +19,26 @@ R = TypeVar("R")
 _work_fn = None
 
 
+def internal_threads(threads: int) -> int:
+    """Effective parallelism for engine-internal phases.
+
+    Our native/fork sweeps are part of the engine's architecture (like the
+    reference's worker pools); at -t 1 they default to a bounded internal
+    pool (the extract filter set this precedent).  TRUST4_TPU_INTERNAL_THREADS
+    overrides (0/1 forces serial).
+    """
+    env = os.environ.get("TRUST4_TPU_INTERNAL_THREADS")
+    if env is not None:
+        try:
+            v = int(env)
+        except ValueError:
+            v = 1
+        return max(1, v)
+    if threads > 1:
+        return threads
+    return max(1, min(8, os.cpu_count() or 1))
+
+
 def _invoke(arg):
     return _work_fn(arg)
 
