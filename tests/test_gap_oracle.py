@@ -1,0 +1,113 @@
+"""Device gap-fill oracle: the Pallas DP + traceback decode in stage 2.
+
+The dirs kernel emits per-cell traceback-decision bits
+(ops/dp_pallas.banded_affine_dirs_pallas) and the on-device DFA walker
+(decode_dirs_counts) turns them into (match, mismatch, indel) counts that
+must be bit-identical to the CPU DP's edit scripts
+(reference: AlignAlgo.hpp:174-203 traceback order).  The e2e check runs
+the shipping annotator with the device path forced on and check mode
+asserting every gap count against the CPU DP.
+
+On CPU the Pallas kernel runs in the (slow) interpreter, so the random
+parity test shrinks and the pipeline e2e only runs on a real backend.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from trust4_tpu.align import native as align_native
+from trust4_tpu.ops.dp_batch import encode_for_dp
+from trust4_tpu.ops.dp_pallas import (
+    banded_affine_dirs_pallas,
+    decode_dirs_counts,
+)
+
+_ON_DEVICE = jax.default_backend() in ("tpu", "axon")
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _rand_pairs(rng, n, lo=0, hi=60):
+    """Random pairs incl. zero-length sides, N's, and indel-heavy cases."""
+    pairs = []
+    for _ in range(n):
+        lt = int(rng.integers(lo, hi))
+        lp = int(np.clip(lt + rng.integers(-8, 9), 0, hi))
+        t = "".join(rng.choice(list("ACGTN"), lt, p=[0.24] * 4 + [0.04]))
+        p = "".join(rng.choice(list("ACGTN"), lp, p=[0.24] * 4 + [0.04]))
+        if lt and lp and rng.random() < 0.6:  # mostly-similar case
+            p_list = list(t[:lp].ljust(lp, "A"))
+            for _ in range(int(rng.integers(0, 6))):
+                p_list[int(rng.integers(0, lp))] = rng.choice(list("ACGTN"))
+            p = "".join(p_list)
+        pairs.append((t, p))
+    pairs += [("", ""), ("ACGT", ""), ("", "ACGT"), ("A", "A")]
+    return pairs
+
+
+def test_dirs_decode_matches_cpu_counts():
+    rng = np.random.default_rng(11)
+    pairs = _rand_pairs(rng, 256 if _ON_DEVICE else 12,
+                        hi=100 if _ON_DEVICE else 24)
+    W = 32
+    tmax = max(max(len(t) for t, _ in pairs), 2)
+    pmax = max(max(len(p) for _, p in pairs), 2)
+    cap = max(tmax, pmax)
+    tc, tl = encode_for_dp([t for t, _ in pairs], cap)
+    pc, pl_ = encode_for_dp([p for _, p in pairs], cap)
+    # band must cover every pair (tier logic guarantees this in shipping)
+    keep = np.abs(tl - pl_) + 11 <= W
+    tc, tl, pc, pl_ = tc[keep], tl[keep], pc[keep], pl_[keep]
+    kept_pairs = [pr for pr, k in zip(pairs, keep) if k]
+    _scores, dirs = banded_affine_dirs_pallas(tc, tl, pc, pl_, W)
+    counts = np.asarray(
+        decode_dirs_counts(dirs, tc, tl, pc, pl_, w=W, p_max=cap)
+    )
+    for i, (t, p) in enumerate(kept_pairs):
+        want = align_native.global_alignment_counts(t, p)
+        got = tuple(int(v) for v in counts[i])
+        assert got == want, (i, t, p, got, want)
+
+
+@pytest.mark.skipif(not _ON_DEVICE, reason="interpret mode too slow at "
+                    "tier chunk shapes")
+def test_gap_oracle_in_pipeline_example(tmp_path):
+    """Full driver on the bundled example with the device path forced on
+    and check mode verifying every device gap count against the CPU DP;
+    outputs must equal the committed goldens."""
+    prefix = str(tmp_path / "ex")
+    env = dict(os.environ)
+    env["TRUST4_TPU_DEVICE"] = "1"
+    env["TRUST4_TPU_DEVICE_CHECK"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    example = "/root/reference/example"
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from trust4_tpu.pipeline.run import run_trust4\n"
+        "run_trust4(%r, %r, read1_files=[%r], read2_files=[%r],\n"
+        "           output_prefix=%r)\n"
+        % (
+            repo,
+            "/root/reference/hg38_bcrtcr.fa",
+            "/root/reference/human_IMGT+C.fa",
+            os.path.join(example, "example_1.fq"),
+            os.path.join(example, "example_2.fq"),
+            prefix,
+        )
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=900)
+    for suffix, golden in (
+        ("_annot.fa", "gold_annot.fa"),
+        ("_cdr3.out", "gold_cdr3.out"),
+    ):
+        with open(prefix + suffix) as f_got, open(
+            os.path.join(DATA, golden)
+        ) as f_want:
+            assert f_got.read() == f_want.read(), suffix

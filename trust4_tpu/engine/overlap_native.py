@@ -114,6 +114,22 @@ def _load():
         c_int, c_int, c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p,
         _f64p, c_int, _i64p,
     ]
+    lib.t4o_batch_collect_gaps.restype = c_int
+    lib.t4o_batch_collect_gaps.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, _i32p, _i32p, c_int,
+        c_int, c_int, c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p,
+        c_int,
+    ]
+    lib.t4o_query_scored_batch_oracle.restype = c_int
+    lib.t4o_query_scored_batch_oracle.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, _i32p, _i32p, c_int,
+        c_int, c_int, c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p,
+        _i32p, c_int, _i32p, _f64p, c_int, _i64p,
+    ]
+    lib.t4o_emit_gap_codes.restype = None
+    lib.t4o_emit_gap_codes.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, c_int, c_int, _i8p, _i8p,
+    ]
     # master-mode assembly (t4s_*)
     lib.t4s_add_read.argtypes = [
         ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, c_int, c_int,
@@ -478,6 +494,98 @@ class NativeOverlapEngine:
                 n, n_threads, radius, hit_len_required,
                 1 if is_long_seq_set else 0, nomatch_gap_limit,
                 novel_sim, ref_sim, repeat_sim,
+                out_i32.ctypes.data_as(_i32p),
+                out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                cap, rng.ctypes.data_as(_i64p),
+            )
+            if rc != -2:
+                break
+            cap *= 4
+        out = []
+        for i in range(n):
+            a = int(rng[2 * i])
+            c = int(rng[2 * i + 1])
+            if c < 0:
+                out.append((-1, None, None))
+            else:
+                out.append((c, out_i32[a : a + c], out_f64[a : a + c]))
+        return out
+
+    def _batch_args(self, jobs):
+        n = len(jobs)
+        blobs = [j[0].encode("ascii") for j in jobs]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        st = np.array([j[1] for j in jobs], dtype=np.int32)
+        bc = np.array([j[2] for j in jobs], dtype=np.int32)
+        rt = np.array([j[3] for j in jobs], dtype=np.int32)
+        sk = np.array([1 if j[4] else 0 for j in jobs], dtype=np.int32)
+        return n, blob, offs, st, bc, rt, sk
+
+    def batch_collect_gaps(self, jobs, n_threads: int, radius: int,
+                           hit_len_required: int, is_long_seq_set: bool,
+                           nomatch_gap_limit: int, novel_sim: float,
+                           ref_sim: float, repeat_sim: float):
+        """Phase 1 of the device-assisted batch: run the queries in collect
+        mode and return the is_ref gap-fill job rows (n, 8) int32."""
+        n, blob, offs, st, bc, rt, sk = self._batch_args(jobs)
+        cap = 1 << 16
+        while True:
+            out = np.empty((cap, 8), dtype=np.int32)
+            rc = self._lib.t4o_batch_collect_gaps(
+                self._h, blob, offs.ctypes.data_as(_i64p),
+                st.ctypes.data_as(_i32p), bc.ctypes.data_as(_i32p),
+                rt.ctypes.data_as(_i32p), sk.ctypes.data_as(_i32p),
+                n, n_threads, radius, hit_len_required,
+                1 if is_long_seq_set else 0, nomatch_gap_limit,
+                novel_sim, ref_sim, repeat_sim,
+                out.ctypes.data_as(_i32p), cap,
+            )
+            if rc != -2:
+                return out[:rc]
+            cap *= 4
+
+    def emit_gap_codes(self, jobs, gap_jobs, width: int):
+        """Device-ready DP code rows for collected gap jobs: returns
+        (t_codes, p_codes), each (n_jobs, width) int8, pad 5.  jobs are the
+        batch's query tuples (for the read blob); gap_jobs the (n, 8) rows
+        from batch_collect_gaps."""
+        _n, blob, offs, _st, _bc, _rt, _sk = self._batch_args(jobs)
+        gj = np.ascontiguousarray(gap_jobs, dtype=np.int32)
+        out_t = np.empty((len(gj), width), dtype=np.int8)
+        out_p = np.empty((len(gj), width), dtype=np.int8)
+        self._lib.t4o_emit_gap_codes(
+            self._h, blob, offs.ctypes.data_as(_i64p),
+            gj.ctypes.data_as(_i32p), len(gj), width,
+            out_t.ctypes.data_as(_i8p), out_p.ctypes.data_as(_i8p),
+        )
+        return out_t, out_p
+
+    def query_scored_batch_oracle(self, jobs, gap_jobs, gap_counts,
+                                  n_threads: int, radius: int,
+                                  hit_len_required: int,
+                                  is_long_seq_set: bool,
+                                  nomatch_gap_limit: int, novel_sim: float,
+                                  ref_sim: float, repeat_sim: float):
+        """Phase 2: the scored batch consuming device gap counts."""
+        n, blob, offs, st, bc, rt, sk = self._batch_args(jobs)
+        gj = np.ascontiguousarray(gap_jobs, dtype=np.int32)
+        gc = np.ascontiguousarray(gap_counts, dtype=np.int32)
+        rng = np.empty(2 * n, dtype=np.int64)
+        cap = max(1 << 14, 64 * n)
+        while True:
+            out_i32 = np.empty((cap, 9), dtype=np.int32)
+            out_f64 = np.empty(cap, dtype=np.float64)
+            rc = self._lib.t4o_query_scored_batch_oracle(
+                self._h, blob, offs.ctypes.data_as(_i64p),
+                st.ctypes.data_as(_i32p), bc.ctypes.data_as(_i32p),
+                rt.ctypes.data_as(_i32p), sk.ctypes.data_as(_i32p),
+                n, n_threads, radius, hit_len_required,
+                1 if is_long_seq_set else 0, nomatch_gap_limit,
+                novel_sim, ref_sim, repeat_sim,
+                gj.ctypes.data_as(_i32p), gc.ctypes.data_as(_i32p),
+                len(gj),
                 out_i32.ctypes.data_as(_i32p),
                 out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 cap, rng.ctypes.data_as(_i64p),

@@ -1005,4 +1005,182 @@ void t4_extend_overlap(const int32_t* w, const char* r, int read_len,
   out8[7] = indel_cnt;
 }
 
+}  // extern "C"\n
+// ---------------------------------------------------------------------------
+// Device-traceback decode: replay the reference traceback DFA
+// (AlignAlgo.hpp:174-203 / affine_traceback above) over the per-cell
+// decision bits emitted by the Pallas kernel
+// (trust4_tpu/ops/dp_pallas.py banded_affine_dirs_pallas):
+//   bit0: f >= e   bit1: diag accepted   bit2: e opened   bit3: f opened
+// In-band cells consume the bits; row-0 / column-0 / out-of-band cells are
+// evaluated analytically from the exact boundary formulas, so the decoded
+// edit script is bit-identical to t4_global_alignment's.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int t4_decode_dirs(const int8_t* dirs /* (p_rows, w) row-major */, int w,
+                   int lent, int lenp, const char* t, const char* p,
+                   int left, int8_t* out, int* out_len) {
+  const int64_t go = SCORE_GAPOPEN, ge = SCORE_GAPEXTEND;
+  const int64_t go_ge = go + ge;
+  const int64_t neg_inf = (int64_t)(lent + 1) * (lenp + 1) * go;
+  auto m_val = [&](int i, int j) -> int64_t {
+    // analytic cells only (row 0 / col 0 / out of band)
+    if (i == 0) return j == 0 ? 0 : go + (int64_t)j * go;
+    if (j == 0) return go + (int64_t)i * go;
+    return neg_inf;
+  };
+  auto e_val = [&](int i, int j) -> int64_t {
+    if (i == 0) return j == 0 ? 0 : go + (int64_t)(lenp + 1) * go;
+    if (j == 0) return go + (int64_t)i * ge;
+    return neg_inf;
+  };
+  auto f_val = [&](int i, int j) -> int64_t {
+    if (i == 0) return j == 0 ? 0 : go + (int64_t)j * ge;
+    if (j == 0) return go + (int64_t)i * go;
+    return neg_inf;
+  };
+  auto in_band = [&](int i, int j) -> bool {
+    if (i < 1 || j < 1 || j > lent) return false;
+    int k = j - i + left;
+    return k >= 0 && k < w;
+  };
+  auto bits_at = [&](int i, int j) -> int {
+    return dirs[(size_t)(i - 1) * w + (j - i + left)];
+  };
+
+  int n = 0;
+  int mat = 0;
+  int ti = lenp, tj = lent;
+  while (ti > 0 || tj > 0) {
+    if (mat == 0) {
+      int a = EDIT_INSERT;
+      bool ib = in_band(ti, tj);
+      bool fe;
+      if (ib) {
+        fe = (bits_at(ti, tj) & 1) != 0;
+      } else {
+        fe = f_val(ti, tj) >= e_val(ti, tj);
+      }
+      if (fe) a = EDIT_DELETE;
+      if (ti > 0 && tj > 0) {
+        bool diag_ok = ib ? ((bits_at(ti, tj) & 2) != 0) : false;
+        if (diag_ok) {
+          bool eqc = chars_equal(t[tj - 1], p[ti - 1]);
+          a = eqc ? EDIT_MATCH : EDIT_MISMATCH;
+        }
+      }
+      if (a == EDIT_MATCH || a == EDIT_MISMATCH) {
+        out[n++] = (int8_t)a;
+        --ti;
+        --tj;
+      } else if (a == EDIT_INSERT) {
+        mat = 1;
+      } else {
+        mat = 2;
+      }
+    } else if (mat == 1) {
+      out[n++] = EDIT_INSERT;
+      if (ti > 0) {
+        bool opened;
+        if (in_band(ti, tj)) {
+          opened = (bits_at(ti, tj) & 4) != 0;
+        } else {
+          // e[ti][tj] analytic; the m side is analytic-or-unknown, but an
+          // unknown (in-band) m never equals an analytic e (neg_inf or a
+          // boundary formula) shifted by GO+GE when e is neg_inf.
+          int64_t ev = e_val(ti, tj);
+          int64_t mv = (ti - 1 == 0 || tj == 0 || !in_band(ti - 1, tj))
+                           ? m_val(ti - 1, tj)
+                           : neg_inf - 1;  // unknown in-band: can't match
+          opened = (ev != neg_inf || mv != neg_inf - 1) &&
+                   (mv + go_ge == ev);
+        }
+        if (opened) {
+          --ti;
+          mat = 0;
+        } else {
+          --ti;
+        }
+      } else {
+        mat = 2;
+      }
+    } else {
+      out[n++] = EDIT_DELETE;
+      if (tj > 0) {
+        bool opened;
+        if (in_band(ti, tj)) {
+          opened = (bits_at(ti, tj) & 8) != 0;
+        } else {
+          int64_t fv = f_val(ti, tj);
+          int64_t mv = (ti == 0 || tj - 1 == 0 || !in_band(ti, tj - 1))
+                           ? m_val(ti, tj - 1)
+                           : neg_inf - 1;
+          opened = (fv != neg_inf || mv != neg_inf - 1) &&
+                   (mv + go_ge == fv);
+        }
+        if (opened) {
+          --tj;
+          mat = 0;
+        } else {
+          --tj;
+        }
+      } else {
+        mat = 1;
+      }
+    }
+    if (n > lent + lenp + 2) return -1;  // malformed bits guard
+  }
+  for (int a = 0, b = n - 1; a < b; ++a, --b) {
+    int8_t tmp = out[a];
+    out[a] = out[b];
+    out[b] = tmp;
+  }
+  *out_len = n;
+  return 0;
+}
+
+// Batched count decode: per job j, dirs block at dirs + job_off[j]*w,
+// meta rows {lent, lenp, t_off, p_off, left, p_rows}; emits
+// (match, mismatch, indel) triples.  Returns 0, or -1 when any job's bits
+// are malformed (caller falls back to the CPU DP).
+int t4_decode_dirs_counts_batch(const int8_t* dirs, const int64_t* job_off,
+                                const int32_t* meta6, int n_jobs, int w,
+                                const char* t_blob, const char* p_blob,
+                                int32_t* out3) {
+  static thread_local std::vector<int8_t> buf;
+  for (int j = 0; j < n_jobs; j++) {
+    const int32_t* m = meta6 + 6 * j;
+    int lent = m[0], lenp = m[1];
+    buf.resize((size_t)lent + lenp + 4);
+    int n = 0;
+    if (lent == 0 || lenp == 0) {
+      n = 0;
+    } else if (lent == 1 && lenp == 1) {
+      buf[0] = chars_equal(t_blob[m[2]], p_blob[m[3]]) ? EDIT_MATCH
+                                                       : EDIT_MISMATCH;
+      n = 1;
+    } else {
+      int rc = t4_decode_dirs(dirs + job_off[j] * w, w, lent, lenp,
+                              t_blob + m[2], p_blob + m[3], m[4],
+                              buf.data(), &n);
+      if (rc != 0) return -1;
+    }
+    int mt = 0, mm = 0, ind = 0;
+    for (int i = 0; i < n; i++) {
+      if (buf[i] == EDIT_MATCH)
+        mt++;
+      else if (buf[i] == EDIT_MISMATCH)
+        mm++;
+      else
+        ind++;
+    }
+    out3[3 * j] = mt;
+    out3[3 * j + 1] = mm;
+    out3[3 * j + 2] = ind;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -1169,11 +1169,37 @@ bool sov_is_substring_of(const Engine2& R, const SOv& a, const SOv& b,
   return true;
 }
 
-// Chain scoring + low-complexity via the libt4align entry point
-// (t4_chain_score2 — the exact code the host path runs), so the native and
-// host scored queries share one scoring implementation.
+// Device gap-fill oracle (two-phase batched annotation): phase 1 collects
+// every is_ref gap-fill job a batch of queries would run (keyed by (query,
+// sorted-overlap index, gap ordinal) — deterministic across phases because
+// the chains and overlap order are identical); the Pallas kernel scores
+// them and the traceback-bits walker produces (match, mismatch, indel)
+// counts; phase 2 re-runs the batch consuming those counts instead of the
+// CPU DP.  Count-dependent early breaks only shorten phase-2 consumption,
+// so phase-1 enumerates a superset.
+struct GapJob {
+  int32_t q, ov_idx, gap_ord;
+  int32_t seq_idx, t_from, t_len, r_from, r_len;
+};
+struct GapCtx {
+  int mode = 0;  // 1 = collect, 2 = consume
+  int q = 0;
+  int ov_idx = 0;
+  std::vector<GapJob>* sink = nullptr;          // collect (per thread)
+  const std::unordered_map<uint64_t, int32_t>* oracle = nullptr;
+  const int32_t* counts = nullptr;              // (n_jobs, 3)
+};
+inline uint64_t gap_key(int q, int ov_idx, int gap_ord) {
+  return ((uint64_t)(uint32_t)q << 34) | ((uint64_t)(uint32_t)ov_idx << 10) |
+         (uint32_t)gap_ord;
+}
+
+// Chain scoring + low-complexity.  Without a GapCtx this defers to
+// t4_chain_score2 (the exact code the host path runs); with one, is_ref
+// gap fills are enumerated (collect) or answered from the device counts
+// (consume), falling back to the CPU DP on a miss.
 void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
-                 const char* r, int64_t* out5) {
+                 const char* r, int64_t* out5, GapCtx* gctx = nullptr) {
   const SeqRec& s = R.seqs[o.seq_idx];
   static thread_local std::vector<int32_t> flat;
   flat.clear();
@@ -1182,11 +1208,131 @@ void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
     flat.push_back(p.a);
     flat.push_back(p.b);
   }
-  t4_chain_score2(flat.data(), (int)o.coords.size(), kl, C.radius,
-                  C.nomatch_gap_limit, s.is_ref ? 1 : 0,
-                  s.is_ref ? s.consensus.data() : nullptr,
-                  s.is_ref ? nullptr : s.pw, r, o.read_start, o.read_end,
-                  out5);
+  if (gctx == nullptr || !s.is_ref) {
+    t4_chain_score2(flat.data(), (int)o.coords.size(), kl, C.radius,
+                    C.nomatch_gap_limit, s.is_ref ? 1 : 0,
+                    s.is_ref ? s.consensus.data() : nullptr,
+                    s.is_ref ? nullptr : s.pw, r, o.read_start, o.read_end,
+                    out5);
+    return;
+  }
+  // Inline chain walk with oracle-backed gap fills (mirrors
+  // t4_chain_score in align_kernels.cpp).
+  const int32_t* coords = flat.data();
+  int n_coords = (int)o.coords.size();
+  int64_t match_cnt = 2 * kl, mismatch_cnt = 0, indel_cnt = 0;
+  int sim_zero = 0;
+  int gap_ord = 0;
+  int radius = C.radius;
+  int cnts[3];
+  for (int j = 1; j < n_coords; j++) {
+    int pa = coords[2 * (j - 1)], pb = coords[2 * (j - 1) + 1];
+    int ca = coords[2 * j], cb = coords[2 * j + 1];
+    bool same_diag = (pb - pa == cb - ca);
+    bool need_fill = false;
+    if (same_diag) {
+      if (pa + kl - 1 >= ca) {
+        match_cnt += 2 * (ca - pa);
+      } else {
+        need_fill = true;
+      }
+    } else {
+      if (radius == 0) {  // is_ref here; novel handled by the early branch
+        sim_zero = 1;
+        break;
+      }
+      if (pa + kl - 1 >= ca && pb + kl - 1 < cb) {
+        match_cnt += 2 * (ca - pa);
+        indel_cnt += (cb - (pb + kl)) + (ca + kl - pa);
+      } else if (pa + kl - 1 < ca && pb + kl - 1 >= cb) {
+        match_cnt += 2 * (cb - pb);
+        indel_cnt += (ca - (pa + kl)) + (cb + kl - pb);
+      } else if (pa + kl - 1 >= ca && pb + kl - 1 >= cb) {
+        int64_t a = ca - pa, b = cb - pb;
+        match_cnt += 2 * (a < b ? a : b);
+        int64_t d = (int64_t)(ca - cb) - (pa - pb);
+        indel_cnt += d < 0 ? -d : d;
+      } else {
+        need_fill = true;
+      }
+    }
+    if (need_fill) {
+      match_cnt += 2 * kl;
+      if (cb - (pb + kl) > C.nomatch_gap_limit ||
+          ca - (pa + kl) > C.nomatch_gap_limit) {
+        sim_zero = 1;
+        break;
+      }
+      if (gctx->mode == 1) {
+        gctx->sink->push_back({(int32_t)gctx->q, (int32_t)gctx->ov_idx,
+                               (int32_t)gap_ord, (int32_t)o.seq_idx,
+                               pb + kl, cb - pb - kl, pa + kl,
+                               ca - pa - kl});
+        gap_ord++;
+        if (radius == 0) {
+          // Count-dependent break below (indel_cnt) — keep the CPU DP so
+          // the fill enumeration matches the real pass.  Never taken by
+          // the annotator (radius 10).
+          t4_global_alignment_counts(s.consensus.data() + pb + kl,
+                                     cb - pb - kl, r + pa + kl, ca - pa - kl,
+                                     cnts);
+        } else {
+          // radius>0 + is_ref: neither the chain walk nor the dominance
+          // pass (novel-only) branches on fill counts, so collect mode
+          // skips the DP entirely — that's the whole point of phase 1
+          // being cheap.  Collect-mode similarities are discarded.
+          cnts[0] = cnts[1] = cnts[2] = 0;
+        }
+      } else {
+        auto it = gctx->oracle->find(gap_key(gctx->q, gctx->ov_idx, gap_ord));
+        gap_ord++;
+        if (it != gctx->oracle->end()) {
+          const int32_t* c3 = gctx->counts + 3 * it->second;
+          cnts[0] = c3[0];
+          cnts[1] = c3[1];
+          cnts[2] = c3[2];
+        } else {
+          t4_global_alignment_counts(s.consensus.data() + pb + kl,
+                                     cb - pb - kl, r + pa + kl,
+                                     ca - pa - kl, cnts);
+        }
+      }
+      match_cnt += 2 * cnts[0];
+      mismatch_cnt += cnts[1];
+      indel_cnt += cnts[2];
+      if (same_diag) {
+        if (radius == 0 && indel_cnt > 0) {
+          sim_zero = 1;
+          break;
+        }
+      }
+      // cross-diagonal fills break only for novel seqs (not is_ref)
+    }
+  }
+  out5[0] = match_cnt;
+  out5[1] = mismatch_cnt;
+  out5[2] = indel_cnt;
+  out5[3] = sim_zero;
+  long cnt4[4] = {0, 0, 0, 0};
+  for (int i = o.read_start; i <= o.read_end; i++) {
+    switch (r[i]) {
+      case 'A': cnt4[0]++; break;
+      case 'C': cnt4[1]++; break;
+      case 'G': cnt4[2]++; break;
+      case 'T': cnt4[3]++; break;
+      default: break;
+    }
+  }
+  long low_cnt = 0, low_total = 0;
+  for (int i = 0; i < 4; i++)
+    if (cnt4[i] <= 2) {
+      low_cnt++;
+      low_total += cnt4[i];
+    }
+  if (low_total * 7 >= o.read_end - o.read_start + 1)
+    out5[4] = 0;
+  else
+    out5[4] = low_cnt >= 2 ? 1 : 0;
 }
 
 // The similarity/dominance pass (engine/overlap.py:808-1152; reference
@@ -1195,7 +1341,7 @@ void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
 // thresholded list in order.
 void score_overlaps(const Engine2& R, const SConf& C, int kl,
                     const char* read, int len, int read_type,
-                    std::vector<SOv>& overlaps) {
+                    std::vector<SOv>& overlaps, GapCtx* gctx = nullptr) {
   // Sort (overlap.py:808) — Python list.sort is stable.
   std::stable_sort(overlaps.begin(), overlaps.end(), sov_key_less);
   int overlap_cnt = (int)overlaps.size();
@@ -1292,7 +1438,8 @@ void score_overlaps(const Engine2& R, const SConf& C, int kl,
       }
     }
 
-    score_chain(R, C, kl, o, r, out5);
+    if (gctx != nullptr) gctx->ov_idx = i;
+    score_chain(R, C, kl, o, r, out5, gctx);
     int64_t match_cnt = out5[0];
     int64_t indel_cnt = out5[2];
     bool sim_zero = out5[3] != 0;
@@ -1398,7 +1545,7 @@ bool prof_on() {
 int query_scored_core(Engine* E, Engine2& R, const SConf& C, const char* read,
                       int len, int strand, int barcode, int read_type,
                       bool skip_repeats, const uint8_t* puse,
-                      std::vector<SOv>& out) {
+                      std::vector<SOv>& out, GapCtx* gctx = nullptr) {
   out.clear();
   int kl = E->kmer_len;
   if (len < kl) return -1;
@@ -1466,7 +1613,7 @@ int query_scored_core(Engine* E, Engine2& R, const SConf& C, const char* read,
     s.coords = std::move(o.coords);
     out.push_back(std::move(s));
   }
-  score_overlaps(R, C, kl, read, len, read_type, out);
+  score_overlaps(R, C, kl, read, len, read_type, out, gctx);
   if (prof) g_t_score += now_ns() - t0;
   return (int)out.size();
 }
@@ -3209,6 +3356,187 @@ int t4o_query_scored_batch(void* h, const char* blob, const int64_t* offs,
     int len = (int)(offs[i + 1] - offs[i]);
     out_range[2 * i] = at;
     out_range[2 * i + 1] = (len < E->kmer_len) ? -1 : (int64_t)results[i].size();
+    for (const SOv& o : results[i]) {
+      int32_t* row = out_i32 + 9 * at;
+      row[0] = o.seq_idx;
+      row[1] = o.read_start;
+      row[2] = o.read_end;
+      row[3] = o.strand;
+      row[4] = o.seq_start;
+      row[5] = o.seq_end;
+      row[6] = (int32_t)o.match_cnt;
+      row[7] = (int32_t)o.indel_cnt;
+      row[8] = o.info_from_hits;
+      out_f64[at] = o.similarity;
+      at++;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Two-phase device-assisted batch (annotator stage 2; see
+// pipeline/annotator.py _precompute_contig_queries device path)
+// ===========================================================================
+
+extern "C" {
+
+// Phase 1: run the batch in collect mode and emit the is_ref gap-fill job
+// list.  out_jobs rows of 8 int32 {q, ov_idx, gap_ord, seq_idx, t_from,
+// t_len, r_from, r_len}.  Returns the job count, or -2 when cap is too
+// small.
+int t4o_batch_collect_gaps(void* h, const char* blob, const int64_t* offs,
+                           const int32_t* strands, const int32_t* barcodes,
+                           const int32_t* read_types,
+                           const int32_t* skip_repeats, int n_reads,
+                           int n_threads, int radius, int hit_len_required,
+                           int is_long_seq_set, int nomatch_gap_limit,
+                           double novel_sim, double ref_sim,
+                           double repeat_sim, int32_t* out_jobs, int cap) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  int nt = (n_threads <= 1 || n_reads < 8) ? 1 : n_threads;
+  std::vector<std::vector<GapJob>> sinks((size_t)nt);
+  auto work = [&](int t, int lo, int hi) {
+    std::vector<SOv> res;
+    GapCtx g;
+    g.mode = 1;
+    g.sink = &sinks[t];
+    for (int i = lo; i < hi; i++) {
+      g.q = i;
+      query_scored_core(E, R, C, blob + offs[i],
+                        (int)(offs[i + 1] - offs[i]), strands[i],
+                        barcodes[i], read_types[i], skip_repeats[i] != 0,
+                        nullptr, res, &g);
+    }
+  };
+  if (nt == 1) {
+    work(0, 0, n_reads);
+  } else {
+    std::vector<std::thread> ts;
+    int chunk = (n_reads + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int lo = t * chunk;
+      int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
+      if (lo >= hi) break;
+      ts.emplace_back(work, t, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  int64_t total = 0;
+  for (auto& s : sinks) total += (int64_t)s.size();
+  if (total > cap) return -2;
+  int64_t at = 0;
+  for (auto& s : sinks)
+    for (const GapJob& j : s) {
+      int32_t* row = out_jobs + 8 * at++;
+      row[0] = j.q;
+      row[1] = j.ov_idx;
+      row[2] = j.gap_ord;
+      row[3] = j.seq_idx;
+      row[4] = j.t_from;
+      row[5] = j.t_len;
+      row[6] = j.r_from;
+      row[7] = j.r_len;
+    }
+  return (int)total;
+}
+
+// Emit device-ready code rows for collected gap jobs: for each job row
+// (from t4o_batch_collect_gaps), write the t segment's and the read ("p")
+// segment's DP codes (A0 C1 G2 T3 N4, pad 5) into fixed-width rows of
+// `width` (jobs longer than width are the caller's responsibility to
+// exclude).  blob/offs identify the batch's query reads.
+void t4o_emit_gap_codes(void* h, const char* blob, const int64_t* offs,
+                        const int32_t* jobs, int n_jobs, int width,
+                        int8_t* out_t, int8_t* out_p) {
+  Engine2& R = registry_for(h);
+  memset(out_t, 5, (size_t)n_jobs * width);
+  memset(out_p, 5, (size_t)n_jobs * width);
+  auto code_of = [](char c) -> int8_t {
+    switch (c) {
+      case 'A': return 0;
+      case 'C': return 1;
+      case 'G': return 2;
+      case 'T': return 3;
+      case 'N': return 4;
+      default: return 5;
+    }
+  };
+  for (int j = 0; j < n_jobs; j++) {
+    const int32_t* row = jobs + 8 * j;
+    const std::string& cons = R.seqs[row[3]].consensus;
+    int t_len = row[5] < width ? row[5] : width;
+    int8_t* ot = out_t + (size_t)j * width;
+    for (int i = 0; i < t_len; i++) ot[i] = code_of(cons[row[4] + i]);
+    const char* rd = blob + offs[row[0]];
+    int r_len = row[7] < width ? row[7] : width;
+    int8_t* op = out_p + (size_t)j * width;
+    for (int i = 0; i < r_len; i++) op[i] = code_of(rd[row[6] + i]);
+  }
+}
+
+// Phase 2: the scored batch with device gap counts.  jobs/counts from
+// phase 1 + the device pass; otherwise identical to
+// t4o_query_scored_batch.
+int t4o_query_scored_batch_oracle(
+    void* h, const char* blob, const int64_t* offs, const int32_t* strands,
+    const int32_t* barcodes, const int32_t* read_types,
+    const int32_t* skip_repeats, int n_reads, int n_threads, int radius,
+    int hit_len_required, int is_long_seq_set, int nomatch_gap_limit,
+    double novel_sim, double ref_sim, double repeat_sim,
+    const int32_t* jobs, const int32_t* counts, int n_jobs,
+    int32_t* out_i32, double* out_f64, int cap, int64_t* out_range) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  std::unordered_map<uint64_t, int32_t> oracle;
+  oracle.reserve((size_t)n_jobs * 2);
+  for (int j = 0; j < n_jobs; j++) {
+    const int32_t* row = jobs + 8 * j;
+    oracle[gap_key(row[0], row[1], row[2])] = j;
+  }
+  std::vector<std::vector<SOv>> results((size_t)n_reads);
+  auto work = [&](int lo, int hi) {
+    GapCtx g;
+    g.mode = 2;
+    g.oracle = &oracle;
+    g.counts = counts;
+    for (int i = lo; i < hi; i++) {
+      g.q = i;
+      query_scored_core(E, R, C, blob + offs[i],
+                        (int)(offs[i + 1] - offs[i]), strands[i],
+                        barcodes[i], read_types[i], skip_repeats[i] != 0,
+                        nullptr, results[i], &g);
+    }
+  };
+  if (n_threads <= 1 || n_reads < 8) {
+    work(0, n_reads);
+  } else {
+    std::vector<std::thread> ts;
+    int chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int lo = t * chunk;
+      int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  int64_t total = 0;
+  for (auto& v : results) total += (int64_t)v.size();
+  if (total > cap) return -2;
+  int64_t at = 0;
+  for (int i = 0; i < n_reads; i++) {
+    int len = (int)(offs[i + 1] - offs[i]);
+    out_range[2 * i] = at;
+    out_range[2 * i + 1] =
+        (len < E->kmer_len) ? -1 : (int64_t)results[i].size();
     for (const SOv& o : results[i]) {
       int32_t* row = out_i32 + 9 * at;
       row[0] = o.seq_idx;

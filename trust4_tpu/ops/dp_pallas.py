@@ -234,3 +234,372 @@ def banded_affine_scores_pallas(
         interpret=interpret,
     )(ts_T, ps_T, meta)
     return out[0, :n]
+
+
+# ---------------------------------------------------------------------------
+# Score + traceback-decision bits (device edit scripts)
+# ---------------------------------------------------------------------------
+#
+# Besides the final score, this variant emits 4 decision bits per band cell
+# that are exactly the equality/priority tests the reference's traceback
+# performs (AlignAlgo.hpp:174-203; native/align_kernels.cpp
+# affine_traceback):
+#   bit0: f[i][j] >= e[i][j]                      (DELETE beats INSERT)
+#   bit1: m[i-1][j-1] + diff == m[i][j]           (diagonal accepted)
+#   bit2: m[i-1][j] + GO+GE == e[i][j]            (insert run opened here)
+#   bit3: m[i][j-1] + GO+GE == f[i][j]            (delete run opened here)
+# A host walker (native/align_kernels.cpp t4_decode_dirs) replays the
+# traceback DFA over these bits and produces edit scripts bit-identical to
+# the CPU kernels; cells outside the band / on row 0 / column 0 are
+# evaluated analytically by the walker from the boundary formulas, so only
+# in-band bits are consumed.
+
+
+def _dp_dirs_kernel(ts_ref, ps_ref, meta_ref, out_ref, dirs_ref, m_ref,
+                    e_ref, *, w, p_max):
+    import jax.lax as lax
+
+    t_len = meta_ref[0, :]
+    p_len = meta_ref[1, :]
+    left = meta_ref[2, :]
+    right = meta_ref[3, :]
+
+    k_col = lax.broadcasted_iota(jnp.int32, (w, _LANES), 0)
+    neg_inf = ((t_len + 1) * (p_len + 1) * SCORE_GAPOPEN).astype(jnp.int32)
+    neg_inf = neg_inf[None, :]
+    big_neg = jnp.int32(_BIG_NEG)
+    go = jnp.int32(SCORE_GAPOPEN)
+    ge = jnp.int32(SCORE_GAPEXTEND)
+    go_ge = go + ge
+
+    j0 = k_col - left[None, :]
+    in_t0 = (j0 >= 0) & (j0 <= t_len[None, :])
+    m0 = jnp.where(j0 == 0, 0, jnp.where(j0 > 0, go + j0 * go, big_neg))
+    e0 = jnp.where(
+        j0 == 0, 0,
+        jnp.where(j0 > 0, go + (p_len[None, :] + 1) * go, big_neg),
+    )
+    m_ref[:] = jnp.where(in_t0, m0, neg_inf).astype(jnp.int32)
+    e_ref[:] = jnp.where(in_t0, e0, neg_inf).astype(jnp.int32)
+
+    def shift_up(x):
+        return jnp.concatenate(
+            [x[1:, :], jnp.full((1, _LANES), big_neg, jnp.int32)], axis=0
+        )
+
+    def row_body(i, _):
+        m_prev = m_ref[:]
+        e_prev = e_ref[:]
+        j_row = i - left[None, :] + k_col
+        in_band = (
+            (j_row >= 1)
+            & (j_row <= t_len[None, :])
+            & (j_row <= i + right[None, :])
+        )
+        in_dp_row = i <= p_len[None, :]
+
+        tj = ts_ref[pl.ds(i - 1, w), :]
+        pi = ps_ref[pl.ds(i - 1, 1), :]
+        eq = (tj == pi) | (tj == _CODE_N) | (pi == _CODE_N)
+        sub = jnp.where(eq, SCORE_MATCH, SCORE_MISMATCH).astype(jnp.int32)
+
+        e_new = jnp.maximum(shift_up(e_prev) + ge, shift_up(m_prev) + go + ge)
+        diag = m_prev + sub
+
+        bound_m = (go + i * go).astype(jnp.int32)
+        base = jnp.maximum(diag, e_new)
+        base = jnp.where(j_row == 0, bound_m, base)
+        base = jnp.where(in_band | (j_row == 0), base, big_neg)
+
+        t_val = jnp.where(j_row == 0, bound_m, base + go) + k_col * (-ge)
+        run = t_val
+        s = 1
+        while s < w:
+            shifted = jnp.concatenate(
+                [jnp.full((s, _LANES), big_neg, jnp.int32), run[:-s, :]],
+                axis=0,
+            )
+            run = jnp.maximum(run, shifted)
+            s *= 2
+        f_new = (
+            jnp.concatenate(
+                [jnp.full((1, _LANES), big_neg, jnp.int32), run[:-1, :]],
+                axis=0,
+            )
+            - k_col * (-ge)
+        )
+
+        m_fin = jnp.maximum(base, f_new)
+        m_stored = jnp.where(in_band & in_dp_row, m_fin, neg_inf)
+        m_stored = jnp.where((j_row == 0) & in_dp_row, bound_m, m_stored)
+        e_stored = jnp.where(in_band & in_dp_row, e_new, neg_inf)
+
+        # Decision bits (valid at in-band cells; the walker handles
+        # boundary cells analytically).
+        b0 = (f_new >= e_new).astype(jnp.int32)
+        b1 = (diag == m_fin).astype(jnp.int32)
+        b2 = (shift_up(m_prev) + go_ge == e_new).astype(jnp.int32)
+        # m[i][j-1]: band k-1 of the STORED row (so the j-1==0 cell reads
+        # the column-0 value bound_m); fill at k=0 is bound_m only when
+        # that cell is column 0 (j_row[k=0] == 1 <=> i - left == 1).
+        fill = jnp.where((i - left[None, :]) == 1, bound_m, big_neg)
+        m_left = jnp.concatenate([fill, m_stored[:-1, :]], axis=0)
+        b3 = (m_left + go_ge == f_new).astype(jnp.int32)
+        bits = b0 | (b1 << 1) | (b2 << 2) | (b3 << 3)
+        dirs_ref[pl.ds(i - 1, 1), :, :] = bits.astype(jnp.int8)[None, :, :]
+
+        m_ref[:] = jnp.where(in_dp_row, m_stored, m_prev)
+        e_ref[:] = jnp.where(in_dp_row, e_stored, e_prev)
+        return 0
+
+    lax.fori_loop(1, p_max + 1, row_body, 0)
+
+    k_final = (t_len - p_len + left)[None, :]
+    m_fin = m_ref[:]
+    out_ref[:] = jnp.max(
+        jnp.where(k_col == k_final, m_fin, jnp.int32(_BIG_NEG)),
+        axis=0, keepdims=True,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("band_width",))
+def banded_affine_dirs_pallas(
+    t_codes: jnp.ndarray,  # (N, T) int8
+    t_lens: jnp.ndarray,
+    p_codes: jnp.ndarray,  # (N, P) int8
+    p_lens: jnp.ndarray,
+    band_width: int,
+):
+    """Returns (scores (N,), dirs (N, P, W) int8) — see _dp_dirs_kernel."""
+    n, t_max = t_codes.shape
+    p_max = p_codes.shape[1]
+    w = band_width
+
+    t_lens = t_lens.astype(jnp.int32)
+    p_lens = p_lens.astype(jnp.int32)
+    left = jnp.where(t_lens < p_lens, 5 + (p_lens - t_lens), 5).astype(jnp.int32)
+    right = jnp.where(t_lens > p_lens, 5 + (t_lens - p_lens), 5).astype(jnp.int32)
+
+    n_pad = ((n + _LANES - 1) // _LANES) * _LANES
+    pad = n_pad - n
+
+    def padb(x, fill=0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    t_codes = padb(t_codes, _CODE_PAD)
+    p_codes = padb(p_codes, _CODE_PAD)
+    t_lens_p = padb(t_lens)
+    p_lens_p = padb(p_lens)
+    left_p = padb(left, 5)
+    right_p = padb(right, 5)
+
+    t_shift_len = t_max + w + 8
+    x = jnp.arange(t_shift_len, dtype=jnp.int32)[None, :]
+    src = x - left_p[:, None]
+    valid = (src >= 0) & (src < t_max)
+    ts = jnp.where(
+        valid,
+        jnp.take_along_axis(
+            t_codes.astype(jnp.int32), jnp.clip(src, 0, t_max - 1), axis=1
+        ),
+        _CODE_PAD,
+    )
+
+    ts_T = ts.T
+    ps_T = p_codes.astype(jnp.int32).T
+    meta = jnp.stack(
+        [t_lens_p, p_lens_p, left_p, right_p,
+         jnp.zeros_like(t_lens_p), jnp.zeros_like(t_lens_p),
+         jnp.zeros_like(t_lens_p), jnp.zeros_like(t_lens_p)],
+        axis=0,
+    )
+
+    grid = (n_pad // _LANES,)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    scores, dirs = pl.pallas_call(
+        functools.partial(_dp_dirs_kernel, w=w, p_max=p_max),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((p_max, w, n_pad), jnp.int8),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_shift_len, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_max, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_max, w, _LANES), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w, _LANES), jnp.int32),
+            pltpu.VMEM((w, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ts_T, ps_T, meta)
+    # (N, P, W) layout for the host walker.
+    return scores[0, :n], jnp.transpose(dirs, (2, 0, 1))[:n]
+
+
+# ---------------------------------------------------------------------------
+# On-device traceback decode: vectorized DFA over the decision bits
+# ---------------------------------------------------------------------------
+#
+# Replays native/align_kernels.cpp t4_decode_dirs for a whole batch at once
+# (state per job: position, DFA state, counts), so only (N, 3) count
+# triples leave the device instead of the (N, P, W) bits tensor.  Integer
+# arithmetic replicates the walker exactly; tests cross-check against the
+# C++ bit-walker and the CPU DP.
+
+
+@functools.partial(jax.jit, static_argnames=("w", "p_max"))
+def decode_dirs_counts(dirs, t_codes, t_lens, p_codes, p_lens, *, w, p_max):
+    """dirs (N, P, W) int8 from _dp_dirs_kernel; returns (N, 3) int32
+    (match, mismatch, indel) counts of the decoded edit scripts."""
+    import jax.lax as lax
+
+    n = dirs.shape[0]
+    go = jnp.int32(SCORE_GAPOPEN)
+    ge = jnp.int32(SCORE_GAPEXTEND)
+    go_ge = go + ge
+    lent = t_lens.astype(jnp.int32)
+    lenp = p_lens.astype(jnp.int32)
+    left = jnp.where(lent < lenp, 5 + (lenp - lent), 5).astype(jnp.int32)
+    neg_inf = (lent + 1) * (lenp + 1) * go
+    sent = neg_inf - 1  # unknown in-band m (can never satisfy an equality)
+
+    flat = dirs.reshape(n, -1).astype(jnp.int32)
+    tmax = t_codes.shape[1]
+    pmax_codes = p_codes.shape[1]
+    tci = t_codes.astype(jnp.int32)
+    pci = p_codes.astype(jnp.int32)
+
+    def m_val(i, j):
+        # analytic-only cells: row 0 / col 0; neg_inf otherwise
+        return jnp.where(
+            i == 0,
+            jnp.where(j == 0, 0, go + j * go),
+            jnp.where(j == 0, go + i * go, neg_inf),
+        )
+
+    def e_val(i, j):
+        return jnp.where(
+            i == 0,
+            jnp.where(j == 0, 0, go + (lenp + 1) * go),
+            jnp.where(j == 0, go + i * ge, neg_inf),
+        )
+
+    def f_val(i, j):
+        return jnp.where(
+            i == 0,
+            jnp.where(j == 0, 0, go + j * ge),
+            jnp.where(j == 0, go + i * go, neg_inf),
+        )
+
+    def in_band(i, j):
+        k = j - i + left
+        return (i >= 1) & (j >= 1) & (j <= lent) & (k >= 0) & (k < w)
+
+    def bits_at(i, j):
+        k = j - i + left
+        idx = jnp.clip((i - 1) * w + k, 0, p_max * w - 1)
+        return jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+
+    def body(_, st):
+        ti, tj, mat, cm, cmm, cind = st
+        active = (ti > 0) | (tj > 0)
+        ib = in_band(ti, tj)
+        bits = jnp.where(ib, bits_at(ti, tj), 0)
+        b0 = (bits & 1) != 0
+        b1 = (bits & 2) != 0
+        b2 = (bits & 4) != 0
+        b3 = (bits & 8) != 0
+
+        # mat == 0 -------------------------------------------------------
+        fe = jnp.where(ib, b0, f_val(ti, tj) >= e_val(ti, tj))
+        diag_ok = ib & b1 & (ti > 0) & (tj > 0)
+        tc = jnp.take_along_axis(
+            tci, jnp.clip(tj - 1, 0, tmax - 1)[:, None], axis=1
+        )[:, 0]
+        pc = jnp.take_along_axis(
+            pci, jnp.clip(ti - 1, 0, pmax_codes - 1)[:, None], axis=1
+        )[:, 0]
+        eqc = (tc == pc) | (tc == _CODE_N) | (pc == _CODE_N)
+
+        is0 = active & (mat == 0)
+        take_diag = is0 & diag_ok
+        to_del = is0 & ~diag_ok & fe
+        to_ins = is0 & ~diag_ok & ~fe
+
+        # mat == 1 (insert run) -----------------------------------------
+        is1 = active & (mat == 1)
+        ti_pos = ti > 0
+        mv2 = jnp.where(
+            (ti - 1 == 0) | (tj == 0) | ~in_band(ti - 1, tj),
+            m_val(ti - 1, tj),
+            sent,
+        )
+        ev2 = e_val(ti, tj)
+        opened2_an = ((ev2 != neg_inf) | (mv2 != sent)) & (mv2 + go_ge == ev2)
+        opened2 = jnp.where(ib, b2, opened2_an)
+        ins_emit = is1
+        ins_step = is1 & ti_pos
+        ins_close = ins_step & opened2
+        ins_to2 = is1 & ~ti_pos
+
+        # mat == 2 (delete run) -----------------------------------------
+        is2 = active & (mat == 2)
+        tj_pos = tj > 0
+        mv3 = jnp.where(
+            (ti == 0) | (tj - 1 == 0) | ~in_band(ti, tj - 1),
+            m_val(ti, tj - 1),
+            sent,
+        )
+        fv3 = f_val(ti, tj)
+        opened3_an = ((fv3 != neg_inf) | (mv3 != sent)) & (mv3 + go_ge == fv3)
+        opened3 = jnp.where(ib, b3, opened3_an)
+        del_emit = is2
+        del_step = is2 & tj_pos
+        del_close = del_step & opened3
+        del_to1 = is2 & ~tj_pos
+
+        cm = cm + jnp.where(take_diag & eqc, 1, 0)
+        cmm = cmm + jnp.where(take_diag & ~eqc, 1, 0)
+        cind = cind + jnp.where(ins_emit | del_emit, 1, 0)
+
+        ti_n = ti - jnp.where(take_diag | ins_step, 1, 0)
+        tj_n = tj - jnp.where(take_diag | del_step, 1, 0)
+        mat_n = jnp.where(
+            take_diag | ins_close | del_close,
+            0,
+            jnp.where(
+                to_ins | (is1 & ~(ins_close | ins_to2)),
+                1,
+                jnp.where(
+                    to_del | ins_to2 | (is2 & ~(del_close | del_to1)),
+                    2,
+                    jnp.where(del_to1, 1, mat),
+                ),
+            ),
+        )
+        mat_n = jnp.where(active, mat_n, mat)
+        return ti_n, tj_n, mat_n, cm, cmm, cind
+
+    z = jnp.zeros(n, jnp.int32)
+    # Zero-length jobs produce empty edit scripts (the CPU kernels return
+    # out_len 0); start them finished.
+    empty = (lent == 0) | (lenp == 0)
+    st = (jnp.where(empty, 0, lenp), jnp.where(empty, 0, lent), z, z, z, z)
+    # each iteration emits >= 1 op or transitions the DFA; 2*(P+T)+4 bounds
+    # the walk for every job in the tier
+    steps = 2 * (p_max + t_codes.shape[1]) + 4
+    st = lax.fori_loop(0, steps, body, st)
+    _, _, _, cm, cmm, cind = st
+    return jnp.stack([cm, cmm, cind], axis=1)

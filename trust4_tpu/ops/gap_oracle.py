@@ -1,0 +1,243 @@
+"""Device gap-fill oracle: the Pallas DP in the shipping annotator.
+
+Stage 2 (annotation) realigns every contig against the IMGT database; the
+dominant DP volume is the inter-anchor gap fills inside the overlap
+similarity pass (reference: SeqSet.hpp:1829-2007).  This module runs ALL of
+a batch's gap fills as batched Pallas kernel launches
+(ops/dp_pallas.banded_affine_dirs_pallas): the device computes scores plus
+per-cell traceback-decision bits and the on-device DFA walker
+(ops/dp_pallas.decode_dirs_counts) decodes (match, mismatch, indel) counts
+bit-identical to the CPU DP — only the (n, 3) count triples leave the
+device.  Job code rows are emitted by the C++ engine
+(native/overlap_engine.cpp t4o_emit_gap_codes), so there is no per-job
+Python work.
+
+Every launch uses one of three FIXED (chunk, len, band) shapes, so each
+tier compiles exactly once ever (persistent cache) and traces exactly once
+per process; ``prewarm()`` runs the traces on a background thread while
+the CPU-bound assembly stages run, so by annotation time the device path
+costs only transfers + kernel time.
+
+Used by pipeline/annotator.py via the two-phase engine batch
+(t4o_batch_collect_gaps / t4o_query_scored_batch_oracle).  Falls back to
+the CPU path on any device error; TRUST4_TPU_DEVICE=0 disables,
+TRUST4_TPU_DEVICE_CHECK=1 asserts the device counts equal the CPU DP's.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Optional
+
+import numpy as np
+
+# Fixed size tiers keep kernel shapes stable (one compile per tier ever,
+# shared across corpora/runs/entry points).  (max_len, band_width, chunk)
+# — a job lands in the first tier covering both its length and
+# 11+|len diff|; beyond the last tier it falls back to the CPU DP (it
+# stays an oracle miss in phase 2).  Batches larger than `chunk` run as
+# several launches of the same shape.
+_TIERS = ((16, 16, 65536), (48, 24, 32768), (144, 48, 16384))
+
+# Auto mode: the device pays a fixed per-process warmup (jax import +
+# backend attach + one trace per tier, ~5 s, overlapped with the CPU
+# assembly stages), so the driver enables it when the candidate-read
+# count is large enough to amortize that; TRUST4_TPU_DEVICE=1/0 forces.
+AUTO_MIN_READS = int(os.environ.get("TRUST4_TPU_DEVICE_MIN_READS", "2500"))
+
+_prewarm_thread: Optional[threading.Thread] = None
+
+
+def mode() -> str:
+    """'1' force-on, '0' off, 'auto' (default)."""
+    return os.environ.get("TRUST4_TPU_DEVICE", "auto")
+
+
+def active() -> bool:
+    """True when the device path should serve this process's batches:
+    forced on, or auto mode with a prewarm started by the driver."""
+    m = mode()
+    if m == "0":
+        return False
+    if m == "auto" and _prewarm_thread is None:
+        return False
+    return device_available()
+
+
+def device_available() -> bool:
+    if mode() == "0":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _tier_counts_fn():
+    """One fused jitted program per tier: Pallas DP emitting decision
+    bits + the on-device DFA walker, one dispatch, only (chunk, 3) counts
+    leave the device."""
+    import functools
+
+    import jax
+
+    from trust4_tpu.ops.dp_pallas import (
+        banded_affine_dirs_pallas,
+        decode_dirs_counts,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("w", "p_max"))
+    def tier_counts(tc, tcl, pc, pcl, *, w, p_max):
+        _scores, dirs = banded_affine_dirs_pallas(tc, tcl, pc, pcl, w)
+        return decode_dirs_counts(dirs, tc, tcl, pc, pcl, w=w, p_max=p_max)
+
+    return tier_counts
+
+
+_tier_counts = None
+
+
+def _get_tier_counts():
+    global _tier_counts
+    if _tier_counts is None:
+        _tier_counts = _tier_counts_fn()
+    return _tier_counts
+
+
+def _trace_tier(s_cap: int, w_cap: int, chunk: int) -> None:
+    import jax
+
+    t = np.full((chunk, s_cap), 5, dtype=np.int8)
+    lens = np.zeros(chunk, dtype=np.int32)
+    cnt = _get_tier_counts()(t, lens, t, lens, w=w_cap, p_max=s_cap)
+    jax.block_until_ready(cnt)
+
+
+def prewarm(wait: bool = False) -> None:
+    """Trace + (cache-)compile every tier shape.  Called with wait=False
+    from the pipeline driver before the CPU-bound assembly stage, so the
+    device path is warm by annotation time.  Idempotent."""
+    global _prewarm_thread
+    if mode() == "0":
+        return
+    if _prewarm_thread is None:
+        def run():
+            try:
+                if not device_available():  # imports jax (slow) off-thread
+                    return
+                for s_cap, w_cap, chunk in _TIERS:
+                    _trace_tier(s_cap, w_cap, chunk)
+            except Exception:
+                pass
+
+        _prewarm_thread = threading.Thread(
+            target=run, name="trust4-tpu-prewarm", daemon=True
+        )
+        _prewarm_thread.start()
+    if wait:
+        _prewarm_thread.join()
+
+
+def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
+                         seqs) -> Optional[np.ndarray]:
+    """Compute (match, mismatch, indel) for each collected gap job on the
+    TPU.  nat: the NativeOverlapEngine; query_jobs: the batch's query
+    tuples (for the read blob); gap_jobs: (n, 8) int32 rows from
+    batch_collect_gaps; seqs: queried SeqSet's wrappers (CPU leftovers +
+    check mode).  Returns (n, 3) int32, or None (caller uses the CPU
+    DP)."""
+    n = len(gap_jobs)
+    if n == 0:
+        return np.zeros((0, 3), dtype=np.int32)
+    check = os.environ.get("TRUST4_TPU_DEVICE_CHECK", "0") == "1"
+    if _prewarm_thread is not None:
+        _prewarm_thread.join()
+
+    t_lens = gap_jobs[:, 5]
+    r_lens = gap_jobs[:, 7]
+    size = np.maximum(np.maximum(t_lens, r_lens), 2)
+    band = 11 + np.abs(t_lens - r_lens)
+    tier_of = np.full(n, -1, dtype=np.int32)
+    for ti in range(len(_TIERS) - 1, -1, -1):
+        s_cap, w_cap, _chunk = _TIERS[ti]
+        tier_of[(size <= s_cap) & (band <= w_cap)] = ti
+
+    counts = np.zeros((n, 3), dtype=np.int32)
+    done = np.zeros(n, dtype=bool)
+
+    try:
+        tier_counts = _get_tier_counts()
+
+        pending = []
+        for ti, (s_cap, w_cap, chunk) in enumerate(_TIERS):
+            idx = np.nonzero(tier_of == ti)[0]
+            if len(idx) == 0:
+                continue
+            sub_jobs = np.ascontiguousarray(gap_jobs[idx])
+            t_codes, p_codes = nat.emit_gap_codes(
+                query_jobs, sub_jobs, s_cap
+            )
+            tl = np.minimum(t_lens[idx], s_cap).astype(np.int32)
+            pl = np.minimum(r_lens[idx], s_cap).astype(np.int32)
+            for at in range(0, len(idx), chunk):
+                hi = min(at + chunk, len(idx))
+                if hi - at == chunk:
+                    tc, pc = t_codes[at:hi], p_codes[at:hi]
+                    tcl, pcl = tl[at:hi], pl[at:hi]
+                else:  # pad the tail to the tier's fixed chunk shape
+                    tc = np.full((chunk, s_cap), 5, dtype=np.int8)
+                    pc = np.full((chunk, s_cap), 5, dtype=np.int8)
+                    tc[: hi - at] = t_codes[at:hi]
+                    pc[: hi - at] = p_codes[at:hi]
+                    tcl = np.zeros(chunk, dtype=np.int32)
+                    pcl = np.zeros(chunk, dtype=np.int32)
+                    tcl[: hi - at] = tl[at:hi]
+                    pcl[: hi - at] = pl[at:hi]
+                dev_counts = tier_counts(tc, tcl, pc, pcl,
+                                         w=w_cap, p_max=s_cap)
+                pending.append((idx[at:hi], hi - at, dev_counts))
+        for sel, m, dev_counts in pending:
+            counts[sel] = np.asarray(dev_counts)[:m]
+            done[sel] = True
+    except Exception:
+        if check:
+            raise
+        return None
+
+    if not done.any():
+        return None
+    if not done.all():
+        # CPU DP for jobs beyond the top tier so phase 2 sees a complete
+        # oracle.
+        import trust4_tpu.align.native as an
+
+        reads = [j[0] for j in query_jobs]
+        for i in np.nonzero(~done)[0]:
+            q, _ov, _go, sidx, t_from, t_len, r_from, r_len = (
+                int(v) for v in gap_jobs[i]
+            )
+            counts[i] = an.global_alignment_counts(
+                seqs[sidx].consensus[t_from : t_from + t_len],
+                reads[q][r_from : r_from + r_len],
+            )
+
+    if check:
+        import trust4_tpu.align.native as an
+
+        reads = [j[0] for j in query_jobs]
+        for i in range(n):
+            q, _ov, _go, sidx, t_from, t_len, r_from, r_len = (
+                int(v) for v in gap_jobs[i]
+            )
+            want = an.global_alignment_counts(
+                seqs[sidx].consensus[t_from : t_from + t_len],
+                reads[q][r_from : r_from + r_len],
+            )
+            got = tuple(int(v) for v in counts[i])
+            assert got == want, (
+                f"device gap counts mismatch job {i}: {got} vs {want}"
+            )
+    return counts

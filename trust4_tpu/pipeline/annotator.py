@@ -282,12 +282,36 @@ class Annotator:
                     jobs.append(key)
         if not jobs:
             return
-        results = nat.query_scored_batch(
-            jobs, internal_threads(self.threads), ref_set.radius,
+        conf = (
+            internal_threads(self.threads), ref_set.radius,
             ref_set.hit_len_required, ref_set.is_long_seq_set,
             ref_set.nomatch_gap_limit, ref_set.novel_seq_similarity,
             ref_set.ref_seq_similarity, ref_set.repeat_similarity,
         )
+        results = None
+        # Device path (default when a TPU backend is attached): ONE Pallas
+        # launch scores every gap-fill DP of the whole annotation batch and
+        # the traceback-bits walker supplies bit-identical counts to the
+        # engine (ops/gap_oracle.py).
+        from trust4_tpu.ops import gap_oracle
+
+        if gap_oracle.active():
+            try:
+                gap_jobs = nat.batch_collect_gaps(jobs, *conf)
+                counts = gap_oracle.gap_counts_on_device(
+                    nat, jobs, gap_jobs, ref_set.seqs
+                )
+                if counts is not None:
+                    results = nat.query_scored_batch_oracle(
+                        jobs, gap_jobs, counts, *conf
+                    )
+                    log("Annotation gap DP ran on the TPU "
+                        f"({len(gap_jobs)} gap fills, 1 launch).")
+            except Exception as e:  # device flake -> CPU fallback
+                log(f"TPU gap-oracle pass unavailable ({e}); using CPU DP.")
+                results = None
+        if results is None:
+            results = nat.query_scored_batch(jobs, *conf)
         ref_set._scored_cache = dict(zip(jobs, results))
 
     def _reverse_complement_in_seq_set(self, idx: int) -> None:

@@ -127,6 +127,30 @@ def run_trust4(
         asm_reads = [prefix + "_toassemble.fq"]
         asm_mates = None
 
+    # Warm the device DP path (trace + cached-compile on a background
+    # thread) while the CPU-bound assembly runs, so stage 2's Pallas
+    # launches cost only transfers + kernel time (ops/gap_oracle.py).
+    # Auto mode only engages the device when the candidate-read count is
+    # large enough to amortize the fixed warmup; tiny inputs stay on the
+    # (faster-for-them) native CPU DP.
+    if stage <= 2:
+        from trust4_tpu.ops import gap_oracle
+
+        if gap_oracle.mode() != "auto":
+            gap_oracle.prewarm()
+        else:
+            n_cand = 0
+            for f in asm_reads:
+                try:
+                    with open(f, "rb") as fh:
+                        n_cand += sum(1 for _ in fh) // 4
+                except OSError:
+                    pass
+                if n_cand >= gap_oracle.AUTO_MIN_READS:
+                    break
+            if n_cand >= gap_oracle.AUTO_MIN_READS:
+                gap_oracle.prewarm()
+
     # Stage 1: assembly (run-trust4:506-508).
     if stage <= 1:
         asm = Assembler(

@@ -26,5 +26,10 @@ def enable_compilation_cache() -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # HLO locations default to FULL Python tracebacks, so the cache key
+        # changes with the outer call stack (CLI vs pytest vs notebook) and
+        # every entry point recompiles from scratch.  Innermost locations
+        # are stable and enough for debugging.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:
         pass
