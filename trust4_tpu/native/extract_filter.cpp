@@ -575,3 +575,301 @@ int t4x_is_low_complexity(const char *s, int n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full streaming extraction loop (reference: FastqExtractor.cpp:549-724
+// batched flow; reader semantics: trust4_tpu/io/fastx.py / ReadFiles.hpp).
+// Reads FASTQ/FASTA(.gz) record streams, applies the candidate test
+// (either mate good => keep, short-circuit order FastqExtractor.cpp:471-477)
+// with std::thread batches, and writes survivors in input order — no
+// per-record Python work, which is what made the host extractor flat
+// across -t.
+// ---------------------------------------------------------------------------
+
+#include <zlib.h>
+
+namespace {
+
+struct Rec {
+  std::string id;
+  std::string seq;
+  std::string qual;  // empty => FASTA record
+  bool has_qual = false;
+};
+
+// Buffered line reader over gzFile (zlib reads plain files transparently).
+struct LineReader {
+  gzFile f = nullptr;
+  std::vector<char> buf;
+  size_t pos = 0, avail = 0;
+  bool eof_ = false;
+
+  bool open(const char *path) {
+    f = gzopen(path, "rb");
+    if (!f) return false;
+    gzbuffer(f, 1 << 20);
+    buf.resize(1 << 20);
+    pos = avail = 0;
+    eof_ = false;
+    return true;
+  }
+  void close() {
+    if (f) gzclose(f);
+    f = nullptr;
+  }
+  // Next line without the trailing '\n' (keeps '\r'; callers strip like
+  // the Python reader).  Returns false at EOF.
+  bool next(std::string &line) {
+    line.clear();
+    for (;;) {
+      if (pos >= avail) {
+        if (eof_) return !line.empty();
+        int n = gzread(f, buf.data(), (unsigned)buf.size());
+        if (n <= 0) {
+          eof_ = true;
+          return !line.empty();
+        }
+        avail = (size_t)n;
+        pos = 0;
+      }
+      char *start = buf.data() + pos;
+      char *nl = (char *)memchr(start, '\n', avail - pos);
+      if (nl) {
+        line.append(start, nl - start);
+        pos = (nl - buf.data()) + 1;
+        return true;
+      }
+      line.append(start, avail - pos);
+      pos = avail;
+    }
+  }
+};
+
+inline void rstrip_crlf(std::string &s) {
+  while (!s.empty() && (s.back() == '\n' || s.back() == '\r')) s.pop_back();
+}
+
+inline void strip_ws(std::string &s) {
+  size_t b = 0, e = s.size();
+  auto isws = [](char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
+           c == '\f';
+  };
+  while (b < e && isws(s[b])) b++;
+  while (e > b && isws(s[e - 1])) e--;
+  if (b > 0 || e < s.size()) s = s.substr(b, e - b);
+}
+
+// Header token up to first space/tab, '/1'/'/2' suffix stripped
+// (io/fastx.py:31-49; ReadFiles.hpp:179-185).
+inline void parse_id(const std::string &line, std::string &id) {
+  size_t end = line.size();
+  // line excludes '\n'; drop trailing '\r' like rstrip
+  while (end > 1 && (line[end - 1] == '\r')) end--;
+  size_t i = 1;
+  size_t stop = end;
+  for (size_t j = 1; j < end; j++) {
+    if (line[j] == ' ' || line[j] == '\t') {
+      stop = j;
+      break;
+    }
+  }
+  id.assign(line, i, stop - i);
+  size_t n = id.size();
+  if (n >= 2 && id[n - 2] == '/' && (id[n - 1] == '1' || id[n - 1] == '2'))
+    id.resize(n - 2);
+}
+
+// Multi-file record stream (files chain transparently, io/fastx.py:77-82).
+struct RecStream {
+  std::vector<std::string> paths;
+  size_t at = 0;
+  LineReader rd;
+  std::string line;
+  bool have_line = false;
+  bool open_ok = true;
+
+  explicit RecStream(const char *joined) {
+    const char *p = joined;
+    while (p && *p) {
+      const char *nl = strchr(p, '\n');
+      if (nl) {
+        if (nl > p) paths.emplace_back(p, nl - p);
+        p = nl + 1;
+      } else {
+        paths.emplace_back(p);
+        break;
+      }
+    }
+    advance_file();
+  }
+  ~RecStream() { rd.close(); }
+
+  void advance_file() {
+    rd.close();
+    have_line = false;
+    while (at < paths.size()) {
+      if (rd.open(paths[at].c_str())) {
+        at++;
+        have_line = rd.next(line);
+        return;
+      }
+      open_ok = false;
+      at++;
+    }
+  }
+
+  bool next(Rec &r) {
+    for (;;) {
+      if (!have_line) {
+        if (at >= paths.size()) return false;
+        advance_file();
+        if (!have_line) {
+          if (at >= paths.size()) return false;
+          continue;
+        }
+      }
+      if (!line.empty() && line[0] == '@') {
+        parse_id(line, r.id);
+        if (!rd.next(r.seq)) r.seq.clear();
+        strip_ws(r.seq);
+        std::string plus;
+        rd.next(plus);  // '+'
+        if (!rd.next(r.qual)) r.qual.clear();
+        rstrip_crlf(r.qual);
+        r.has_qual = true;
+        have_line = rd.next(line);
+        if (!have_line && at < paths.size()) advance_file();
+        return true;
+      } else if (!line.empty() && line[0] == '>') {
+        parse_id(line, r.id);
+        r.seq.clear();
+        std::string part;
+        for (;;) {
+          have_line = rd.next(line);
+          if (!have_line) {
+            if (at < paths.size()) {
+              advance_file();
+              // Python treats each file independently; a FASTA record
+              // never spans files.
+            }
+            break;
+          }
+          if (!line.empty() && (line[0] == '>' || line[0] == '@')) break;
+          part = line;
+          strip_ws(part);
+          r.seq += part;
+        }
+        r.qual.clear();
+        r.has_qual = false;
+        return true;
+      } else {
+        have_line = rd.next(line);
+        if (!have_line && at < paths.size()) advance_file();
+      }
+    }
+  }
+};
+
+void write_rec(FILE *out, const Rec &r) {
+  if (r.has_qual) {
+    fputc('@', out);
+    fwrite(r.id.data(), 1, r.id.size(), out);
+    fputc('\n', out);
+    fwrite(r.seq.data(), 1, r.seq.size(), out);
+    fwrite("\n+\n", 1, 3, out);
+    fwrite(r.qual.data(), 1, r.qual.size(), out);
+    fputc('\n', out);
+  } else {
+    fputc('>', out);
+    fwrite(r.id.data(), 1, r.id.size(), out);
+    fputc('\n', out);
+    fwrite(r.seq.data(), 1, r.seq.size(), out);
+    fputc('\n', out);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stream paths1 (newline-joined; paths2 NULL or same count for paired),
+// filter with the existing handle's index (candidate = either mate passes,
+// mate tested only when the first fails), write survivors in input order
+// to out1/out2.  Returns candidate count, or -1 on I/O failure.
+int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
+                           const char *out1, const char *out2, int threads) {
+  Filter *F = (Filter *)h;
+  RecStream s1(paths1);
+  RecStream *s2 = paths2 && paths2[0] ? new RecStream(paths2) : nullptr;
+  if (!s1.open_ok || (s2 && !s2->open_ok)) {
+    delete s2;
+    return -1;
+  }
+  FILE *o1 = fopen(out1, "w");
+  FILE *o2 = s2 ? fopen(out2, "w") : nullptr;
+  if (!o1 || (s2 && !o2)) {
+    if (o1) fclose(o1);
+    if (o2) fclose(o2);
+    delete s2;
+    return -1;
+  }
+
+  const int BATCH = 16384;
+  std::vector<Rec> b1(BATCH), b2(s2 ? BATCH : 0);
+  std::vector<int8_t> good(BATCH);
+  int64_t kept = 0;
+
+  for (;;) {
+    int n = 0;
+    while (n < BATCH && s1.next(b1[n])) {
+      if (s2 && !s2->next(b2[n])) break;  // ragged pair -> stop like zip()
+      n++;
+    }
+    if (n == 0) break;
+
+    auto work = [&](int lo, int hi) {
+      std::vector<Hit> buf;
+      for (int i = lo; i < hi; i++) {
+        const Rec &r = b1[i];
+        int8_t g = 0;
+        if (!is_low_complexity(r.seq.data(), (int)r.seq.size()))
+          g = (int8_t)has_hit_in_set(*F, r.seq.data(), (int)r.seq.size(),
+                                     buf);
+        if (!g && s2) {
+          const Rec &m = b2[i];
+          if (!is_low_complexity(m.seq.data(), (int)m.seq.size()))
+            g = (int8_t)has_hit_in_set(*F, m.seq.data(),
+                                       (int)m.seq.size(), buf);
+        }
+        good[i] = g;
+      }
+    };
+    if (threads <= 1 || n < 64) {
+      work(0, n);
+    } else {
+      std::vector<std::thread> pool;
+      int per = (n + threads - 1) / threads;
+      for (int t = 0; t < threads; t++) {
+        int lo = t * per, hi = std::min(n, lo + per);
+        if (lo >= hi) break;
+        pool.emplace_back(work, lo, hi);
+      }
+      for (auto &th : pool) th.join();
+    }
+
+    for (int i = 0; i < n; i++) {
+      if (!good[i]) continue;
+      write_rec(o1, b1[i]);
+      if (s2) write_rec(o2, b2[i]);
+      kept++;
+    }
+  }
+
+  fclose(o1);
+  if (o2) fclose(o2);
+  delete s2;
+  return kept;
+}
+
+}  // extern "C"

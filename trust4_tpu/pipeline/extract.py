@@ -420,6 +420,35 @@ def run_extractor(
     threads: int = 1,
 ) -> Tuple[str, Optional[str]]:
     """Write *_toassemble FASTQs like the reference extractor binary."""
+    from trust4_tpu.pipeline import extract_native
+
+    if not use_tpu_prefilter and extract_native.available():
+        # Fully-native streaming loop: parse, filter, and write in C++
+        # (bit-identical candidate set and record formatting; the Python
+        # loop below is the differential oracle and prefilter path).
+        ref_set = SeqSet(kmer_length)
+        ref_set.set_native_only_index()
+        ref_set.input_ref_fa(ref_fa)
+        hit_len = compute_hit_len_required(read1, read2 is not None)
+        native = extract_native.NativeCandidateFilter(
+            [sw.consensus for sw in ref_set.seqs], kmer_length,
+            ref_set.radius, hit_len,
+        )
+        nthreads = threads if threads > 1 else (os.cpu_count() or 1)
+        paths1 = [read1] if isinstance(read1, (str, os.PathLike)) else list(read1)
+        if read2 is not None:
+            paths2 = (
+                [read2] if isinstance(read2, (str, os.PathLike)) else list(read2)
+            )
+            p1, p2 = f"{out_prefix}_1.fq", f"{out_prefix}_2.fq"
+            native.extract_stream([str(p) for p in paths1],
+                                  [str(p) for p in paths2], p1, p2, nthreads)
+            return p1, p2
+        p1 = f"{out_prefix}.fq"
+        native.extract_stream([str(p) for p in paths1], None, p1, None,
+                              nthreads)
+        return p1, None
+
     if read2 is not None:
         p1 = f"{out_prefix}_1.fq"
         p2 = f"{out_prefix}_2.fq"

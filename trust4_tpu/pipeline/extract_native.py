@@ -59,6 +59,11 @@ def _load():
     ]
     lib.t4x_has_hit.restype = ctypes.c_int
     lib.t4x_has_hit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.t4x_extract_stream.restype = ctypes.c_int64
+    lib.t4x_extract_stream.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -93,6 +98,22 @@ class NativeCandidateFilter:
         return self._lib.t4x_has_hit(
             self._h, read.encode("ascii"), len(read)
         )
+
+    def extract_stream(self, paths1: List[str], paths2: Optional[List[str]],
+                       out1: str, out2: Optional[str],
+                       threads: int = 1) -> int:
+        """Full extraction loop in native code (read -> filter -> write,
+        input order preserved; FastqExtractor.cpp:549-724 batched flow).
+        Returns the candidate count, or raises on I/O failure."""
+        j1 = "\n".join(paths1).encode()
+        j2 = "\n".join(paths2).encode() if paths2 else None
+        n = self._lib.t4x_extract_stream(
+            self._h, j1, j2, out1.encode(),
+            out2.encode() if out2 else None, threads,
+        )
+        if n < 0:
+            raise OSError(f"native extract failed reading {paths1}")
+        return int(n)
 
     def filter_batch(self, reads: List[str], threads: int = 1) -> np.ndarray:
         """Per-read candidate code: 0 = reject, else HasHitInSet strand."""
