@@ -1,40 +1,130 @@
 #!/usr/bin/env python
-"""Benchmark: batched banded-DP alignment throughput on the TPU chip.
+"""North-star benchmark: end-to-end CDR3 reconstruction wall-clock.
 
-The banded affine DP is the hot kernel of the whole pipeline (reference:
-AlignAlgo.hpp:218-424; SURVEY.md hot loop 3) — overlap scoring, extension,
-and annotator realignment are all made of it.  The TPU kernel
-(trust4_tpu/ops/dp_batch.py) computes bit-identical scores for batches of
-pairs.  The baseline is the single-thread native C++ kernel measured on
-this host (same machine, same semantics as the reference's AlignAlgo).
+Primary metric (the BASELINE.json north star): full-driver wall-clock on a
+deterministic 100k-read bulk corpus (tools/make_bench_corpus.py), measured
+for this framework and for the reference TRUST4 binaries on the same
+machine at the reference's default -t 1.  vs_baseline = reference_wall /
+our_wall (>1 means we beat the reference).
+
+Secondary metrics (stderr): matched-thread e2e, candidate extraction
+reads/s through the SHIPPING native path on the same corpus, and device
+banded-DP cell-updates/s (the Pallas kernel of ops/dp_pallas.py).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Secondary numbers (candidate-filter reads/s) go to stderr.
 """
 
 import json
+import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+CORPUS = "/tmp/t4bench_reads.fq"
+REFBUILD = os.path.join(REPO, ".refbuild")
+REF_SRC = "/root/reference"
 
-def _time_best(fn, reps=10, groups=5):
-    """Best-of-groups timing: the shared chip shows large contention
-    spikes, so the minimum group time is the honest kernel speed."""
+
+def ensure_corpus() -> str:
+    if not os.path.exists(CORPUS):
+        sys.path.insert(0, REPO)
+        from tools.make_bench_corpus import make_corpus
+
+        make_corpus(CORPUS)
+    return CORPUS
+
+
+def ensure_reference() -> str:
+    """Build the reference binaries once (copy + make)."""
+    if os.path.exists(os.path.join(REFBUILD, "run-trust4")) and os.path.exists(
+        os.path.join(REFBUILD, "trust4")
+    ):
+        return REFBUILD
+    if not os.path.isdir(REF_SRC):
+        return ""
+    if not os.path.isdir(REFBUILD):
+        shutil.copytree(REF_SRC, REFBUILD)
+        subprocess.run(["chmod", "-R", "u+w", REFBUILD], check=False)
+    r = subprocess.run(["make", "-j8"], cwd=REFBUILD, capture_output=True)
+    if r.returncode != 0:
+        return ""
+    return REFBUILD
+
+
+def run_ours(threads: int) -> float:
+    d = tempfile.mkdtemp(prefix="t4bench_ours_")
+    code = (
+        "import sys, time; sys.path.insert(0, %r)\n"
+        "from trust4_tpu.pipeline.run import run_trust4\n"
+        "t0 = time.time()\n"
+        "run_trust4(%r, %r, single_files=[%r], output_prefix=%r,\n"
+        "           threads=%d)\n"
+        "print('WALL', time.time() - t0)\n"
+        % (
+            REPO,
+            os.path.join(REF_SRC, "hg38_bcrtcr.fa"),
+            os.path.join(REF_SRC, "human_IMGT+C.fa"),
+            CORPUS,
+            os.path.join(d, "ours"),
+            threads,
+        )
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("WALL"):
+            return float(line.split()[1])
+    raise RuntimeError(f"our pipeline failed: {out.stderr[-2000:]}")
+
+
+def run_reference(refdir: str, threads: int) -> float:
+    d = tempfile.mkdtemp(prefix="t4bench_ref_")
+    t0 = time.time()
+    r = subprocess.run(
+        [
+            "perl", os.path.join(refdir, "run-trust4"),
+            "-u", CORPUS,
+            "-f", os.path.join(refdir, "hg38_bcrtcr.fa"),
+            "--ref", os.path.join(refdir, "human_IMGT+C.fa"),
+            "-o", os.path.join(d, "ref"), "-t", str(threads),
+        ],
+        capture_output=True, timeout=1800,
+    )
+    wall = time.time() - t0
+    if r.returncode != 0:
+        raise RuntimeError("reference run failed")
+    return wall
+
+
+def bench_extraction_reads_per_sec() -> float:
+    """Candidate reads/s through the shipping native extraction path."""
+    sys.path.insert(0, REPO)
+    from trust4_tpu.pipeline.extract import run_extractor
+
+    n_reads = sum(1 for _ in open(CORPUS)) // 4
+    d = tempfile.mkdtemp(prefix="t4bench_ext_")
     best = float("inf")
-    for _ in range(groups):
+    for _ in range(3):
         t0 = time.perf_counter()
-        s = None
-        for _ in range(reps):
-            s = fn()
-        s.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+        run_extractor(
+            os.path.join(REF_SRC, "hg38_bcrtcr.fa"), [CORPUS], None,
+            out_prefix=os.path.join(d, "x_toassemble"),
+            threads=os.cpu_count() or 1,
+        )
+        best = min(best, time.perf_counter() - t0)
+    return n_reads / best
 
 
-def bench_dp_tpu():
-    from trust4_tpu.ops.dp_batch import banded_affine_scores
+def bench_dp_device():
+    """Device banded-DP cell-updates/s (Pallas kernel)."""
+    sys.path.insert(0, REPO)
     from trust4_tpu.ops.dp_pallas import banded_affine_scores_pallas
 
     rng = np.random.default_rng(0)
@@ -44,95 +134,64 @@ def bench_dp_tpu():
     tl = np.full(N, 150, dtype=np.int32)
     pl = np.full(N, 148, dtype=np.int32)
     cells = N * 150 * W
-
-    rates = {}
-    for name, f in (
-        ("pallas", banded_affine_scores_pallas),
-        ("xla", banded_affine_scores),
-    ):
-        fn = lambda f=f: f(tc, tl, pc, pl, W)
-        fn().block_until_ready()
-        dt = _time_best(fn)
-        rates[name] = cells / dt
-        print(f"dp[{name}]: {cells / dt / 1e9:.1f} G cells/s", file=sys.stderr)
-    return max(rates.values())
-
-
-def bench_dp_cpu():
-    import random
-
-    from trust4_tpu.align import native
-
-    random.seed(1)
-    t = "".join(random.choice("ACGT") for _ in range(150))
-    p = "".join(random.choice("ACGT") for _ in range(148))
-    if not native.available():
-        return None
-    native.global_alignment(t, p)
-    reps = 1000
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        native.global_alignment(t, p)
-    dt = (time.perf_counter() - t0) / reps
-    # Same counting basis as the TPU number: band cells actually updated.
-    cells = 148 * 13
-    return cells / dt
-
-
-def bench_prefilter():
-    import jax.numpy as jnp
-
-    from trust4_tpu.io.fastx import read_fastx
-    from trust4_tpu.ops.encode import window_codes_batch
-    from trust4_tpu.ops.prefilter import (
-        build_membership_tables,
-        prefilter_kernel,
-    )
-
-    K = 9
-    refs = []
-    for rec in read_fastx("/root/reference/hg38_bcrtcr.fa"):
-        refs.append(
-            "".join(
-                c if c in "ACGTN" else "N"
-                for c in rec.seq.upper().replace(".", "")
-            )
-        )
-    fwd, rc = build_membership_tables(refs, K)
-    fwd_d, rc_d = jnp.asarray(fwd), jnp.asarray(rc)
-
-    rng = np.random.default_rng(7)
-    n, L = 131072, 100
-    base = rng.integers(0, 4, size=(n, L), dtype=np.int64)
-    ascii_mat = np.array([ord(c) for c in "ACGT"], dtype=np.uint8)[base]
-    codes, valid = window_codes_batch(ascii_mat, K)
-    cd, vd = jnp.asarray(codes), jnp.asarray(valid)
-    out = prefilter_kernel(cd, vd, fwd_d, rc_d, K, 27)
-    out.block_until_ready()
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = prefilter_kernel(cd, vd, fwd_d, rc_d, K, 27)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return n / dt
+    fn = lambda: banded_affine_scores_pallas(tc, tl, pc, pl, W)
+    fn().block_until_ready()
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            s = fn()
+        s.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / 10)
+    return cells / best
 
 
 def main() -> None:
-    tpu_rate = bench_dp_tpu()
-    cpu_rate = bench_dp_cpu()
+    ensure_corpus()
+    print("corpus ready", file=sys.stderr, flush=True)
+    refdir = ensure_reference()
+    print(f"reference binaries: {refdir or 'unavailable'}", file=sys.stderr,
+          flush=True)
+
+    ours_t1 = min(run_ours(1), run_ours(1))
+    print(f"ours -t1: {ours_t1:.2f}s", file=sys.stderr, flush=True)
+    if refdir:
+        ref_t1 = min(run_reference(refdir, 1), run_reference(refdir, 1))
+        print(f"ref -t1: {ref_t1:.2f}s", file=sys.stderr, flush=True)
+    else:
+        ref_t1 = None
+    nt = os.cpu_count() or 1
     try:
-        pf = bench_prefilter()
-        print(f"candidate_prefilter: {pf:.0f} reads/s (device)", file=sys.stderr)
-    except Exception as e:  # non-fatal secondary metric
-        print(f"prefilter bench skipped: {e}", file=sys.stderr)
-    vs = round(tpu_rate / cpu_rate, 1) if cpu_rate else 0.0
+        ours_tn = run_ours(nt)
+        ref_tn = run_reference(refdir, nt) if refdir else None
+        print(
+            f"e2e matched -t{nt}: ours {ours_tn:.2f}s vs ref "
+            f"{ref_tn:.2f}s" if ref_tn else f"e2e -t{nt}: {ours_tn:.2f}s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"matched-thread bench skipped: {e}", file=sys.stderr)
+
+    try:
+        rps = bench_extraction_reads_per_sec()
+        print(f"extraction (shipping native path): {rps:,.0f} reads/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"extraction bench skipped: {e}", file=sys.stderr)
+
+    try:
+        dp = bench_dp_device()
+        print(f"device banded DP: {dp / 1e9:.1f} G cells/s", file=sys.stderr)
+    except Exception as e:
+        print(f"device DP bench skipped: {e}", file=sys.stderr)
+
+    vs = round(ref_t1 / ours_t1, 2) if ref_t1 else 0.0
     print(
         json.dumps(
             {
-                "metric": "banded_dp_cell_updates_per_sec",
-                "value": round(tpu_rate, 0),
-                "unit": "cells/s/chip",
+                "metric": "e2e_cdr3_wallclock_100k_bulk",
+                "value": round(ours_t1, 2),
+                "unit": "s (lower is better; vs_baseline = ref/ours)",
                 "vs_baseline": vs,
             }
         )

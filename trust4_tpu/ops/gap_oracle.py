@@ -41,10 +41,12 @@ import numpy as np
 _TIERS = ((16, 16, 65536), (48, 24, 32768), (144, 48, 16384))
 
 # Auto mode: the device pays a fixed per-process warmup (jax import +
-# backend attach + one trace per tier, ~5 s, overlapped with the CPU
-# assembly stages), so the driver enables it when the candidate-read
-# count is large enough to amortize that; TRUST4_TPU_DEVICE=1/0 forces.
-AUTO_MIN_READS = int(os.environ.get("TRUST4_TPU_DEVICE_MIN_READS", "2500"))
+# backend attach + one trace per tier, overlapped with the CPU assembly
+# stages) plus per-batch transfer latency, so the driver enables it only
+# when the candidate-read count is large enough that the annotation
+# stage's gap-fill DP volume amortizes those fixed costs;
+# TRUST4_TPU_DEVICE=1/0 forces.
+AUTO_MIN_READS = int(os.environ.get("TRUST4_TPU_DEVICE_MIN_READS", "25000"))
 
 _prewarm_thread: Optional[threading.Thread] = None
 
