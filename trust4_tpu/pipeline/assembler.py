@@ -9,6 +9,7 @@ is the serialization contract for reproducible assemblies.
 from __future__ import annotations
 
 import math
+import os as _os
 import sys
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -620,9 +621,93 @@ class Assembler:
 
     # -- the main assembly loop ----------------------------------------
 
+    def _add_read_params(self, r: "SortRead"):
+        """Pure per-read AddRead parameters (main.cpp:1620-1694): the
+        V-D-J-C order / C-gene filters and the name/strand/threshold
+        derivation depend only on the read's cached quick annotation, so
+        they can be computed ahead of the greedy loop — which is what lets
+        the speculative round prefetch overlap queries (SURVEY.md §7.1).
+        Returns None when the read is filtered, else
+        (name, strand, min_kmer_cnt, sim_threshold)."""
+        gene_overlap = r.gene_overlap
+        # V-D-J-C order filter (main.cpp:1620-1638).
+        filtered = False
+        for j in range(4):
+            if gene_overlap[j].seq_idx == -1:
+                continue
+            for l in range(j + 1, 4):
+                if gene_overlap[l].seq_idx == -1:
+                    continue
+                if gene_overlap[j].read_end - 10 > gene_overlap[l].read_start:
+                    filtered = True
+                    break
+            if filtered:
+                break
+        # C-only read filters (main.cpp:1640-1651).
+        if (
+            gene_overlap[3].seq_idx != -1
+            and gene_overlap[0].seq_idx == -1
+            and gene_overlap[2].seq_idx == -1
+        ):
+            if gene_overlap[3].seq_start >= self.constant_gene_end:
+                filtered = True
+            elif (
+                self.constant_gene_end <= 200
+                and gene_overlap[3].seq_start >= 100
+                and (
+                    gene_overlap[3].strand == 1
+                    or gene_overlap[3].read_end
+                    - gene_overlap[3].read_start
+                    + 1
+                    < r.len
+                )
+            ):
+                filtered = True
+        if filtered:
+            return None
+
+        name = ""
+        strand = 0
+        ambiguous_strand = False
+        for j in range(4):
+            if gene_overlap[j].seq_idx != -1:
+                name = self.ref_set.seqs[gene_overlap[j].seq_idx].name[:4]
+                if strand != 0 and strand != gene_overlap[j].strand:
+                    ambiguous_strand = True
+                strand = gene_overlap[j].strand
+        if ambiguous_strand:
+            strand = 0
+
+        similarity_threshold = 0.9
+        if r.min_cnt >= 20:
+            similarity_threshold = 0.97
+        elif r.min_cnt >= 2 or (r.min_cnt >= 5 and self.first_read_len > 200):
+            similarity_threshold = 0.95
+        if name[:1] == "T" and similarity_threshold < 0.95:
+            similarity_threshold = 0.95
+        if self.has_barcode or self.trim_level > 1:
+            similarity_threshold = 0.9
+
+        min_kmer_cnt = (
+            (r.min_cnt + r.barcode_min_cnt + 1) // 2
+            if self.has_barcode
+            else r.min_cnt
+        )
+        return name, strand, min_kmer_cnt, similarity_threshold
+
+    # Speculative round size: number of upcoming AddRead calls whose
+    # overlap queries run as one threaded phase-A batch before the serial
+    # commits replay them (invalid entries re-query serially).
+    SPEC_ROUND = 256
+
     def assemble(self, sorted_reads: List[SortRead]) -> List[int]:
-        """Greedy assembly loop (main.cpp:1583-1940).  Returns the indices
-        of assembled reads."""
+        """Greedy assembly loop (main.cpp:1583-1940) restructured as
+        speculative rounds: phase A batch-matches the next SPEC_ROUND
+        reads against the current contig set in parallel, the serial
+        commit loop replays each result only when provably unchanged
+        (native validation via mutated-key Bloom + contig epochs), so
+        outputs stay byte-identical to the read-at-a-time reference order.
+        Returns the indices of assembled reads."""
         seq_set = self.seq_set
         read_cnt = len(sorted_reads)
 
@@ -655,6 +740,41 @@ class Assembler:
                 if r.barcode != -1:
                     barcode_total[r.barcode] = barcode_total.get(r.barcode, 0) + 1
 
+        # Speculation plan: which reads reach AddRead (the dedup and
+        # filter tests are pure per-read functions) and with what params.
+        spec_plan: List = [None] * read_cnt
+        spec_idx: List[int] = []  # read index of each AddRead ordinal
+        # Round-based speculation is opt-in: measured on the bulk corpora,
+        # only ~3% of speculative queries survive validation, because the
+        # greedy loop consumes reads in content-sorted order (main.cpp:103-136)
+        # so consecutive reads hit exactly the contigs the previous commits
+        # just mutated.  The batch phase is therefore pure overhead at any
+        # thread count (VALIDATION.md §speculation); the machinery stays for
+        # corpora with low contig contention and as the multi-chip building
+        # block.
+        use_spec = (
+            seq_set.native_master
+            and _os.environ.get("TRUST4_TPU_SPEC", "0") == "1"
+        )
+        repetitive = self.trim_level > 1
+        if use_spec:
+            for i in range(read_cnt):
+                r = sorted_reads[i]
+                if (
+                    i > 0
+                    and r.read == sorted_reads[i - 1].read
+                    and r.barcode == sorted_reads[i - 1].barcode
+                ):
+                    continue  # RepeatAddRead replay
+                p = self._add_read_params(r)
+                if p is not None:
+                    spec_plan[i] = (len(spec_idx),) + p
+                    spec_idx.append(i)
+        spec_done = 0  # ordinals speculated so far
+        from trust4_tpu.utils.parallel import internal_threads
+
+        spec_threads = max(1, internal_threads(self.threads))
+
         for i in range(read_cnt):
             r = sorted_reads[i]
             add_ret = -1
@@ -664,82 +784,40 @@ class Assembler:
                 or r.barcode != sorted_reads[i - 1].barcode
             ):
                 gene_overlap = r.gene_overlap
-                # V-D-J-C order filter (main.cpp:1620-1638).
-                filtered = False
-                for j in range(4):
-                    if gene_overlap[j].seq_idx == -1:
-                        continue
-                    for l in range(j + 1, 4):
-                        if gene_overlap[l].seq_idx == -1:
-                            continue
-                        if gene_overlap[j].read_end - 10 > gene_overlap[l].read_start:
-                            filtered = True
-                            break
-                    if filtered:
-                        break
-                # C-only read filters (main.cpp:1640-1651).
-                if (
-                    gene_overlap[3].seq_idx != -1
-                    and gene_overlap[0].seq_idx == -1
-                    and gene_overlap[2].seq_idx == -1
-                ):
-                    if gene_overlap[3].seq_start >= self.constant_gene_end:
-                        filtered = True
-                    elif (
-                        self.constant_gene_end <= 200
-                        and gene_overlap[3].seq_start >= 100
-                        and (
-                            gene_overlap[3].strand == 1
-                            or gene_overlap[3].read_end
-                            - gene_overlap[3].read_start
-                            + 1
-                            < r.len
-                        )
-                    ):
-                        filtered = True
+                if use_spec:
+                    plan = spec_plan[i]
+                else:
+                    p = self._add_read_params(r)
+                    plan = None if p is None else (-1,) + p
 
-                if filtered:
+                if plan is None:
                     add_ret = -1
                 else:
-                    name = ""
-                    strand = 0
-                    ambiguous_strand = False
-                    for j in range(4):
-                        if gene_overlap[j].seq_idx != -1:
-                            name = self.ref_set.seqs[
-                                gene_overlap[j].seq_idx
-                            ].name[:4]
-                            if strand != 0 and strand != gene_overlap[j].strand:
-                                ambiguous_strand = True
-                            strand = gene_overlap[j].strand
-                    if ambiguous_strand:
-                        strand = 0
-
-                    similarity_threshold = 0.9
-                    if r.min_cnt >= 20:
-                        similarity_threshold = 0.97
-                    elif r.min_cnt >= 2 or (
-                        r.min_cnt >= 5 and self.first_read_len > 200
-                    ):
-                        similarity_threshold = 0.95
-                    if name[:1] == "T" and similarity_threshold < 0.95:
-                        similarity_threshold = 0.95
-                    if self.has_barcode or self.trim_level > 1:
-                        similarity_threshold = 0.9
-
-                    min_kmer_cnt = (
-                        (r.min_cnt + r.barcode_min_cnt + 1) // 2
-                        if self.has_barcode
-                        else r.min_cnt
-                    )
+                    (ord_, name, strand, min_kmer_cnt,
+                     similarity_threshold) = plan
+                    if use_spec and ord_ >= spec_done:
+                        # Phase A: batch-match the next round's reads
+                        # against the current contig set in parallel.
+                        hi = min(ord_ + self.SPEC_ROUND, len(spec_idx))
+                        window = spec_idx[ord_:hi]
+                        seq_set.speculate(
+                            [sorted_reads[j].read for j in window],
+                            [spec_plan[j][2] for j in window],
+                            [sorted_reads[j].barcode for j in window],
+                            [1 if repetitive else 0] * len(window),
+                            ord_,
+                            spec_threads,
+                        )
+                        spec_done = hi
                     add_ret, strand = seq_set.add_read(
                         r.read,
                         name,
                         strand,
                         r.barcode,
                         min_kmer_cnt,
-                        self.trim_level > 1,
+                        repetitive,
                         similarity_threshold,
+                        spec_ord=ord_,
                     )
                     if add_ret < 0:
                         # Reference-anchor rescue (main.cpp:1703-1759).
