@@ -148,6 +148,7 @@ def _load():
         c_dbl,
     ]
     lib.t4s_spec_stats.argtypes = [ctypes.c_void_p, _i64p]
+    lib.t4s_substring_relation.argtypes = [ctypes.c_void_p, _i32p]
     lib.t4s_repeat_add_read.restype = c_int
     lib.t4s_repeat_add_read.argtypes = [ctypes.c_void_p, c_char_p, c_int]
     lib.t4s_input_novel_read.restype = c_int
@@ -670,6 +671,17 @@ class NativeOverlapEngine:
         out3 = np.zeros(3, dtype=np.int64)
         self._lib.t4s_spec_stats(self._h, out3.ctypes.data_as(_i64p))
         return int(out3[0]), int(out3[1]), int(out3[2])
+
+    def substring_relation(self, seq_cnt: int):
+        """BuildSeqSubstringRelation over the synced seqs + index
+        (t4s_substring_relation).  Returns [(container, start) | None]."""
+        out = np.empty(2 * seq_cnt, dtype=np.int32)
+        self._lib.t4s_substring_relation(self._h, out.ctypes.data_as(_i32p))
+        return [
+            (int(out[2 * i]), int(out[2 * i + 1]))
+            if out[2 * i] != -1 else None
+            for i in range(seq_cnt)
+        ]
 
     def s_repeat_add_read(self, read: str) -> int:
         b = read.encode("ascii")

@@ -1017,7 +1017,30 @@ class ScaffoldMixin:
     # ------------------------------------------------------------------
 
     def build_seq_substring_relation(self) -> List[Optional[Tuple[int, int]]]:
-        """Returns per-seq (container_idx, start) or None."""
+        """Returns per-seq (container_idx, start) or None.
+
+        Dispatch: native single pass over the mirrored index
+        (t4s_substring_relation) with this Python implementation as the
+        oracle; TRUST4_TPU_SCORED=0 forces host,
+        TRUST4_TPU_SUBSTR_CHECK=1 runs both and asserts equality."""
+        import os as _os
+
+        scored_on = _os.environ.get("TRUST4_TPU_SCORED", "1") != "0"
+        check = _os.environ.get("TRUST4_TPU_SUBSTR_CHECK", "0") == "1"
+        nat = self._native_sync() if scored_on else None
+        if nat is not None:
+            native_res = nat.substring_relation(len(self.seqs))
+            if not check:
+                return native_res
+            host_res = self._bssr_host()
+            assert native_res == host_res, (
+                "substring-relation divergence: "
+                f"native={native_res} host={host_res}"
+            )
+            return native_res
+        return self._bssr_host()
+
+    def _bssr_host(self) -> List[Optional[Tuple[int, int]]]:
         seq_cnt = len(self.seqs)
         subset_of: List[Optional[Tuple[int, int]]] = [None] * seq_cnt
         kl = self.kmer_length
@@ -1065,7 +1088,10 @@ class ScaffoldMixin:
                     hit_cnt += 1
                 prev_code = code
 
-            for idx in seq_hit_cnt:
+            # Reference iterates an ordered std::map (SeqSet.hpp:2209);
+            # candidate order picks the container on ties (not output-
+            # visible: remove_redundant_seq only tests None-ness).
+            for idx in sorted(seq_hit_cnt):
                 if seq_hit_cnt[idx] < hit_cnt * 0.6:
                     continue
                 fa, fb = first_seq_hit[idx]

@@ -3598,6 +3598,101 @@ void t4s_pull_data(void* h, int sid, char* cons, char* name, int32_t* pw) {
     memcpy(pw, s.own_pw.data(), s.own_pw.size() * sizeof(int32_t));
 }
 
+// BuildSeqSubstringRelation (SeqSet.hpp:2127-2250; Python oracle
+// engine/scaffold.py:1019-1089): for every seq, count shared-k-mer hits
+// against the index and verify a <2-mismatch full-length substring
+// embedding into the best container.  out2 holds (container_sid, start)
+// per seq, container_sid == -1 when the seq is not a substring.  Works in
+// both registry and master mode (SeqRec.consensus is current either way).
+// Candidate iteration follows the reference's ordered std::map.
+void t4s_substring_relation(void* h, int32_t* out2) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  int seq_cnt = (int)R.seqs.size();
+  int kl = E->kmer_len;
+  for (int k = 0; k < seq_cnt; k++) {
+    out2[2 * k] = -1;
+    out2[2 * k + 1] = 0;
+  }
+  std::vector<uint64_t> codes;
+  std::vector<uint8_t> valid;
+  std::map<int, int> seq_hit_cnt;
+  std::map<int, std::pair<int, int>> first_seq_hit;
+  for (int k = 0; k < seq_cnt; k++) {
+    const SeqRec& sw = R.seqs[k];
+    if (!sw.active || sw.consensus.empty()) continue;
+    const std::string& cons = sw.consensus;
+    int len = (int)cons.size();
+    // Reference aborts the whole pass on a too-short consensus
+    // (SeqSet.hpp:2145-2146), keeping earlier entries.
+    if (len < kl) return;
+    window_codes(cons.c_str(), len, kl, codes, valid);
+    int n = (int)codes.size();
+    int skip_limit = kl / 2;
+    int skip_cnt = 0;
+    int hit_cnt = 0;
+    seq_hit_cnt.clear();
+    first_seq_hit.clear();
+    uint64_t prev_code = 0;
+    static const std::vector<std::pair<int, int>> kEmpty;
+    for (int w = 0; w < n; w++) {
+      uint64_t code = codes[w];
+      if (w == 1 || code != prev_code) {
+        const std::vector<std::pair<int, int>>* postings = &kEmpty;
+        if (valid[w]) {
+          auto it = E->index.find(make_key(*E, code, sw.barcode));
+          if (it != E->index.end()) postings = &it->second;
+        }
+        int size = (int)postings->size();
+        if (size >= 100 && skip_cnt < skip_limit) {
+          skip_cnt++;
+          continue;  // quirk: bypasses the prev_code update
+        }
+        skip_cnt = 0;
+        for (const auto& p : *postings) {
+          int idx = p.first;
+          if (idx == k || R.seqs[idx].barcode != sw.barcode) continue;
+          auto hit = seq_hit_cnt.find(idx);
+          if (hit != seq_hit_cnt.end()) {
+            if (hit_cnt >= 50 && hit->second < hit_cnt * 0.5)
+              seq_hit_cnt.erase(hit);
+            else
+              hit->second++;
+          } else if (hit_cnt < 50) {
+            seq_hit_cnt[idx] = 1;
+            first_seq_hit[idx] = {w, p.second};
+          }
+        }
+        hit_cnt++;
+      }
+      prev_code = code;
+    }
+    for (const auto& it : seq_hit_cnt) {
+      if (it.second < hit_cnt * 0.6) continue;
+      int idx = it.first;
+      const auto& fh = first_seq_hit[idx];
+      if (fh.second - fh.first < 0) continue;
+      int start = fh.second - fh.first;
+      const std::string& other = R.seqs[idx].consensus;
+      if (start + len - 1 >= (int)other.size()) continue;
+      int mismatch = 0;
+      bool ok = true;
+      for (int j = 0; j < len; j++) {
+        if (cons[j] != other[start + j]) mismatch++;
+        if (mismatch >= 2) {
+          ok = false;
+          break;
+        }
+      }
+      if (ok) {
+        out2[2 * k] = idx;
+        out2[2 * k + 1] = start;
+        break;
+      }
+    }
+  }
+}
+
 }  // extern "C"
 
 // ===========================================================================

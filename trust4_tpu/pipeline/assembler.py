@@ -362,7 +362,6 @@ class Assembler:
         # (main.cpp:1084-1093).
         if self.trim_level > 1:
             self.ref_set.set_radius(0)
-        import os as _os
 
         _nat = (
             self.ref_set._native_sync()
@@ -1080,6 +1079,16 @@ class Assembler:
     def mate_extension(self, sorted_reads, assembled_read_idx) -> None:
         """Mate-pair scaffolding stage (main.cpp:2048-2312)."""
         extended_seq = SeqSet(max(self.index_kmer_length, 17))
+        # Every query the mate-extension stage issues (assign_batch,
+        # get_overlaps_from_read, substring relation) runs through the
+        # native engine when the scored path is on, so the host dict index
+        # is dead weight here — skip maintaining it (native-only mirror).
+        if (
+            _os.environ.get("TRUST4_TPU_SCORED", "1") != "0"
+            and _os.environ.get("TRUST4_TPU_SCORED_CHECK", "0") != "1"
+            and _os.environ.get("TRUST4_TPU_SUBSTR_CHECK", "0") != "1"
+        ):
+            extended_seq.set_native_only_index()
         extended_seq.input_seq_set(self.seq_set, False)
         if self.first_read_len > 200:
             extended_seq.set_is_long_seq_set(True)
@@ -1096,7 +1105,6 @@ class Assembler:
         # Reference keeps the overlap's original strand slot when
         # assignment fails, main.cpp:2077-2082; strand comes from the read
         # either way.)
-        import os as _os
 
         nat = None
         if _os.environ.get("TRUST4_TPU_SCORED", "1") != "0" and _os.environ.get(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from typing import List, Optional
 
 from trust4_tpu.pipeline.annotator import Annotator
@@ -19,6 +20,19 @@ from trust4_tpu.pipeline.report import airr_report, barcode_rep, simple_rep
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr)
+
+
+_STAGE_TIMES = os.environ.get("TRUST4_TPU_STAGE_TIMES", "0") == "1"
+_stage_t0 = [0.0]
+
+
+def _stamp(name: str) -> None:
+    """Logs elapsed wall since the previous stamp when
+    TRUST4_TPU_STAGE_TIMES=1."""
+    now = time.perf_counter()
+    if _STAGE_TIMES and name:
+        log(f"[stage-time] {name}: {now - _stage_t0[0]:.3f}s")
+    _stage_t0[0] = now
 
 
 def run_trust4(
@@ -65,6 +79,7 @@ def run_trust4(
         bam_file is not None and bam_umi_field != ""
     )
 
+    _stamp("")
     # Stage 0: extraction (reference: run-trust4:404-446).
     if stage <= 0 and not no_extraction:
         if bam_file is not None:
@@ -110,6 +125,8 @@ def run_trust4(
                 use_tpu_prefilter=use_tpu_prefilter,
                 threads=threads,
             )
+
+    _stamp("extract")
 
     if bam_file is not None:
         # The BAM extractor decides SE vs PE from the library stats
@@ -171,6 +188,8 @@ def run_trust4(
             umi_files=[prefix + "_toassemble_umi.fa"] if has_umi else None,
         )
 
+    _stamp("assemble")
+
     # Stage 2: annotation (run-trust4:512-550).
     if stage <= 2:
         ann = Annotator(
@@ -199,6 +218,8 @@ def run_trust4(
             # run-trust4:521-524: --skipReadRealign uses the
             # consensus-coverage CDR3 writer.
             ann.write_cdr3_from_consensus(prefix + "_cdr3.out")
+
+    _stamp("annotate")
 
     # Stage 3: reports (run-trust4:553-566).
     if stage <= 3:
@@ -242,6 +263,8 @@ def run_trust4(
                     "barcoderep",
                     prefix + "_airr_align.tsv",
                 )
+    _stamp("report")
+
     # --clean levels (run-trust4:569-582).
     if clean_level > 0:
         import glob as _glob
