@@ -12,6 +12,7 @@
 // C ABI only; loaded via ctypes (trust4_tpu/pipeline/extract_native.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -21,6 +22,31 @@
 #include <unordered_map>
 #include <utility>
 #include <vector>
+
+namespace {
+
+// Work-stealing parallel-for (twin of overlap_engine.cpp steal_for): workers
+// grab fixed-size blocks from an atomic cursor so a straggler chunk of
+// expensive reads can't idle the other cores.  Caller thread is worker 0.
+template <class F>
+void steal_for(int n, int n_threads, int block, F&& body) {
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int lo = next.fetch_add(block, std::memory_order_relaxed);
+      if (lo >= n) break;
+      int hi = lo + block < n ? lo + block : n;
+      body(lo, hi);
+    }
+  };
+  std::vector<std::thread> ts;
+  ts.reserve((size_t)(n_threads > 1 ? n_threads - 1 : 0));
+  for (int t = 1; t < n_threads; t++) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
 
 namespace {
 
@@ -554,14 +580,7 @@ void t4x_filter_batch(void *h, const char **reads, const int *lens, int n,
     work(0, n);
     return;
   }
-  std::vector<std::thread> pool;
-  int per = (n + threads - 1) / threads;
-  for (int t = 0; t < threads; t++) {
-    int lo = t * per, hi = std::min(n, lo + per);
-    if (lo >= hi) break;
-    pool.emplace_back(work, lo, hi);
-  }
-  for (auto &th : pool) th.join();
+  steal_for(n, threads, 256, [&](int lo, int hi) { work(lo, hi); });
 }
 
 // Raw HasHitInSet without the low-complexity guard (for parity tests).
@@ -848,14 +867,7 @@ int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
     if (threads <= 1 || n < 64) {
       work(0, n);
     } else {
-      std::vector<std::thread> pool;
-      int per = (n + threads - 1) / threads;
-      for (int t = 0; t < threads; t++) {
-        int lo = t * per, hi = std::min(n, lo + per);
-        if (lo >= hi) break;
-        pool.emplace_back(work, lo, hi);
-      }
-      for (auto &th : pool) th.join();
+      steal_for(n, threads, 256, [&](int lo, int hi) { work(lo, hi); });
     }
 
     for (int i = 0; i < n; i++) {

@@ -1110,6 +1110,33 @@ void t4kc_stats_trim(void *h, const char *read, int len, const char *qual,
 #include <map>
 #include <thread>
 
+namespace {
+
+// Work-stealing parallel-for: workers grab fixed-size index blocks from a
+// shared atomic cursor.  Read costs in these batches are highly skewed
+// (repeat-heavy reads chain 10-100x longer), so static chunking leaves
+// threads idle behind one straggler chunk; block-stealing keeps all cores
+// busy to the end.  The calling thread doubles as worker 0.
+template <class F>
+void steal_for(int n, int n_threads, int block, F&& body) {
+  std::atomic<int> next{0};
+  auto worker = [&](int tid) {
+    for (;;) {
+      int lo = next.fetch_add(block, std::memory_order_relaxed);
+      if (lo >= n) break;
+      int hi = lo + block < n ? lo + block : n;
+      body(tid, lo, hi);
+    }
+  };
+  std::vector<std::thread> ts;
+  ts.reserve((size_t)(n_threads > 1 ? n_threads - 1 : 0));
+  for (int t = 1; t < n_threads; t++) ts.emplace_back(worker, t);
+  worker(0);
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
 extern "C" {
 int64_t t4_global_alignment_counts(const char* t, int lent, const char* p,
                                    int lenp, int* out3);
@@ -2208,15 +2235,9 @@ void t4o_annotate0_batch(void* h, const char* blob, const int64_t* offs,
   if (n_threads <= 1 || n_reads < 64) {
     work(0, n_reads);
   } else {
-    std::vector<std::thread> ts;
-    int chunk = (n_reads + n_threads - 1) / n_threads;
-    for (int t = 0; t < n_threads; t++) {
-      int lo = t * chunk;
-      int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
-      if (lo >= hi) break;
-      ts.emplace_back(work, lo, hi);
-    }
-    for (auto& t : ts) t.join();
+    // Block 64 keeps sorted-duplicate runs contiguous for the prev-read cache.
+    steal_for(n_reads, n_threads, 64,
+              [&](int, int lo, int hi) { work(lo, hi); });
   }
   if (prof_on())
     fprintf(stderr, "[t4prof] annotate0_batch hits=%.3fs chain=%.3fs score=%.3fs\n",
@@ -2278,15 +2299,8 @@ void t4o_assign_batch(void* h, const char* blob, const int64_t* offs,
     work(0, n_reads);
     return;
   }
-  std::vector<std::thread> ts;
-  int chunk = (n_reads + n_threads - 1) / n_threads;
-  for (int t = 0; t < n_threads; t++) {
-    int lo = t * chunk;
-    int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
-    if (lo >= hi) break;
-    ts.emplace_back(work, lo, hi);
-  }
-  for (auto& t : ts) t.join();
+  steal_for(n_reads, n_threads, 32,
+            [&](int, int lo, int hi) { work(lo, hi); });
 }
 
 }  // extern "C"
@@ -3379,14 +3393,7 @@ int64_t t4s_speculate(void* h, const char* blob, const int64_t* offs,
   if (n_threads <= 1 || n < 4) {
     work(0, n);
   } else {
-    std::vector<std::thread> ts;
-    int chunk = (n + n_threads - 1) / n_threads;
-    for (int t = 0; t < n_threads; t++) {
-      int lo = t * chunk, hi = std::min(n, lo + chunk);
-      if (lo >= hi) break;
-      ts.emplace_back(work, lo, hi);
-    }
-    for (auto& th : ts) th.join();
+    steal_for(n, n_threads, 16, [&](int, int lo, int hi) { work(lo, hi); });
   }
   sp.reset_bloom();
   sp.active = true;
@@ -3734,15 +3741,8 @@ int t4o_query_scored_batch(void* h, const char* blob, const int64_t* offs,
   if (n_threads <= 1 || n_reads < 8) {
     work(0, n_reads);
   } else {
-    std::vector<std::thread> ts;
-    int chunk = (n_reads + n_threads - 1) / n_threads;
-    for (int t = 0; t < n_threads; t++) {
-      int lo = t * chunk;
-      int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
-      if (lo >= hi) break;
-      ts.emplace_back(work, lo, hi);
-    }
-    for (auto& t : ts) t.join();
+    steal_for(n_reads, n_threads, 8,
+              [&](int, int lo, int hi) { work(lo, hi); });
   }
   int64_t total = 0;
   for (auto& v : results) total += (int64_t)v.size();
@@ -3813,15 +3813,8 @@ int t4o_batch_collect_gaps(void* h, const char* blob, const int64_t* offs,
   if (nt == 1) {
     work(0, 0, n_reads);
   } else {
-    std::vector<std::thread> ts;
-    int chunk = (n_reads + nt - 1) / nt;
-    for (int t = 0; t < nt; t++) {
-      int lo = t * chunk;
-      int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
-      if (lo >= hi) break;
-      ts.emplace_back(work, t, lo, hi);
-    }
-    for (auto& th : ts) th.join();
+    steal_for(n_reads, nt, 8,
+              [&](int tid, int lo, int hi) { work(tid, lo, hi); });
   }
   int64_t total = 0;
   for (auto& s : sinks) total += (int64_t)s.size();
@@ -3914,15 +3907,8 @@ int t4o_query_scored_batch_oracle(
   if (n_threads <= 1 || n_reads < 8) {
     work(0, n_reads);
   } else {
-    std::vector<std::thread> ts;
-    int chunk = (n_reads + n_threads - 1) / n_threads;
-    for (int t = 0; t < n_threads; t++) {
-      int lo = t * chunk;
-      int hi = lo + chunk < n_reads ? lo + chunk : n_reads;
-      if (lo >= hi) break;
-      ts.emplace_back(work, lo, hi);
-    }
-    for (auto& th : ts) th.join();
+    steal_for(n_reads, n_threads, 8,
+              [&](int, int lo, int hi) { work(lo, hi); });
   }
   int64_t total = 0;
   for (auto& v : results) total += (int64_t)v.size();
