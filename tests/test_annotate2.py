@@ -47,3 +47,16 @@ def test_detail2_parity(imgt_set):
             )
         fields.append(str(len(secondary)))
         assert "\t".join(fields) == gold
+
+
+def test_native_annotate2_check_mode(monkeypatch):
+    """The native detail-2 batch (native/annotate2.inc) must field-match the
+    host oracle on every example contig; TRUST4_TPU_ANN2_CHECK asserts
+    per-contig equality inside annotate_all."""
+    from trust4_tpu.pipeline.annotator import Annotator
+
+    monkeypatch.setenv("TRUST4_TPU_ANN2_CHECK", "1")
+    ann = Annotator("/root/reference/human_IMGT+C.fa")
+    ann.load_assembly(os.path.join(GOLDEN, "gold_final.out"))
+    ann.annotate_all()  # raises on any native-vs-host divergence
+    assert ann.annotations

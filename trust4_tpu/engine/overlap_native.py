@@ -130,6 +130,17 @@ def _load():
     lib.t4o_emit_gap_codes.argtypes = [
         ctypes.c_void_p, c_char_p, _i64p, _i32p, c_int, c_int, _i8p, _i8p,
     ]
+    lib.t4o_reg_seq_cdr.restype = None
+    lib.t4o_reg_seq_cdr.argtypes = [
+        ctypes.c_void_p, c_int, c_int, c_int, c_int, c_int,
+    ]
+    lib.t4o_annotate2_batch.restype = c_int
+    lib.t4o_annotate2_batch.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, c_int, _i32p, _i64p, _i32p, _f64p,
+        _i64p, c_int, c_int, c_int, c_int, c_int, c_int, c_dbl, c_dbl,
+        c_dbl, _i32p, _i32p, _f64p, _i32p, _f64p, _i32p, _f64p, _i64p,
+        c_int,
+    ]
     # master-mode assembly (t4s_*)
     lib.t4s_add_read.argtypes = [
         ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, c_int, c_int,
@@ -514,6 +525,20 @@ class NativeOverlapEngine:
             if rc != -2:
                 break
             cap *= 4
+        return self._batch_views(n, rng, out_i32, out_f64)
+
+    def query_scored_batch_flat(self, jobs, *conf):
+        """Like query_scored_batch but returns the flat result arrays
+        (rng(2n) int64, rows(cap,9) int32, sims(cap) float64) for zero-copy
+        reuse by annotate2_batch."""
+        self._last_flat = None
+        self.query_scored_batch(jobs, *conf)
+        return self._last_flat
+
+    @staticmethod
+    def _flat_to_views(flat):
+        rng, out_i32, out_f64 = flat
+        n = len(rng) // 2
         out = []
         for i in range(n):
             a = int(rng[2 * i])
@@ -523,6 +548,10 @@ class NativeOverlapEngine:
             else:
                 out.append((c, out_i32[a : a + c], out_f64[a : a + c]))
         return out
+
+    def _batch_views(self, n, rng, out_i32, out_f64):
+        self._last_flat = (rng, out_i32, out_f64)
+        return self._flat_to_views(self._last_flat)
 
     def _batch_args(self, jobs):
         n = len(jobs)
@@ -606,15 +635,77 @@ class NativeOverlapEngine:
             if rc != -2:
                 break
             cap *= 4
-        out = []
-        for i in range(n):
-            a = int(rng[2 * i])
-            c = int(rng[2 * i + 1])
-            if c < 0:
-                out.append((-1, None, None))
-            else:
-                out.append((c, out_i32[a : a + c], out_f64[a : a + c]))
-        return out
+        return self._batch_views(n, rng, out_i32, out_f64)
+
+    def query_scored_batch_oracle_flat(self, jobs, gap_jobs, gap_counts,
+                                       *conf):
+        """Oracle variant returning the flat result arrays."""
+        self._last_flat = None
+        self.query_scored_batch_oracle(jobs, gap_jobs, gap_counts, *conf)
+        return self._last_flat
+
+    def reg_seq_cdr(self, sid: int, c1s: int, c1e: int, c2s: int,
+                    c2e: int) -> None:
+        """Register CDR1/2 IMGT coords (engine/types.py info[0..1]) for a
+        ref seq; must follow reg_seq (which resets them)."""
+        self._lib.t4o_reg_seq_cdr(self._h, sid, c1s, c1e, c2s, c2e)
+
+    def annotate2_batch(self, contigs, piece_jobs, piece_off, flat_cache,
+                        n_threads: int, gap_n: int, radius: int,
+                        hit_len_required: int, is_long_seq_set: bool,
+                        nomatch_gap_limit: int, novel_sim: float,
+                        ref_sim: float, repeat_sim: float):
+        """Batched native detail-2 annotation (native/annotate2.inc).
+
+        contigs = list of consensus strings; piece_jobs/piece_off map each
+        contig's N-split pieces to job indices of the phase-1 batch whose
+        flat arrays are ``flat_cache`` (from query_scored_batch_flat or the
+        oracle variant).  Returns (ret(n), gene_i32(n,4,9), gene_f64(n,4),
+        cdr_i32(n,3,9), cdr_f64(n,3), sec_i32, sec_f64, sec_rng(2n))."""
+        n = len(contigs)
+        blobs = [c.encode("ascii") for c in contigs]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        pj = np.ascontiguousarray(piece_jobs, dtype=np.int32)
+        po = np.ascontiguousarray(piece_off, dtype=np.int64)
+        rng, rows, sims = flat_cache
+        rows = np.ascontiguousarray(rows, dtype=np.int32)
+        sims = np.ascontiguousarray(sims, dtype=np.float64)
+        rng = np.ascontiguousarray(rng, dtype=np.int64)
+        out_ret = np.empty(n, dtype=np.int32)
+        gene_i32 = np.empty((n, 4, 9), dtype=np.int32)
+        gene_f64 = np.empty((n, 4), dtype=np.float64)
+        cdr_i32 = np.empty((n, 3, 9), dtype=np.int32)
+        cdr_f64 = np.empty((n, 3), dtype=np.float64)
+        sec_rng = np.empty(2 * n, dtype=np.int64)
+        sec_cap = max(256, 8 * n)
+        while True:
+            sec_i32 = np.empty((sec_cap, 9), dtype=np.int32)
+            sec_f64 = np.empty(sec_cap, dtype=np.float64)
+            rc = self._lib.t4o_annotate2_batch(
+                self._h, blob, offs.ctypes.data_as(_i64p), n,
+                pj.ctypes.data_as(_i32p), po.ctypes.data_as(_i64p),
+                rows.ctypes.data_as(_i32p),
+                sims.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                rng.ctypes.data_as(_i64p),
+                n_threads, gap_n, radius, hit_len_required,
+                1 if is_long_seq_set else 0, nomatch_gap_limit,
+                novel_sim, ref_sim, repeat_sim,
+                out_ret.ctypes.data_as(_i32p),
+                gene_i32.ctypes.data_as(_i32p),
+                gene_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                cdr_i32.ctypes.data_as(_i32p),
+                cdr_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                sec_i32.ctypes.data_as(_i32p),
+                sec_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                sec_rng.ctypes.data_as(_i64p), sec_cap,
+            )
+            if rc != -2:
+                break
+            sec_cap *= 4
+        return (out_ret, gene_i32, gene_f64, cdr_i32, cdr_f64, sec_i32,
+                sec_f64, sec_rng)
 
     # --- master-mode assembly (native-owned contig state) ---
 

@@ -320,6 +320,11 @@ class SeqSet(
             i, sw.is_ref, sw.barcode, sw.name, sw.consensus, pw,
             sw.info[2][0],
         )
+        if sw.is_ref:
+            # CDR1/2 IMGT coords for the native detail-2 annotator.
+            nat.reg_seq_cdr(
+                i, sw.info[0][0], sw.info[0][1], sw.info[1][0], sw.info[1][1],
+            )
 
     def _fill_meta_row(self, i, is_ref, barcode, seq_len, name4):
         sw = self.seqs[i]

@@ -1177,6 +1177,9 @@ struct SeqRec {
   // assembly): bumped on every content change the overlap query can
   // observe (consensus, posWeight, name, active/len via ms_sync).
   uint32_t epoch = 0;
+  // CDR1/2 IMGT coords for V refs (engine/types.py info[0..1]; set by
+  // t4o_reg_seq_cdr after registration): {c1s, c1e, c2s, c2e}.
+  int32_t cdr_info[4] = {-1, -1, -1, -1};
 };
 
 struct Engine2 {
@@ -1744,6 +1747,7 @@ void t4o_reg_seq(void* h, int sid, int is_ref, int barcode, const char* name,
   s.is_ref = is_ref != 0;
   s.barcode = barcode;
   s.cdr3_anchor = cdr3_anchor;
+  s.cdr_info[0] = s.cdr_info[1] = s.cdr_info[2] = s.cdr_info[3] = -1;
   s.name.assign(name ? name : "", name ? name_len : 0);
   s.consensus.assign(consensus ? consensus : "", consensus ? cons_len : 0);
   s.pw = pw;
@@ -3938,3 +3942,6 @@ int t4o_query_scored_batch_oracle(
 }
 
 }  // extern "C"
+
+// Detail-2 annotation (native port; see the file header for scope).
+#include "annotate2.inc"

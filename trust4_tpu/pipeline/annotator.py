@@ -234,17 +234,32 @@ class Annotator:
 
     def annotate_all(self) -> None:
         """Annotator.cpp:640-696."""
+        import os as _os
+
         seq_set = self.seq_set
         seq_cnt = seq_set.size()
         # Phase 1: precompute every contig-piece's scored overlap query in
         # one threaded native batch (the annotator's hot scan,
-        # Annotator.cpp:640-688); phase 2 runs the per-contig decision
-        # logic serially consuming the cache.  Fork-based parallelism is
-        # unsafe here (jax/axon background threads; fork inherits held
-        # locks), so parallelism lives in the C++ engine.
-        self._precompute_contig_queries()
+        # Annotator.cpp:640-688).  Phase 2 (the per-contig decision logic)
+        # runs natively too (native/annotate2.inc, threaded), with the
+        # serial host loop as oracle/fallback (TRUST4_TPU_ANN2=0 forces it,
+        # TRUST4_TPU_ANN2_CHECK=1 runs both and asserts field equality).
+        # Fork-based parallelism is unsafe here (jax/axon background
+        # threads; fork inherits held locks), so parallelism lives in C++.
+        precomputed = self._precompute_contig_queries()
         try:
-            self.annotations = [self._annotate_one(i) for i in range(seq_cnt)]
+            ann2_on = _os.environ.get("TRUST4_TPU_ANN2", "1") != "0"
+            check = _os.environ.get("TRUST4_TPU_ANN2_CHECK", "0") == "1"
+            self.annotations = None
+            if precomputed is not None and ann2_on:
+                job_index, flat = precomputed
+                self.annotations = self._annotate_all_native(
+                    job_index, flat, check
+                )
+            if self.annotations is None:
+                self.annotations = [
+                    self._annotate_one(i) for i in range(seq_cnt)
+                ]
         finally:
             self.ref_set._scored_cache = None
 
@@ -252,22 +267,122 @@ class Annotator:
         for i in range(seq_cnt):
             self.annotations[i].is_full_length = self._is_complete_vdj(i)
 
-    def _precompute_contig_queries(self) -> None:
+    def _annotate_all_native(self, job_index, flat, check: bool):
+        """Run the per-contig detail-2 decision logic in the native engine
+        (native/annotate2.inc; reference Annotator.cpp:369-397
+        AnnotateReads_Thread + SeqSet.hpp:6016-8500).  Returns the
+        Annotation list, or None to fall back to the host loop."""
+        from trust4_tpu.utils.parallel import internal_threads
+
+        ref_set = self.ref_set
+        nat = ref_set._native_sync()
+        if nat is None or flat is None:
+            return None
+        contigs = [
+            self.seq_set.seqs[i].consensus for i in range(self.seq_set.size())
+        ]
+        piece_jobs = []
+        piece_off = [0]
+        for cons in contigs:
+            for (a, b) in ref_set.get_contig_intervals(cons):
+                piece_jobs.append(job_index[(cons[a : b + 1], 0, -1, 1, False)])
+            piece_off.append(len(piece_jobs))
+        (ret, gene_i32, gene_f64, cdr_i32, cdr_f64, sec_i32, sec_f64,
+         sec_rng) = nat.annotate2_batch(
+            contigs, piece_jobs, piece_off, flat,
+            internal_threads(self.threads), ref_set.gap_n, ref_set.radius,
+            ref_set.hit_len_required, ref_set.is_long_seq_set,
+            ref_set.nomatch_gap_limit, ref_set.novel_seq_similarity,
+            ref_set.ref_seq_similarity, ref_set.repeat_similarity,
+        )
+
+        def row_to_overlap(r9, sim) -> Overlap:
+            return Overlap(
+                seq_idx=int(r9[0]), read_start=int(r9[1]),
+                read_end=int(r9[2]), strand=int(r9[3]),
+                seq_start=int(r9[4]), seq_end=int(r9[5]),
+                match_cnt=int(r9[6]), indel_cnt=int(r9[7]),
+                similarity=float(sim), info_from_hits=int(r9[8]),
+            )
+
+        annotations = []
+        for i in range(len(contigs)):
+            if ret[i] == -9:  # piece-mapping mismatch: host path per contig
+                annotations.append(self._annotate_one(i))
+                continue
+            ann = Annotation()
+            ann.gene_overlap = [
+                row_to_overlap(gene_i32[i, g], gene_f64[i, g])
+                for g in range(4)
+            ]
+            ann.cdr = [
+                row_to_overlap(cdr_i32[i, c], cdr_f64[i, c]) for c in range(3)
+            ]
+            a, c = int(sec_rng[2 * i]), int(sec_rng[2 * i + 1])
+            ann.secondary = [
+                row_to_overlap(sec_i32[a + t], sec_f64[a + t])
+                for t in range(c)
+            ]
+            if check:
+                # Compare against the host path BEFORE imputation (the
+                # native result is pre-impute; impute runs below for both).
+                ref = Annotation()
+                _, ref.gene_overlap, ref.cdr = self.ref_set.annotate_read(
+                    self.seq_set.seqs[i].consensus, 2, ref.secondary
+                )
+                want = [
+                    (o.seq_idx, o.read_start, o.read_end, o.strand,
+                     o.seq_start, o.seq_end, o.match_cnt, o.indel_cnt,
+                     o.similarity)
+                    for o in ref.gene_overlap + ref.cdr + ref.secondary
+                ]
+                got = [
+                    (o.seq_idx, o.read_start, o.read_end, o.strand,
+                     o.seq_start, o.seq_end, o.match_cnt, o.indel_cnt,
+                     o.similarity)
+                    for o in ann.gene_overlap + ann.cdr + ann.secondary
+                ]
+                assert got == want, (
+                    f"annotate2 mismatch on contig {i}: "
+                    f"host={want} native={got}"
+                )
+            if self.impute:
+                new_consensus = self.ref_set.impute_cdr3(
+                    self.seq_set.seqs[i].consensus,
+                    ann.gene_overlap,
+                    ann.cdr,
+                    ann.secondary,
+                )
+                if new_consensus is not None:
+                    self._set_seq_consensus(i, new_consensus)
+                elif getattr(self.ref_set, "_impute_masked_leak", None) is not None:
+                    # Reference quirk: see _annotate_one.
+                    self.seq_set.seqs[i].consensus = (
+                        self.ref_set._impute_masked_leak
+                    )
+                    self.seq_set.seqs[i].consensus_bytes_cache = None
+                    self.seq_set.seqs[i].ptr_cache = None
+            annotations.append(ann)
+        return annotations
+
+    def _precompute_contig_queries(self):
         """Batch all per-contig-piece scored queries (detail>=1 uses
         read_type 1, strand 0, barcode -1; engine/annotate.py:222) through
-        the threaded native engine and stash them in ref_set._scored_cache."""
+        the threaded native engine and stash them in ref_set._scored_cache.
+        Returns the {job_key: job_index} map (for the native detail-2
+        batch), or None when the batch could not run."""
         import os as _os
 
         if self.need_rc:
-            return  # consensus may flip before annotation; stay per-contig
+            return None  # consensus may flip before annotation; per-contig
         if _os.environ.get("TRUST4_TPU_SCORED", "1") == "0":
-            return
+            return None
         if _os.environ.get("TRUST4_TPU_SCORED_CHECK", "0") == "1":
-            return
+            return None
         ref_set = self.ref_set
         nat = ref_set._native_sync()
         if nat is None:
-            return
+            return None
         from trust4_tpu.utils.parallel import internal_threads
 
         jobs = []
@@ -281,7 +396,7 @@ class Annotator:
                     seen.add(key)
                     jobs.append(key)
         if not jobs:
-            return
+            return None
         conf = (
             internal_threads(self.threads), ref_set.radius,
             ref_set.hit_len_required, ref_set.is_long_seq_set,
@@ -313,6 +428,8 @@ class Annotator:
         if results is None:
             results = nat.query_scored_batch(jobs, *conf)
         ref_set._scored_cache = dict(zip(jobs, results))
+        # The flat arrays of this exact batch back the native detail-2 pass.
+        return {key: i for i, key in enumerate(jobs)}, nat._last_flat
 
     def _reverse_complement_in_seq_set(self, idx: int) -> None:
         sw = self.seq_set.seqs[idx]
