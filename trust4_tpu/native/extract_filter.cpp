@@ -13,6 +13,8 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -77,7 +79,31 @@ struct Filter {
   int n_seqs;
   // code -> postings (seq_idx, offset), insertion order.
   std::unordered_map<uint64_t, std::vector<std::pair<int, int>>> index;
+  // Direct-addressed CSR view of `index` (kmer_len <= 12 only; built
+  // lazily before the first batch): csr_off[code]..csr_off[code+1] slices
+  // csr_posts.  Turns the per-window hash probe into two array reads.
+  bool csr_built = false;
+  std::vector<int32_t> csr_off;
+  std::vector<std::pair<int, int>> csr_posts;
 };
+
+void finalize_index(Filter &F) {
+  if (F.csr_built) return;
+  F.csr_built = true;
+  if (F.kmer_len > 12) return;  // 4^k table would exceed 64MB
+  size_t slots = (size_t)1 << (2 * F.kmer_len);
+  F.csr_off.assign(slots + 1, 0);
+  size_t total = 0;
+  for (const auto &kv : F.index) {
+    F.csr_off[kv.first + 1] = (int32_t)kv.second.size();
+    total += kv.second.size();
+  }
+  for (size_t i = 1; i <= slots; i++) F.csr_off[i] += F.csr_off[i - 1];
+  F.csr_posts.resize(total);
+  for (const auto &kv : F.index)
+    std::copy(kv.second.begin(), kv.second.end(),
+              F.csr_posts.begin() + F.csr_off[kv.first]);
+}
 
 inline int nuc2num(unsigned char c) {
   switch (c) {
@@ -399,10 +425,117 @@ int get_overlaps_from_hits(const Filter &F, const std::vector<Hit> &hits,
   return (int)overlaps.size();
 }
 
+// ---- HasHitInSet, mode 0, CSR fast path ----------------------------------
+// Same decisions as has_hit_in_set below (the oracle for kmer_len > 12):
+// direct-addressed postings lookup and flat per-seq counters replace the
+// hash probe + std::map bucketing, which dominate extraction wall-clock.
+
+int has_hit_in_set_fast(const Filter &F, const char *read, int len) {
+  int kl = F.kmer_len;
+  if (len < kl) return 0;
+
+  thread_local std::vector<uint64_t> codes;
+  thread_local std::vector<uint8_t> valid;
+  thread_local std::string rc;
+  thread_local std::vector<Hit> hits[2];  // [strand_key]
+  thread_local std::vector<int32_t> cnt, last_ro, touched;
+  if ((int)cnt.size() < F.n_seqs) {
+    cnt.assign(F.n_seqs, 0);
+    last_ro.assign(F.n_seqs, -1);
+  }
+
+  int max_cnt[2] = {-1, -1};
+  int max_seq[2] = {-1, -1};
+
+  auto scan = [&](const char *s, int slen, int st_key) {
+    std::vector<Hit> &hb = hits[st_key];
+    hb.clear();
+    window_codes(s, slen, kl, codes, valid);
+    int n = (int)codes.size();
+    uint64_t prev_code = 0;
+    touched.clear();
+    for (int w = 0; w < n; w++) {
+      uint64_t code = codes[w];
+      if ((w == 0 || code != prev_code) && valid[w]) {
+        int32_t b = F.csr_off[code], e = F.csr_off[code + 1];
+        int repeats = e - b;
+        for (int32_t t = b; t < e; t++) {
+          const auto &p = F.csr_posts[t];
+          hb.push_back({st_key, p.first, w, p.second, repeats});
+          if (cnt[p.first] == 0) {
+            touched.push_back(p.first);
+            cnt[p.first] = 1;
+            last_ro[p.first] = w;
+          } else if (last_ro[p.first] != w) {
+            cnt[p.first]++;
+            last_ro[p.first] = w;
+          }
+        }
+      }
+      prev_code = code;
+    }
+    // Max read-hit-count bucket; ties keep the smallest seq_idx, matching
+    // the oracle's ascending-(strand, seq) map scan with strict '>'.
+    for (int32_t sidx : touched) {
+      if (cnt[sidx] > max_cnt[st_key] ||
+          (cnt[sidx] == max_cnt[st_key] && sidx < max_seq[st_key])) {
+        max_cnt[st_key] = cnt[sidx];
+        max_seq[st_key] = sidx;
+      }
+      cnt[sidx] = 0;
+      last_ro[sidx] = -1;
+    }
+  };
+
+  scan(read, len, 1);
+  revcomp(read, len, rc);
+  scan(rc.c_str(), len, 0);
+  if (hits[0].empty() && hits[1].empty()) return 0;
+
+  int hlr = F.hit_len_required;
+  thread_local std::vector<Hit> bucket;
+  auto chain_bucket = [&](int k, std::vector<Overlap> &ovs) {
+    bucket.clear();
+    for (const Hit &h : hits[k])
+      if (h.seq_idx == max_seq[k]) bucket.push_back(h);
+    if (!bucket.empty()) get_overlaps_from_hits(F, bucket, hlr, ovs);
+  };
+
+  std::vector<Overlap> overlaps;
+  int max_tag;
+  if (max_cnt[0] + kl - 1 >= hlr && max_cnt[1] + kl - 1 >= hlr) {
+    std::vector<Overlap> tmp0, tmp1;
+    chain_bucket(0, tmp0);
+    chain_bucket(1, tmp1);
+    if (!tmp0.empty() && !tmp1.empty()) {
+      if (tmp0[0].match_cnt >= tmp1[0].match_cnt) {
+        max_tag = 0;
+        overlaps = std::move(tmp0);
+      } else {
+        max_tag = 1;
+        overlaps = std::move(tmp1);
+      }
+    } else if (!tmp0.empty()) {
+      max_tag = 0;
+      overlaps = std::move(tmp0);
+    } else {
+      max_tag = 1;
+      overlaps = std::move(tmp1);
+    }
+  } else {
+    max_tag = max_cnt[1] >= max_cnt[0] ? 1 : 0;
+    if (max_seq[max_tag] != -1) chain_bucket(max_tag, overlaps);
+  }
+
+  if (overlaps.empty()) return 0;
+  return max_tag == 0 ? -1 : 1;
+}
+
 // ---- HasHitInSet, mode 0 (overlap.py:957-1054) ---------------------------
 
 int has_hit_in_set(const Filter &F, const char *read, int len,
                    std::vector<Hit> &hits_buf) {
+  if (!F.csr_off.empty()) return has_hit_in_set_fast(F, read, len);
   int kl = F.kmer_len;
   if (len < kl) return 0;
 
@@ -559,6 +692,9 @@ void t4x_add_seq(void *h, const char *seq) {
     }
     F->index[codes[w]].push_back({sid, w});
   }
+  F->csr_built = false;
+  F->csr_off.clear();
+  F->csr_posts.clear();
 }
 
 // out[i] = 0 if read i is not a candidate (low-complexity or no chained
@@ -566,6 +702,7 @@ void t4x_add_seq(void *h, const char *seq) {
 void t4x_filter_batch(void *h, const char **reads, const int *lens, int n,
                       int threads, int8_t *out) {
   Filter *F = (Filter *)h;
+  finalize_index(*F);
   auto work = [&](int lo, int hi) {
     std::vector<Hit> buf;
     for (int i = lo; i < hi; i++) {
@@ -585,6 +722,7 @@ void t4x_filter_batch(void *h, const char **reads, const int *lens, int n,
 
 // Raw HasHitInSet without the low-complexity guard (for parity tests).
 int t4x_has_hit(void *h, const char *read, int len) {
+  finalize_index(*(Filter *)h);
   std::vector<Hit> buf;
   return has_hit_in_set(*(Filter *)h, read, len, buf);
 }
@@ -819,6 +957,7 @@ extern "C" {
 int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
                            const char *out1, const char *out2, int threads) {
   Filter *F = (Filter *)h;
+  finalize_index(*F);
   RecStream s1(paths1);
   RecStream *s2 = paths2 && paths2[0] ? new RecStream(paths2) : nullptr;
   if (!s1.open_ok || (s2 && !s2->open_ok)) {
@@ -838,13 +977,26 @@ int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
   std::vector<Rec> b1(BATCH), b2(s2 ? BATCH : 0);
   std::vector<int8_t> good(BATCH);
   int64_t kept = 0;
+  // T4X_PROF=1: per-section timing to stderr (read/filter/write ns).
+  const bool prof = [] {
+    const char* e = getenv("T4X_PROF");
+    return e && e[0] == '1';
+  }();
+  int64_t t_read = 0, t_filter = 0, t_write = 0;
+  auto now_ns = [] {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
 
   for (;;) {
+    int64_t t0 = prof ? now_ns() : 0;
     int n = 0;
     while (n < BATCH && s1.next(b1[n])) {
       if (s2 && !s2->next(b2[n])) break;  // ragged pair -> stop like zip()
       n++;
     }
+    if (prof) t_read += now_ns() - t0;
     if (n == 0) break;
 
     auto work = [&](int lo, int hi) {
@@ -864,11 +1016,14 @@ int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
         good[i] = g;
       }
     };
+    int64_t t1 = prof ? now_ns() : 0;
     if (threads <= 1 || n < 64) {
       work(0, n);
     } else {
       steal_for(n, threads, 256, [&](int lo, int hi) { work(lo, hi); });
     }
+    int64_t t2 = prof ? now_ns() : 0;
+    if (prof) t_filter += t2 - t1;
 
     for (int i = 0; i < n; i++) {
       if (!good[i]) continue;
@@ -876,11 +1031,15 @@ int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
       if (s2) write_rec(o2, b2[i]);
       kept++;
     }
+    if (prof) t_write += now_ns() - t2;
   }
 
   fclose(o1);
   if (o2) fclose(o2);
   delete s2;
+  if (prof)
+    fprintf(stderr, "[t4xprof] read=%.3fs filter=%.3fs write=%.3fs\n",
+            t_read / 1e9, t_filter / 1e9, t_write / 1e9);
   return kept;
 }
 
