@@ -40,12 +40,32 @@ from trust4_tpu.utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
 
 _LANES = 128
+# Lane-tile width for the scores kernel: the row recurrence is a deep
+# dependent chain, so each op must span several vregs of independent work
+# to hide VPU latency.  Overridable for experiments via env.
+import os as _os
+_SCORE_LANES = int(_os.environ.get("TRUST4_TPU_DP_LANES", "128"))
 _BIG_NEG = -(1 << 29)
+# Sentinel for the -inf fillers in the scores kernel: far below any real
+# score yet far from INT32_MIN, so per-row drift from the unmasked left
+# band edge can never wrap (stored rows are floor-clamped back to it).
+_SENT32 = -(1 << 27)
 
 
-def _dp_kernel(ts_ref, ps_ref, meta_ref, out_ref, m_ref, e_ref, *, w, p_max):
+def _dp_kernel(ts_ref, ps_ref, meta_ref, out_ref, m_ref, e_ref, *, w,
+               p_max, lanes, scan_span, uniform_p, jz_blocks):
     """One batch tile: ts (T_pad, 128) pre-shifted text codes, ps (P, 128)
-    query codes, meta (8, 128) = [t_len, p_len, left, right, ...]."""
+    query codes, meta (8, 128) = [t_len, p_len, left, right, ...].
+
+    Optimized row loop: 8 query rows per grid-loop step (one aligned block
+    load of text/query codes + static in-register slices, amortizing loop
+    and ref-traffic overhead), loop-carried j_row, hoisted invariants
+    (k*(-GE), the loop-invariant right band edge j<=i+right <=> k<=left+
+    right), and no left-edge mask — cells left of the band hold sentinel
+    values that decay monotonically and are refreshed to the exact
+    column-0 boundary when j reaches 0.  (int16 state would halve the
+    cycles again, but this target supports neither 16-bit compares nor
+    16-bit max.)  Scores are bit-identical to the XLA formulation."""
     import jax.lax as lax
 
     t_len = meta_ref[0, :]  # (128,)
@@ -53,103 +73,133 @@ def _dp_kernel(ts_ref, ps_ref, meta_ref, out_ref, m_ref, e_ref, *, w, p_max):
     left = meta_ref[2, :]
     right = meta_ref[3, :]
 
-    k_col = lax.broadcasted_iota(jnp.int32, (w, _LANES), 0)  # band index k
-    neg_inf = ((t_len + 1) * (p_len + 1) * SCORE_GAPOPEN).astype(jnp.int32)
-    neg_inf = neg_inf[None, :]  # (1, 128) broadcasts over k
+    k_col = lax.broadcasted_iota(jnp.int32, (w, lanes), 0)  # band index k
+    sent = jnp.int32(_SENT32)
     big_neg = jnp.int32(_BIG_NEG)
     go = jnp.int32(SCORE_GAPOPEN)
     ge = jnp.int32(SCORE_GAPEXTEND)
+    t_len_b = t_len[None, :]
+    p_len_b = p_len[None, :]
+    # Loop-invariant pieces of the recurrence.
+    kge = k_col * jnp.int32(-SCORE_GAPEXTEND)  # k * (-GE)
+    k_in_right = k_col <= (left + right)[None, :]  # j<=i+right, all rows
+    j0 = k_col - left[None, :]  # j at row 0
 
-    # Row 0 in band coordinates: j = -left + k.
-    j0 = k_col - left[None, :]
-    in_t0 = (j0 >= 0) & (j0 <= t_len[None, :])
-    m0 = jnp.where(
-        j0 == 0,
-        0,
-        jnp.where(j0 > 0, go + j0 * go, big_neg),
-    )
-    # Reference quirk: e[0][j] seeded with the stale loop variable lenp+1.
-    e0 = jnp.where(
-        j0 == 0,
-        0,
-        jnp.where(j0 > 0, go + (p_len[None, :] + 1) * go, big_neg),
-    )
-    m_ref[:] = jnp.where(in_t0, m0, neg_inf).astype(jnp.int32)
-    e_ref[:] = jnp.where(in_t0, e0, neg_inf).astype(jnp.int32)
+    # Row 0: m[0][j] = GO + j*GO; e[0][j] seeded with the stale loop
+    # variable lenp+1 (reference quirk, AlignAlgo.hpp:244-249).
+    m0 = jnp.where(j0 == 0, 0, go + j0 * go)
+    e0 = jnp.where(j0 == 0, 0, go + (p_len_b + 1) * go)
+    in_t0 = (j0 >= 0) & (j0 <= t_len_b)
+    m_ref[:] = jnp.where(in_t0, m0, sent).astype(jnp.int32)
+    e_ref[:] = jnp.where(in_t0, e0, sent).astype(jnp.int32)
 
     def shift_up(x):  # band index k reads k+1 of the previous row
         return jnp.concatenate(
-            [x[1:, :], jnp.full((1, _LANES), big_neg, jnp.int32)], axis=0
+            [x[1:, :], jnp.full((1, lanes), sent, jnp.int32)], axis=0
         )
 
-    def row_body(i, _):
-        m_prev = m_ref[:]
-        e_prev = e_ref[:]
-        j_row = i - left[None, :] + k_col
-        in_band = (
-            (j_row >= 1)
-            & (j_row <= t_len[None, :])
-            & (j_row <= i + right[None, :])
-        )
-        in_dp_row = i <= p_len[None, :]
+    n_blk = (p_max + 7) // 8
 
-        # Pre-shifted text: t[j_row - 1] == ts[i - 1 + k].
-        tj = ts_ref[pl.ds(i - 1, w), :]
-        pi = ps_ref[pl.ds(i - 1, 1), :]  # (1, LANES)
-        eq = (tj == pi) | (tj == _CODE_N) | (pi == _CODE_N)
-        sub = jnp.where(eq, SCORE_MATCH, SCORE_MISMATCH).astype(jnp.int32)
+    go_ge = jnp.int32(SCORE_GAPOPEN + SCORE_GAPEXTEND)
 
-        e_new = jnp.maximum(shift_up(e_prev) + ge, shift_up(m_prev) + go + ge)
-        diag = m_prev + sub
+    # Static specializations (computed on host from the batch):
+    #  * jz_blocks: j reaches 0 only while i <= max(left), so only the
+    #    first blocks carry the column-0 boundary logic;
+    #  * uniform_p: when every real lane has p_len == p_max the per-row
+    #    freeze select is dead;
+    #  * scan_span: the horizontal-gap running max only has to cover the
+    #    true band span max(left+right)+1 — contributions from farther k
+    #    are the sentinel by construction.
+    def make_blk_body(with_jz):
+        def blk_body(b, j_row):
+            base8 = b * 8
+            ts_chunk = ts_ref[pl.ds(base8, w + 8), :]
+            ps_chunk = ps_ref[pl.ds(base8, 8), :]
+            m_cur = m_ref[:]
+            e_cur = e_ref[:]
+            for r in range(8):
+                i = base8 + r + 1
+                j_row = j_row + 1  # carried: j = i - left + k
+                if with_jz:
+                    jz = j_row == 0
 
-        bound_m = (go + i * go).astype(jnp.int32)
-        base = jnp.maximum(diag, e_new)
-        base = jnp.where(j_row == 0, bound_m, base)
-        base = jnp.where(in_band | (j_row == 0), base, big_neg)
+                # Pre-shifted text: t[j_row - 1] == ts[i - 1 + k].
+                tj = jax.lax.slice_in_dim(ts_chunk, r, r + w, axis=0)
+                pi = jax.lax.slice_in_dim(ps_chunk, r, r + 1, axis=0)
+                eq = (tj == pi) | (tj == _CODE_N) | (pi == _CODE_N)
+                sub = jnp.where(eq, SCORE_MATCH,
+                                SCORE_MISMATCH).astype(jnp.int32)
 
-        # Exclusive running max over k (horizontal gaps), via doubling.
-        t_val = jnp.where(j_row == 0, bound_m, base + go) + k_col * (-ge)
-        run = t_val
-        s = 1
-        while s < w:
-            shifted = jnp.concatenate(
-                [jnp.full((s, _LANES), big_neg, jnp.int32), run[:-s, :]],
-                axis=0,
-            )
-            run = jnp.maximum(run, shifted)
-            s *= 2
-        f_new = (
-            jnp.concatenate(
-                [jnp.full((1, _LANES), big_neg, jnp.int32), run[:-1, :]],
-                axis=0,
-            )
-            - k_col * (-ge)
-        )
+                # E recurrence: max first, shift once (shift distributes).
+                e_new = shift_up(jnp.maximum(e_cur + ge, m_cur + go_ge))
+                diag = m_cur + sub
 
-        m_new = jnp.maximum(base, f_new)
-        m_new = jnp.where(in_band & in_dp_row, m_new, neg_inf)
-        m_new = jnp.where((j_row == 0) & in_dp_row, bound_m, m_new)
-        e_keep = jnp.where(in_band & in_dp_row, e_new, neg_inf)
+                # Only the loop-invariant right band edge needs masking:
+                # cells with j > t_len are provably never read by any
+                # j <= t_len cell (diag/e/f all read j' <= j), and the left
+                # edge decays from the sentinel monotonically.
+                bound_m = (go + i * go).astype(jnp.int32)
+                base = jnp.maximum(diag, e_new)
+                if with_jz:
+                    base = jnp.where(jz, bound_m, base)
+                base = jnp.where(k_in_right, base, sent)
 
-        m_ref[:] = jnp.where(in_dp_row, m_new, m_prev)
-        e_ref[:] = jnp.where(in_dp_row, e_keep, e_prev)
-        return 0
+                # Exclusive running max over k (horizontal gaps).
+                if with_jz:
+                    run = jnp.where(jz, bound_m, base + go) + kge
+                else:
+                    run = base + go + kge
+                s = 1
+                while s < scan_span:
+                    shifted = jnp.concatenate(
+                        [jnp.full((s, lanes), sent, jnp.int32), run[:-s, :]],
+                        axis=0,
+                    )
+                    run = jnp.maximum(run, shifted)
+                    s *= 2
+                f_new = (
+                    jnp.concatenate(
+                        [jnp.full((1, lanes), sent, jnp.int32), run[:-1, :]],
+                        axis=0,
+                    )
+                    - kge
+                )
 
-    lax.fori_loop(1, p_max + 1, row_body, 0)
+                m_in = jnp.maximum(base, f_new)
+                if with_jz:
+                    m_in = jnp.where(jz, bound_m, m_in)
+                e_in = jnp.where(k_in_right, e_new, sent)
+
+                if uniform_p:
+                    m_cur, e_cur = m_in, e_in
+                else:
+                    in_dp_row = i <= p_len_b
+                    m_cur = jnp.where(in_dp_row, m_in, m_cur)
+                    e_cur = jnp.where(in_dp_row, e_in, e_cur)
+            m_ref[:] = m_cur
+            e_ref[:] = e_cur
+            return j_row
+        return blk_body
+
+    nb_jz = min(jz_blocks, n_blk)
+    j_carry = j0
+    if nb_jz > 0:
+        j_carry = lax.fori_loop(0, nb_jz, make_blk_body(True), j_carry)
+    if nb_jz < n_blk:
+        lax.fori_loop(nb_jz, n_blk, make_blk_body(False), j_carry)
 
     # Final cell (p_len, t_len): band index k = t_len - p_len + left.
     k_final = (t_len - p_len + left)[None, :]
-    m_fin = m_ref[:]
-    out_ref[:] = jnp.max(
-        jnp.where(k_col == k_final, m_fin, big_neg), axis=0, keepdims=True
+    best = jnp.max(
+        jnp.where(k_col == k_final, m_ref[:], big_neg), axis=0, keepdims=True
     )
+    out_ref[:] = best
 
 
 import jax.experimental.pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
-@functools.partial(jax.jit, static_argnames=("band_width",))
 def banded_affine_scores_pallas(
     t_codes: jnp.ndarray,  # (N, T) int8
     t_lens: jnp.ndarray,
@@ -157,9 +207,47 @@ def banded_affine_scores_pallas(
     p_lens: jnp.ndarray,
     band_width: int,
 ) -> jnp.ndarray:
+    """Host shim: derives the kernel's static specializations from the
+    batch (true band span, uniform p_len, last column-0 row), then calls
+    the jitted implementation.  Inside a jit trace the lens are tracers, so
+    fall back to the conservative statics."""
+    if isinstance(t_lens, jax.core.Tracer) or isinstance(
+        p_lens, jax.core.Tracer
+    ):
+        p_max = p_codes.shape[1]
+        return _scores_pallas_jit(
+            t_codes, t_lens, p_codes, p_lens, band_width,
+            band_width, False, (p_max + 7) // 8,
+        )
+    tl = np.asarray(t_lens)
+    pl_ = np.asarray(p_lens)
+    d = pl_ - tl
+    lr_max = int((10 + np.abs(d)).max()) if tl.size else 10
+    scan_span = 1
+    while scan_span < min(lr_max + 1, band_width):
+        scan_span *= 2
+    left_max = int(np.maximum(d, 0).max()) + 5 if tl.size else 5
+    jz_blocks = (left_max + 7) // 8
+    p_max = p_codes.shape[1]
+    uniform_p = bool(tl.size) and bool((pl_ == p_max).all())
+    return _scores_pallas_jit(
+        t_codes, t_lens, p_codes, p_lens, band_width,
+        scan_span, uniform_p, jz_blocks,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_width", "scan_span", "uniform_p", "jz_blocks"),
+)
+def _scores_pallas_jit(
+    t_codes, t_lens, p_codes, p_lens, band_width,
+    scan_span, uniform_p, jz_blocks,
+):
     n, t_max = t_codes.shape
     p_max = p_codes.shape[1]
     w = band_width
+    lanes = _SCORE_LANES
 
     t_lens = t_lens.astype(jnp.int32)
     p_lens = p_lens.astype(jnp.int32)
@@ -167,7 +255,7 @@ def banded_affine_scores_pallas(
     right = jnp.where(t_lens > p_lens, 5 + (t_lens - p_lens), 5).astype(jnp.int32)
 
     # Pad batch to a lane multiple; give pads l=0 lens (score slot unused).
-    n_pad = ((n + _LANES - 1) // _LANES) * _LANES
+    n_pad = ((n + lanes - 1) // lanes) * lanes
     pad = n_pad - n
 
     def padb(x, fill=0):
@@ -181,9 +269,15 @@ def banded_affine_scores_pallas(
     left_p = padb(left, 5)
     right_p = padb(right, 5)
 
+    # The kernel consumes 8 query rows per block; pad the row dimension so
+    # every aligned block load is in bounds.
+    p_max_pad = ((p_max + 7) // 8) * 8
+    p_codes = jnp.pad(p_codes, ((0, 0), (0, p_max_pad - p_max)),
+                      constant_values=_CODE_PAD)
+
     # Shift each text row right by its left_band so the kernel's band
     # window is the uniform slice ts[i-1 : i-1+W].
-    t_shift_len = t_max + w + 8
+    t_shift_len = max(t_max, p_max_pad) + w + 8
     x = jnp.arange(t_shift_len, dtype=jnp.int32)[None, :]
     src = x - left_p[:, None]
     valid = (src >= 0) & (src < t_max)
@@ -211,25 +305,27 @@ def banded_affine_scores_pallas(
         axis=0,
     )  # (8, n_pad)
 
-    grid = (n_pad // _LANES,)
+    grid = (n_pad // lanes,)
     interpret = jax.default_backend() not in ("tpu", "axon")
     out = pl.pallas_call(
-        functools.partial(_dp_kernel, w=w, p_max=p_max),
+        functools.partial(_dp_kernel, w=w, p_max=p_max, lanes=lanes,
+                          scan_span=scan_span, uniform_p=uniform_p,
+                          jz_blocks=jz_blocks),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t_shift_len, _LANES), lambda b: (0, b),
+            pl.BlockSpec((t_shift_len, lanes), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_max, _LANES), lambda b: (0, b),
+            pl.BlockSpec((p_max_pad, lanes), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _LANES), lambda b: (0, b),
+            pl.BlockSpec((8, lanes), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _LANES), lambda b: (0, b),
+        out_specs=pl.BlockSpec((1, lanes), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((w, _LANES), jnp.int32),
-            pltpu.VMEM((w, _LANES), jnp.int32),
+            pltpu.VMEM((w, lanes), jnp.int32),
+            pltpu.VMEM((w, lanes), jnp.int32),
         ],
         interpret=interpret,
     )(ts_T, ps_T, meta)
@@ -374,6 +470,7 @@ def banded_affine_dirs_pallas(
     n, t_max = t_codes.shape
     p_max = p_codes.shape[1]
     w = band_width
+    lanes = _SCORE_LANES
 
     t_lens = t_lens.astype(jnp.int32)
     p_lens = p_lens.astype(jnp.int32)
