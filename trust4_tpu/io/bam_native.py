@@ -17,7 +17,12 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+# TRUST4_TPU_NATIVE_DIR points at an alternate build (e.g. the asan=1
+# libraries tools/asan_check.sh builds into native/asan/).
+_NATIVE_DIR = os.environ.get(
+    "TRUST4_TPU_NATIVE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "native"),
+)
 _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libt4bam.so"))
 
 _LIB = None
