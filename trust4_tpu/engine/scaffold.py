@@ -90,7 +90,7 @@ class ScaffoldMixin:
             )
             self.novel_seq_similarity = backup
 
-            for o in overlaps if overlap_cnt > 0 else []:
+            for j, o in enumerate(overlaps if overlap_cnt > 0 else []):
                 if o.strand == -1:
                     continue
                 if i == o.seq_idx or not use[o.seq_idx]:
@@ -148,6 +148,15 @@ class ScaffoldMixin:
                     ext = Overlap(**o.__dict__)
                 if ext.similarity >= self.repeat_similarity:
                     adj[i].append(ext)
+                    if TRACE:
+                        TRACE.write(
+                            "branch %d %d: %d %d %d %d %d %f\n"
+                            % (
+                                i, j, ext.seq_idx, ext.read_start,
+                                ext.read_end, ext.seq_start, ext.seq_end,
+                                ext.similarity,
+                            )
+                        )
 
             if restricted:
                 for o in prev_adj[i]:
@@ -617,18 +626,6 @@ class ScaffoldMixin:
                         )
                     ):
                         unique_successor_of[i] = seq_idx
-
-        if TRACE:
-            for i in range(seq_cnt):
-                TRACE.write(
-                    "MPN %d: %d %d t %d %d e %d %d u %d\n"
-                    % (
-                        i, mate_prev_next[i][0], mate_prev_next[i][1],
-                        mate_prev_next_type[i][0], mate_prev_next_type[i][1],
-                        extension_type[i][0], extension_type[i][1],
-                        unique_successor_of[i],
-                    )
-                )
 
         # The extension splice (SeqSet.hpp:10310-10707).
         to_remove: List[int] = []

@@ -2494,6 +2494,19 @@ bool ms_name_compatible(const std::string& a, const std::string& b) {
 
 // _merge_contigs_with_read (engine/assemble.py:573-690).  Returns 0 on
 // name-incompatibility (caller returns -1), else 1 with *out_seq/-offset.
+// TRUST4_TPU_DEBUG=1: replica of the reference's -DDEBUG AddRead decision
+// trace (defs.h:6; main.cpp:1590-1592,1870; SeqSet.hpp:3442,3476,3533,
+// 3835,3888,3937,4454) with identical printf formats, so a run can be
+// diffed against a reference DEBUG build.
+inline bool dbg_on() {
+  static int v = -1;
+  if (v == -1) {
+    const char* e = getenv("TRUST4_TPU_DEBUG");
+    v = (e && e[0] == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
+
 int ms_merge_contigs(Engine* E, Engine2& R, const char* r, int len,
                      std::vector<SOv>& extended, bool sort_extended,
                      int barcode, int* out_seq, int* out_offset) {
@@ -2502,6 +2515,14 @@ int ms_merge_contigs(Engine* E, Engine2& R, const char* r, int len,
                      [](const SOv& a, const SOv& b) {
                        return a.read_start < b.read_start;
                      });
+  if (dbg_on()) {
+    for (int i = 0; i < (int)extended.size(); i++) {
+      const SOv& e = extended[i];
+      printf("sort extended %d: %d %s. %d. %d %d %d %d\n", i, e.seq_idx,
+             R.seqs[e.seq_idx].name.c_str(), e.strand, e.read_start,
+             e.read_end, e.seq_start, e.seq_end);
+    }
+  }
   int n = (int)extended.size();
   for (int i = 0; i < n; i++)
     for (int j = i + 1; j < n; j++)
@@ -2519,6 +2540,15 @@ int ms_merge_contigs(Engine* E, Engine2& R, const char* r, int len,
           seq_offset[i - 1] +
           (int)R.seqs[extended[i - 1].seq_idx].consensus.size() - 1 +
           (extended[i].read_start - extended[i - 1].read_end);
+  }
+
+  if (dbg_on()) {
+    for (int i = 0; i < n; i++) {
+      const SOv& e = extended[i];
+      printf("merge %d: %d %d %d %d %d. %d\n", i, e.read_start, e.read_end,
+             e.seq_start, e.seq_end,
+             (int)R.seqs[e.seq_idx].consensus.size(), seq_offset[i]);
+    }
   }
 
   size_t total = (size_t)len;
@@ -2799,6 +2829,9 @@ void ms_add_read_commit(void* h, const char* read, int len,
     return;
   }
 
+  if (dbg_on())
+    printf("geneName: %.*s\n", gene_name_len, gene_name ? gene_name : "");
+
   if (gene_name_len > 0) {
     std::vector<SOv> kept;
     for (SOv& o : overlaps) {
@@ -2823,6 +2856,18 @@ void ms_add_read_commit(void* h, const char* read, int len,
 
   std::stable_sort(overlaps.begin(), overlaps.end(), sov_key_less);
 
+  if (dbg_on()) {
+    for (int i = 0; i < overlap_cnt; i++) {
+      const SOv& o = overlaps[i];
+      const SeqRec& sw = R.seqs[o.seq_idx];
+      printf("%d: %d %d %s. %d(%d %d). %d %d %d %d. %lf.\n", i, o.seq_idx,
+             (int)sw.consensus.size(), sw.name.c_str(), o.strand,
+             sw.min_left_ext_anchor, sw.min_right_ext_anchor, o.read_start,
+             o.read_end, o.seq_start, o.seq_end, o.similarity);
+      printf("%s\n", sw.consensus.c_str());
+    }
+  }
+
   int first_novel = 0;
   while (first_novel < overlap_cnt &&
          R.seqs[overlaps[first_novel].seq_idx].is_ref)
@@ -2842,6 +2887,7 @@ void ms_add_read_commit(void* h, const char* read, int len,
   if (first_novel < overlap_cnt) {
     revcomp(read, len, rc_read);
     const char* r = overlaps[0].strand == 1 ? read : rc_read.c_str();
+    if (dbg_on() && overlaps[0].strand == -1) printf("rc: %s\n", r);
     bool sort_extended = true;
     std::vector<std::pair<int, int>> old_min_ext_anchor;
     double mismatch_factor =
@@ -3048,6 +3094,16 @@ void ms_add_read_commit(void* h, const char* read, int len,
       }
     }
 
+    if (dbg_on()) {
+      for (int i = 0; i < (int)extended.size(); i++) {
+        const SOv& e = extended[i];
+        printf("extended %d: %d %s. %d. %d %d %d %d %lf\n", i, e.seq_idx,
+               R.seqs[e.seq_idx].name.c_str(), e.strand, e.read_start,
+               e.read_end, e.seq_start, e.seq_end, e.similarity);
+      }
+      fflush(stdout);
+    }
+
     if (extended.size() > 1) {
       std::vector<int> ids;
       for (const SOv& e : extended) ids.push_back(e.seq_idx);
@@ -3115,6 +3171,7 @@ void ms_add_read_commit(void* h, const char* read, int len,
                           barcode, 0);
       g_prev_add[h] =
           PrevAdd{idx, 0, len - 1, 0, len - 1, overlaps[0].strand};
+      if (dbg_on()) printf("add novel seq: %d\n", idx);
       ret = idx;
     }
   }
@@ -3543,6 +3600,7 @@ int t4s_input_novel_read(void* h, const char* name, int name_len,
   t4o_build_from_read((void*)E, sw.consensus.data(),
                       (int)sw.consensus.size(), E->kmer_len, sid, barcode, 0);
   g_prev_add[h] = PrevAdd{sid, 0, len - 1, 0, len - 1, strand};
+  if (dbg_on()) printf("add novel seq: %d\n", sid);
   return sid;
 }
 

@@ -183,6 +183,14 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr)
 
 
+def _dbg() -> bool:
+    """TRUST4_TPU_DEBUG=1: emit the reference's -DDEBUG assembly trace
+    (main.cpp:947,1056,1590-1592,1870) on stdout, diffable against a
+    reference DEBUG build; the AddRead internals print from the native
+    engine (overlap_engine.cpp dbg_on)."""
+    return _os.environ.get("TRUST4_TPU_DEBUG", "0") == "1"
+
+
 class Assembler:
     """trust4-binary equivalent (reference: main.cpp main())."""
 
@@ -325,6 +333,8 @@ class Assembler:
         self.kmer_count.max_read_len = max(
             self.kmer_count.max_read_len, max_read_len
         )
+        if _dbg():
+            print("Finish read in the reads and kmer count.")
 
         for r in sorted_reads:
             qual = r.qual if self.trim_level != 0 else None
@@ -342,6 +352,8 @@ class Assembler:
             r.len = len(r.read)
         sorted_reads = kept
         log(f"Found {len(sorted_reads)} reads.")
+        if _dbg():
+            print("Finish put in the read kmer count.")
 
         for i, r in enumerate(sorted_reads):
             r.info = i
@@ -776,8 +788,16 @@ class Assembler:
 
         spec_threads = max(1, internal_threads(self.threads))
 
+        dbg = _dbg()
         for i in range(read_cnt):
             r = sorted_reads[i]
+            if dbg:
+                # avgCnt is a C float in the reference; reproduce its
+                # float32 rounding in the %lf print.
+                import numpy as _np
+
+                print(f"{r.id} {r.read} {r.min_cnt} "
+                      f"{float(_np.float32(r.avg_cnt)):.6f}", flush=True)
             add_ret = -1
             if (
                 i == 0
@@ -964,6 +984,8 @@ class Assembler:
                 seq_set.update_all_consensus()
 
             prev_add_ret = add_ret
+            if dbg:
+                print("done")
 
             if (
                 seq_set.size() > self.change_kmer_length_threshold
@@ -982,6 +1004,12 @@ class Assembler:
         rescued = 0
         for i in range(rescue_cnt):
             r = sorted_reads[rescue_read_idx[i]]
+            if _dbg():
+                import numpy as _np
+
+                # main.cpp:1904-1908: the rescue print shows medianCnt.
+                print(f"{r.id} {r.read} {r.median_cnt} "
+                      f"{float(_np.float32(r.avg_cnt)):.6f}", flush=True)
             similarity_threshold = 0.9
             if r.min_cnt >= 20:
                 similarity_threshold = 0.97
@@ -995,6 +1023,8 @@ class Assembler:
             if add_ret >= 0:
                 rescued += 1
                 assembled_read_idx.append(rescue_read_idx[i])
+            if _dbg():
+                print("rescue done")
         seq_set.update_all_consensus()
         seq_set.pull_from_native()
         log(f"Rescued {rescued} reads.")
@@ -1080,6 +1110,10 @@ class Assembler:
 
     def mate_extension(self, sorted_reads, assembled_read_idx) -> None:
         """Mate-pair scaffolding stage (main.cpp:2048-2312)."""
+        if _dbg():
+            from trust4_tpu.engine import scaffold as _scaffold
+
+            _scaffold.TRACE = sys.stdout
         extended_seq = SeqSet(max(self.index_kmer_length, 17))
         # Every query the mate-extension stage issues (assign_batch,
         # get_overlaps_from_read, substring relation) runs through the
@@ -1126,8 +1160,16 @@ class Assembler:
             )
         else:
             found = None
+        # The reference reuses ONE stack `assign` struct across the loop
+        # (main.cpp:618-623): AssignRead only stamps seqIdx=-1 on failure,
+        # so failed/duplicate reads keep the previous call's fields.  The
+        # pipeline only reads seq_idx from failures, but the DEBUG dump
+        # exposes the stale fields, so replicate the struct's lifetime.
+        cur = fail
         for bi, idx in enumerate(assembled_read_idx):
             r = sorted_reads[idx]
+            fresh = bi == 0 or r.read != sorted_reads[
+                assembled_read_idx[bi - 1]].read
             if found is not None and found[bi] != -3:
                 if found[bi] == 1:
                     r8 = rows[bi]
@@ -1139,10 +1181,20 @@ class Assembler:
                         similarity=float(sims[bi]),
                     )
                 else:
-                    assign = fail
+                    assign = (
+                        Overlap(**{**cur.__dict__, "seq_idx": -1})
+                        if fresh else cur
+                    )
             else:
                 a = extended_seq.assign_read(r.read, r.strand, r.barcode)
-                assign = a if a is not None else fail
+                if a is not None:
+                    assign = a
+                else:
+                    assign = (
+                        Overlap(**{**cur.__dict__, "seq_idx": -1})
+                        if fresh else cur
+                    )
+            cur = assign
             assembled_reads.append(
                 AssignedRead(
                     id=r.id,
@@ -1157,6 +1209,13 @@ class Assembler:
         extended_seq.recompute_pos_weight(
             [(ar.read, ar.overlap) for ar in assembled_reads]
         )
+        if _dbg():
+            # main.cpp:2122-2127 assembled-read assignment dump.
+            import numpy as _np
+
+            for ar in assembled_reads:
+                print(f"{ar.id} {ar.overlap.seq_idx} "
+                      f"{ar.overlap.similarity:.6f} {ar.overlap.strand}")
 
         log("Extend assemblies by mate pair information.")
         extended_seq.extend_seq_from_reads(assembled_reads, 17, self.ref_set)
