@@ -153,13 +153,16 @@ def main() -> None:
     print(f"reference binaries: {refdir or 'unavailable'}", file=sys.stderr,
           flush=True)
 
-    ours_t1 = min(run_ours(1), run_ours(1))
-    print(f"ours -t1: {ours_t1:.2f}s", file=sys.stderr, flush=True)
+    # Alternate A/B runs so shared-machine contention drift hits both
+    # pipelines equally; keep the best of each.
+    ours_t1 = run_ours(1)
+    ref_t1 = run_reference(refdir, 1) if refdir else None
+    ours_t1 = min(ours_t1, run_ours(1))
     if refdir:
-        ref_t1 = min(run_reference(refdir, 1), run_reference(refdir, 1))
+        ref_t1 = min(ref_t1, run_reference(refdir, 1))
+    print(f"ours -t1: {ours_t1:.2f}s", file=sys.stderr, flush=True)
+    if ref_t1:
         print(f"ref -t1: {ref_t1:.2f}s", file=sys.stderr, flush=True)
-    else:
-        ref_t1 = None
     nt = os.cpu_count() or 1
     try:
         ours_tn = run_ours(nt)
