@@ -158,6 +158,35 @@ class SeqSet(
             return self.seq_index.native.s_seq_count()
         return len(self.seqs)
 
+    def get_space(self) -> int:
+        """Approximate resident bytes of this SeqSet: k-mer index postings
+        plus per-seq name/consensus/posWeight state.  Analog of the
+        reference's SeqSet::GetSpace (SeqSet.hpp:11115-11128); its job is
+        measuring that ReleaseFinishedBarcodeSeq actually bounds
+        single-cell memory (tests/test_memory_accounting.py)."""
+        ret = 0
+        nat = self.seq_index.native
+        if nat is not None:
+            n_codes, postings = nat.stats()
+            # unordered_map bucket + vector header per code; 8B per posting
+            # (int32 seq_idx + int32 offset) in the native engine.
+            ret += int(n_codes) * 72 + int(postings) * 8
+        if not self.seq_index.native_only:
+            for key, lst in self.seq_index._index.items():
+                ret += 120 + 16 * len(lst)
+        for sw in self.seqs:
+            if sw is None:
+                continue
+            ret += 200  # wrapper object overhead (reference: sizeof(seqs[i]))
+            if sw.name:
+                ret += len(sw.name)
+            if sw.consensus:
+                ret += len(sw.consensus)
+            pw = sw.pos_weight
+            if pw is not None:
+                ret += int(pw.nbytes)
+        return ret
+
     def _sconf(self):
         """Tuning parameters for native scored/master calls."""
         return (
