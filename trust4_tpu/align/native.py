@@ -106,6 +106,10 @@ def _load():
     lib.t4_is_mate_overlap.argtypes = [
         c_char_p, c_int, c_char_p, c_int, c_int, c_int, int_p, int_p,
     ]
+    lib.t4_fmt_pw_block.restype = ctypes.c_int64
+    lib.t4_fmt_pw_block.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), c_int, c_char_p, ctypes.c_int64,
+    ]
     _LIB = lib
     return _LIB
 
@@ -316,3 +320,21 @@ def is_mate_overlap(
         ctypes.byref(offset), ctypes.byref(best),
     )
     return int(ret), offset.value, best.value
+
+
+def format_pw_block(w: "np.ndarray") -> Optional[str]:
+    """Format a (L,4) int32 posWeight array as the 4 output lines of the
+    _raw/_final writer ("v v ... v \n" each); None if unavailable."""
+    lib = _LIB
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(w, dtype=np.int32)
+    length = w.shape[0]
+    cap = 48 * length + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.t4_fmt_pw_block(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), length, buf, cap
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")

@@ -1184,3 +1184,38 @@ int t4_decode_dirs_counts_batch(const int8_t* dirs, const int64_t* job_off,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Output formatting: the _raw.out/_final.out posWeight block (4 lines of
+// space-separated int32 counts with a trailing " \n" each; reference
+// SeqSet.hpp:10939-10993 writer).  Python int->str dominates the writer's
+// wall-clock on 100k corpora; this formats the whole (len,4) block in one
+// call.  Returns bytes written, or -1 when cap is too small.
+extern "C" int64_t t4_fmt_pw_block(const int32_t* w, int len, char* out,
+                                   int64_t cap) {
+  char* p = out;
+  char* end = out + cap;
+  for (int k = 0; k < 4; k++) {
+    for (int i = 0; i < len; i++) {
+      if (end - p < 16) return -1;
+      int32_t v = w[(int64_t)i * 4 + k];
+      if (v == 0) {
+        *p++ = '0';
+      } else {
+        uint32_t u = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+        if (v < 0) *p++ = '-';
+        char tmp[12];
+        int t = 0;
+        while (u) {
+          tmp[t++] = (char)('0' + u % 10);
+          u /= 10;
+        }
+        while (t) *p++ = tmp[--t];
+      }
+      *p++ = ' ';
+    }
+    if (end - p < 1) return -1;
+    *p++ = '\n';
+  }
+  return (int64_t)(p - out);
+}

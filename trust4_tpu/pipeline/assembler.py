@@ -1052,8 +1052,12 @@ class Assembler:
             if w is not None and w.size > 0:
                 if sw.pos_weight_compressed:
                     w = seq_set.decompress_pos_weight(sw.consensus, w)
-                for k in range(4):
-                    fp.write(" ".join(map(str, w[:, k].tolist())) + " \n")
+                block = align_host._native.format_pw_block(w)
+                if block is not None:
+                    fp.write(block)
+                else:
+                    for k in range(4):
+                        fp.write(" ".join(map(str, w[:, k].tolist())) + " \n")
             else:
                 from trust4_tpu.dna import nuc_num
 
