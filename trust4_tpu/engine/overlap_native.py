@@ -135,6 +135,17 @@ def _load():
     lib.t4o_emit_gap_codes.argtypes = [
         ctypes.c_void_p, c_char_p, _i64p, _i32p, c_int, c_int, _i8p, _i8p,
     ]
+    lib.t4o_annotate0_collect_gaps.restype = c_int
+    lib.t4o_annotate0_collect_gaps.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, c_int, c_int, c_int, c_int, c_int,
+        c_int, c_dbl, c_dbl, c_dbl, c_int, _i32p, c_int,
+    ]
+    lib.t4o_annotate0_batch_oracle.restype = None
+    lib.t4o_annotate0_batch_oracle.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, c_int, c_int, c_int, c_int, c_int,
+        c_int, c_dbl, c_dbl, c_dbl, c_int, _i32p, _i32p, c_int, _i32p,
+        _f64p,
+    ]
     lib.t4o_reg_seq_cdr.restype = None
     lib.t4o_reg_seq_cdr.argtypes = [
         ctypes.c_void_p, c_int, c_int, c_int, c_int, c_int,
@@ -477,6 +488,61 @@ class NativeOverlapEngine:
         )
         return out_i32, out_f64
 
+    def annotate0_collect_gaps(self, reads, n_threads: int, radius: int,
+                               hit_len_required: int, is_long_seq_set: bool,
+                               nomatch_gap_limit: int, novel_sim: float,
+                               ref_sim: float, repeat_sim: float,
+                               gap_n: int):
+        """Phase 1 of the device-assisted quick annotation: run the batch
+        in collect mode and return the is_ref gap-fill job rows (n, 8)
+        int32 (seq_idx carries a bit-30 rc flag; r_from anchors into the
+        full forward read)."""
+        n = len(reads)
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        cap = 1 << 16
+        while True:
+            out = np.empty((cap, 8), dtype=np.int32)
+            rc = self._lib.t4o_annotate0_collect_gaps(
+                self._h, blob, offs.ctypes.data_as(_i64p), n, n_threads,
+                radius, hit_len_required, 1 if is_long_seq_set else 0,
+                nomatch_gap_limit, novel_sim, ref_sim, repeat_sim, gap_n,
+                out.ctypes.data_as(_i32p), cap,
+            )
+            if rc != -2:
+                return out[:rc]
+            cap *= 4
+
+    def annotate0_batch_oracle(self, reads, gap_jobs, gap_counts,
+                               n_threads: int, radius: int,
+                               hit_len_required: int, is_long_seq_set: bool,
+                               nomatch_gap_limit: int, novel_sim: float,
+                               ref_sim: float, repeat_sim: float,
+                               gap_n: int):
+        """Phase 2: the quick-annotation batch consuming device gap
+        counts.  Returns (int32 (n,4,8), float64 (n,4)) like
+        annotate0_batch."""
+        n = len(reads)
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        gj = np.ascontiguousarray(gap_jobs, dtype=np.int32)
+        gc = np.ascontiguousarray(gap_counts, dtype=np.int32)
+        out_i32 = np.empty((n, 4, 8), dtype=np.int32)
+        out_f64 = np.empty((n, 4), dtype=np.float64)
+        self._lib.t4o_annotate0_batch_oracle(
+            self._h, blob, offs.ctypes.data_as(_i64p), n, n_threads,
+            radius, hit_len_required, 1 if is_long_seq_set else 0,
+            nomatch_gap_limit, novel_sim, ref_sim, repeat_sim, gap_n,
+            gj.ctypes.data_as(_i32p), gc.ctypes.data_as(_i32p), len(gj),
+            out_i32.ctypes.data_as(_i32p),
+            out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out_i32, out_f64
+
     def assign_read(self, read: str, strand: int, barcode: int, radius: int,
                     hit_len_required: int, is_long_seq_set: bool,
                     nomatch_gap_limit: int, novel_sim: float,
@@ -596,9 +662,14 @@ class NativeOverlapEngine:
     def emit_gap_codes(self, jobs, gap_jobs, width: int):
         """Device-ready DP code rows for collected gap jobs: returns
         (t_codes, p_codes), each (n_jobs, width) int8, pad 5.  jobs are the
-        batch's query tuples (for the read blob); gap_jobs the (n, 8) rows
-        from batch_collect_gaps."""
-        _n, blob, offs, _st, _bc, _rt, _sk = self._batch_args(jobs)
+        batch's query tuples or plain read strings (for the read blob);
+        gap_jobs the (n, 8) rows from batch_collect_gaps or
+        annotate0_collect_gaps."""
+        reads = [j[0] if isinstance(j, tuple) else j for j in jobs]
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(len(reads) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
         gj = np.ascontiguousarray(gap_jobs, dtype=np.int32)
         out_t = np.empty((len(gj), width), dtype=np.int8)
         out_p = np.empty((len(gj), width), dtype=np.int8)

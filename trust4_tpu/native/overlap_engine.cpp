@@ -1288,6 +1288,14 @@ struct GapCtx {
   std::vector<GapJob>* sink = nullptr;          // collect (per thread)
   const std::unordered_map<uint64_t, int32_t>* oracle = nullptr;
   const int32_t* counts = nullptr;              // (n_jobs, 3)
+  // annotate0 batches: pieces of one read share q, so the piece ordinal
+  // rides in ov_idx's high bits and jobs anchor into the FULL forward
+  // read (piece base + strand-aware anchor; see t4o_emit_gap_codes).
+  int ov_base = 0;
+  int ov_cap = 1 << 24;  // max ov_idx keyed (1<<16 under piece encoding)
+  int strand = 1;     // current overlap's strand (set with ov_idx)
+  int piece_a = 0;    // full-read span of the current piece query
+  int piece_b = 0;    // (piece_b only read for strand -1 anchors)
 };
 inline uint64_t gap_key(int q, int ov_idx, int gap_ord) {
   return ((uint64_t)(uint32_t)q << 34) | ((uint64_t)(uint32_t)ov_idx << 10) |
@@ -1363,11 +1371,26 @@ void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
         sim_zero = 1;
         break;
       }
+      // gap_key packs the composite overlap ordinal into 24 bits and the
+      // gap ordinal into 10; out-of-range jobs are simply not collected
+      // (phase 2's lookup miss falls back to the CPU DP, so outputs are
+      // unaffected).
+      bool key_ok = gctx->ov_idx < gctx->ov_cap &&
+                    (gctx->ov_base + gctx->ov_idx) < (1 << 24) &&
+                    gap_ord < (1 << 10);
       if (gctx->mode == 1) {
-        gctx->sink->push_back({(int32_t)gctx->q, (int32_t)gctx->ov_idx,
-                               (int32_t)gap_ord, (int32_t)o.seq_idx,
-                               pb + kl, cb - pb - kl, pa + kl,
-                               ca - pa - kl});
+        if (key_ok) {
+          int r_loc = pa + kl;
+          int32_t r_anchor = gctx->strand == 1 ? gctx->piece_a + r_loc
+                                               : gctx->piece_b - r_loc;
+          int32_t sflag = gctx->strand == 1 ? 0 : ((int32_t)1 << 30);
+          gctx->sink->push_back({(int32_t)gctx->q,
+                                 (int32_t)(gctx->ov_base + gctx->ov_idx),
+                                 (int32_t)gap_ord,
+                                 (int32_t)o.seq_idx | sflag,
+                                 pb + kl, cb - pb - kl, r_anchor,
+                                 ca - pa - kl});
+        }
         gap_ord++;
         if (radius == 0) {
           // Count-dependent break below (indel_cnt) — keep the CPU DP so
@@ -1384,7 +1407,10 @@ void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
           cnts[0] = cnts[1] = cnts[2] = 0;
         }
       } else {
-        auto it = gctx->oracle->find(gap_key(gctx->q, gctx->ov_idx, gap_ord));
+        auto it = key_ok ? gctx->oracle->find(gap_key(
+                               gctx->q, gctx->ov_base + gctx->ov_idx,
+                               gap_ord))
+                         : gctx->oracle->end();
         gap_ord++;
         if (it != gctx->oracle->end()) {
           const int32_t* c3 = gctx->counts + 3 * it->second;
@@ -1538,7 +1564,10 @@ void score_overlaps(const Engine2& R, const SConf& C, int kl,
       }
     }
 
-    if (gctx != nullptr) gctx->ov_idx = i;
+    if (gctx != nullptr) {
+      gctx->ov_idx = i;
+      gctx->strand = o.strand;
+    }
     score_chain(R, C, kl, o, r, out5, gctx);
     int64_t match_cnt = out5[0];
     int64_t indel_cnt = out5[2];
@@ -1981,7 +2010,8 @@ void contig_intervals(const char* read, int n, int gap_n,
 // Detail-0 AnnotateRead (engine/annotate.py:197-497 detail-0 subset;
 // SeqSet.hpp:6016-6576 minus the detail>=1 branches).  Fills gene[4].
 void annotate_detail0(Engine* E, Engine2& R, const SConf& C, int gap_n,
-                      const char* read, int len, SOv gene[4]) {
+                      const char* read, int len, SOv gene[4],
+                      GapCtx* gctx = nullptr) {
   for (int g = 0; g < 4; g++) {
     gene[g] = SOv();
     gene[g].seq_idx = -1;
@@ -1997,10 +2027,20 @@ void annotate_detail0(Engine* E, Engine2& R, const SConf& C, int gap_n,
 
   std::vector<SOv> overlaps;
   std::vector<SOv> ovs;
+  int piece_ord = 0;
   for (const auto& ab : contigs) {
     int a = ab.first, b = ab.second;
+    if (gctx != nullptr) {
+      // One read's pieces share q; the piece ordinal rides in ov_idx's
+      // high bits and jobs anchor into the FULL forward read.
+      gctx->ov_base = piece_ord << 16;
+      gctx->ov_cap = 1 << 16;
+      gctx->piece_a = a;
+      gctx->piece_b = b;
+    }
+    piece_ord++;
     int n = query_scored_core(E, R, C, read + a, b - a + 1, 0, -1, 0, false,
-                              nullptr, ovs);
+                              nullptr, ovs, gctx);
     if (n <= 0) continue;
     for (SOv& o : ovs) {
       o.read_start += a;
@@ -3920,14 +3960,25 @@ void t4o_emit_gap_codes(void* h, const char* blob, const int64_t* offs,
   };
   for (int j = 0; j < n_jobs; j++) {
     const int32_t* row = jobs + 8 * j;
-    const std::string& cons = R.seqs[row[3]].consensus;
+    int seq_idx = row[3] & ~((int32_t)1 << 30);
+    bool rc = (row[3] & ((int32_t)1 << 30)) != 0;
+    const std::string& cons = R.seqs[seq_idx].consensus;
     int t_len = row[5] < width ? row[5] : width;
     int8_t* ot = out_t + (size_t)j * width;
     for (int i = 0; i < t_len; i++) ot[i] = code_of(cons[row[4] + i]);
     const char* rd = blob + offs[row[0]];
     int r_len = row[7] < width ? row[7] : width;
     int8_t* op = out_p + (size_t)j * width;
-    for (int i = 0; i < r_len; i++) op[i] = code_of(rd[row[6] + i]);
+    if (!rc) {
+      for (int i = 0; i < r_len; i++) op[i] = code_of(rd[row[6] + i]);
+    } else {
+      // Strand -1 job (annotate0 batches): the DP query segment is the
+      // reverse complement walking backward from the forward anchor.
+      for (int i = 0; i < r_len; i++) {
+        int8_t c = code_of(rd[row[6] - i]);
+        op[i] = c < 4 ? (int8_t)(3 - c) : c;
+      }
+    }
   }
 }
 
@@ -3997,6 +4048,122 @@ int t4o_query_scored_batch_oracle(
     }
   }
   return 0;
+}
+
+// Phase 1 (quick annotation): t4o_annotate0_batch in collect mode.  Same
+// consecutive-duplicate dedup and chunking (block 64) as the real batch so
+// phase 2's oracle keys line up read-for-read; a dedup divergence only
+// costs oracle misses (CPU DP fallback), never correctness.  Jobs anchor
+// into the FULL forward read with a bit-30 rc flag on seq_idx (see
+// t4o_emit_gap_codes).  Returns the job count, or -2 when cap is too
+// small.
+int t4o_annotate0_collect_gaps(void* h, const char* blob,
+                               const int64_t* offs, int n_reads,
+                               int n_threads, int radius,
+                               int hit_len_required, int is_long_seq_set,
+                               int nomatch_gap_limit, double novel_sim,
+                               double ref_sim, double repeat_sim, int gap_n,
+                               int32_t* out_jobs, int cap) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  int nt = (n_threads <= 1 || n_reads < 64) ? 1 : n_threads;
+  std::vector<std::vector<GapJob>> sinks((size_t)nt);
+  auto work = [&](int t, int lo, int hi) {
+    SOv gene[4];
+    GapCtx g;
+    g.mode = 1;
+    g.sink = &sinks[t];
+    const char* prev = nullptr;
+    int prev_len = -1;
+    for (int i = lo; i < hi; i++) {
+      const char* rd = blob + offs[i];
+      int len = (int)(offs[i + 1] - offs[i]);
+      if (prev == nullptr || len != prev_len ||
+          memcmp(rd, prev, len) != 0) {
+        g.q = i;
+        annotate_detail0(E, R, C, gap_n, rd, len, gene, &g);
+        prev = rd;
+        prev_len = len;
+      }
+    }
+  };
+  if (nt == 1) {
+    work(0, 0, n_reads);
+  } else {
+    steal_for(n_reads, nt, 64,
+              [&](int tid, int lo, int hi) { work(tid, lo, hi); });
+  }
+  int64_t total = 0;
+  for (auto& s : sinks) total += (int64_t)s.size();
+  if (total > cap) return -2;
+  int64_t at = 0;
+  for (auto& s : sinks)
+    for (const GapJob& j : s) {
+      int32_t* row = out_jobs + 8 * at++;
+      row[0] = j.q;
+      row[1] = j.ov_idx;
+      row[2] = j.gap_ord;
+      row[3] = j.seq_idx;
+      row[4] = j.t_from;
+      row[5] = j.t_len;
+      row[6] = j.r_from;
+      row[7] = j.r_len;
+    }
+  return (int)total;
+}
+
+// Phase 2 (quick annotation): t4o_annotate0_batch consuming device gap
+// counts; otherwise identical to the plain batch (same dedup/chunking).
+void t4o_annotate0_batch_oracle(void* h, const char* blob,
+                                const int64_t* offs, int n_reads,
+                                int n_threads, int radius,
+                                int hit_len_required, int is_long_seq_set,
+                                int nomatch_gap_limit, double novel_sim,
+                                double ref_sim, double repeat_sim,
+                                int gap_n, const int32_t* jobs,
+                                const int32_t* counts, int n_jobs,
+                                int32_t* out_i32, double* out_f64) {
+  Engine* E = (Engine*)h;
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  std::unordered_map<uint64_t, int32_t> oracle;
+  oracle.reserve((size_t)n_jobs * 2);
+  for (int j = 0; j < n_jobs; j++) {
+    const int32_t* row = jobs + 8 * j;
+    oracle[gap_key(row[0], row[1], row[2])] = j;
+  }
+  auto work = [&](int lo, int hi) {
+    SOv gene[4];
+    GapCtx g;
+    g.mode = 2;
+    g.oracle = &oracle;
+    g.counts = counts;
+    const char* prev = nullptr;
+    int prev_len = -1;
+    for (int i = lo; i < hi; i++) {
+      const char* rd = blob + offs[i];
+      int len = (int)(offs[i + 1] - offs[i]);
+      if (prev == nullptr || len != prev_len ||
+          memcmp(rd, prev, len) != 0) {
+        g.q = i;
+        annotate_detail0(E, R, C, gap_n, rd, len, gene, &g);
+        prev = rd;
+        prev_len = len;
+      }
+      for (int gi = 0; gi < 4; gi++)
+        write_g8(gene[gi], out_i32 + 32 * (int64_t)i + 8 * gi,
+                 out_f64 + 4 * (int64_t)i + gi);
+    }
+  };
+  if (n_threads <= 1 || n_reads < 64) {
+    work(0, n_reads);
+  } else {
+    steal_for(n_reads, n_threads, 64,
+              [&](int, int lo, int hi) { work(lo, hi); });
+  }
 }
 
 }  // extern "C"

@@ -143,14 +143,37 @@ def prewarm(wait: bool = False) -> None:
         _prewarm_thread.join()
 
 
+_RC_FLAG = 1 << 30
+
+
+def _job_segments(reads, seqs, row):
+    """The (t, p) DP strings of one gap-job row, honoring the bit-30 rc
+    flag on seq_idx (annotate0 batches: the query segment is the reverse
+    complement walking backward from the forward anchor, matching
+    t4o_emit_gap_codes)."""
+    from trust4_tpu.dna import revcomp
+
+    q, _ov, _go, sidx, t_from, t_len, r_from, r_len = (int(v) for v in row)
+    rc = bool(sidx & _RC_FLAG)
+    sidx &= ~_RC_FLAG
+    t = seqs[sidx].consensus[t_from : t_from + t_len]
+    rd = reads[q]
+    if rc:
+        p = revcomp(rd[r_from - r_len + 1 : r_from + 1])
+    else:
+        p = rd[r_from : r_from + r_len]
+    return t, p
+
+
 def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
                          seqs) -> Optional[np.ndarray]:
     """Compute (match, mismatch, indel) for each collected gap job on the
     TPU.  nat: the NativeOverlapEngine; query_jobs: the batch's query
-    tuples (for the read blob); gap_jobs: (n, 8) int32 rows from
-    batch_collect_gaps; seqs: queried SeqSet's wrappers (CPU leftovers +
-    check mode).  Returns (n, 3) int32, or None (caller uses the CPU
-    DP)."""
+    tuples or plain read strings (for the read blob); gap_jobs: (n, 8)
+    int32 rows from batch_collect_gaps or annotate0_collect_gaps (seq_idx
+    may carry the bit-30 rc flag); seqs: queried SeqSet's wrappers (CPU
+    leftovers + check mode).  Returns (n, 3) int32, or None (caller uses
+    the CPU DP)."""
     n = len(gap_jobs)
     if n == 0:
         return np.zeros((0, 3), dtype=np.int32)
@@ -216,28 +239,18 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
         # oracle.
         import trust4_tpu.align.native as an
 
-        reads = [j[0] for j in query_jobs]
+        reads = [j[0] if isinstance(j, tuple) else j for j in query_jobs]
         for i in np.nonzero(~done)[0]:
-            q, _ov, _go, sidx, t_from, t_len, r_from, r_len = (
-                int(v) for v in gap_jobs[i]
-            )
-            counts[i] = an.global_alignment_counts(
-                seqs[sidx].consensus[t_from : t_from + t_len],
-                reads[q][r_from : r_from + r_len],
-            )
+            t, p = _job_segments(reads, seqs, gap_jobs[i])
+            counts[i] = an.global_alignment_counts(t, p)
 
     if check:
         import trust4_tpu.align.native as an
 
-        reads = [j[0] for j in query_jobs]
+        reads = [j[0] if isinstance(j, tuple) else j for j in query_jobs]
         for i in range(n):
-            q, _ov, _go, sidx, t_from, t_len, r_from, r_len = (
-                int(v) for v in gap_jobs[i]
-            )
-            want = an.global_alignment_counts(
-                seqs[sidx].consensus[t_from : t_from + t_len],
-                reads[q][r_from : r_from + r_len],
-            )
+            t, p = _job_segments(reads, seqs, gap_jobs[i])
+            want = an.global_alignment_counts(t, p)
             got = tuple(int(v) for v in counts[i])
             assert got == want, (
                 f"device gap counts mismatch job {i}: {got} vs {want}"

@@ -387,12 +387,38 @@ class Assembler:
             from trust4_tpu.utils.parallel import internal_threads
 
             rs = self.ref_set
-            rows, sims = _nat.annotate0_batch(
-                [r.read for r in sorted_reads], internal_threads(self.threads),
+            reads = [r.read for r in sorted_reads]
+            conf = (
+                internal_threads(self.threads),
                 rs.radius, rs.hit_len_required, rs.is_long_seq_set,
                 rs.nomatch_gap_limit, rs.novel_seq_similarity,
                 rs.ref_seq_similarity, rs.repeat_similarity, rs.gap_n,
             )
+            rows = sims = None
+            # Device path: ONE Pallas launch per size tier scores every
+            # inter-anchor gap fill of the whole quick-annotation batch
+            # (ops/gap_oracle.py); phase 2 consumes the bit-identical
+            # counts instead of the CPU DP.
+            from trust4_tpu.ops import gap_oracle
+
+            if gap_oracle.active():
+                try:
+                    gap_jobs = _nat.annotate0_collect_gaps(reads, *conf)
+                    counts = gap_oracle.gap_counts_on_device(
+                        _nat, reads, gap_jobs, rs.seqs
+                    )
+                    if counts is not None:
+                        rows, sims = _nat.annotate0_batch_oracle(
+                            reads, gap_jobs, counts, *conf
+                        )
+                        log("Quick-annotation gap DP ran on the TPU "
+                            f"({len(gap_jobs)} gap fills).")
+                except Exception as e:  # device flake -> CPU fallback
+                    log(f"TPU gap-oracle pass unavailable ({e}); "
+                        "using CPU DP.")
+                    rows = None
+            if rows is None:
+                rows, sims = _nat.annotate0_batch(reads, *conf)
             # One bulk tolist() beats per-element numpy scalar indexing in
             # overlaps_from_g8 by ~4x on 100k-read corpora.
             rows_l = rows.tolist()
