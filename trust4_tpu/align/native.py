@@ -110,6 +110,20 @@ def _load():
     lib.t4_fmt_pw_block.argtypes = [
         ctypes.POINTER(ctypes.c_int32), c_int, c_char_p, ctypes.c_int64,
     ]
+    lib.t4_fmt_pw_compressed.restype = ctypes.c_int64
+    lib.t4_fmt_pw_compressed.argtypes = [
+        c_char_p, c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        c_char_p, ctypes.c_int64,
+    ]
+    lib.t4_fmt_pw_onehot.restype = ctypes.c_int64
+    lib.t4_fmt_pw_onehot.argtypes = [
+        c_char_p, c_int, c_int, c_char_p, ctypes.c_int64,
+    ]
+    lib.t4_parse_i32.restype = ctypes.c_int64
+    lib.t4_parse_i32.argtypes = [
+        c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
     _LIB = lib
     return _LIB
 
@@ -338,3 +352,57 @@ def format_pw_block(w: "np.ndarray") -> Optional[str]:
     if n < 0:
         return None
     return buf.raw[:n].decode("ascii")
+
+
+def format_pw_compressed(consensus: str, flat: "np.ndarray") -> Optional[str]:
+    """Decompress the run-length posWeight (SeqSet.hpp:2484-2509) and format
+    the 4 writer lines in one native call; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat.reshape(-1), dtype=np.int32)
+    length = len(consensus)
+    cap = 48 * length + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.t4_fmt_pw_compressed(
+        consensus.encode("ascii"), length,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(flat),
+        buf, cap,
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")
+
+
+def format_pw_onehot(consensus: str, num_read: int) -> Optional[str]:
+    """posWeight-free writer lines: num_read in the consensus base's slot,
+    0 elsewhere; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    length = len(consensus)
+    cap = (len(str(num_read)) + 2) * 4 * (length + 1) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.t4_fmt_pw_onehot(
+        consensus.encode("ascii"), length, num_read, buf, cap
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")
+
+
+def parse_i32(line: str) -> Optional["np.ndarray"]:
+    """Parse a whitespace-separated int row into int32 (the annotator's
+    _final.out posWeight loader); None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = line.encode("ascii")
+    cap = len(b) // 2 + 2
+    out = np.empty(cap, dtype=np.int32)
+    n = lib.t4_parse_i32(
+        b, len(b), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap
+    )
+    if n < 0:
+        return None
+    return out[:n]

@@ -7,9 +7,36 @@
 //
 // Build: make -C trust4_tpu/native
 
+#include <array>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <string>
+#include <unordered_map>
 #include <vector>
+
+// T4_PROF=1 gap-fill volume counters (fills, DP cells), dumped/reset by
+// t4a_prof_dump2.
+static std::atomic<int64_t> g_a_fills{0}, g_a_cells{0};
+static inline bool t4a_prof_on() {
+  static int v = -1;
+  if (v == -1) {
+    const char* e = getenv("T4_PROF");
+    v = (e && e[0] == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
+static inline void t4a_prof_fill(int tl, int pl) {
+  if (t4a_prof_on()) {
+    g_a_fills += 1;
+    g_a_cells += (int64_t)tl * pl;
+  }
+}
+extern "C" void t4a_prof_dump2(double* out2) {
+  out2[0] = (double)g_a_fills.exchange(0);
+  out2[1] = (double)g_a_cells.exchange(0);
+}
 
 namespace {
 
@@ -786,13 +813,36 @@ void t4_chain_score(const int32_t* coords, int n_coords, int kl, int radius,
   int cnts[3];
 
   auto gap_fill = [&](int seq_from, int seq_to, int read_from, int read_to) {
-    if (is_ref)
+    if (is_ref) {
+      // Content-keyed memo: IMGT alleles are near-duplicates, so the same
+      // (target, read) gap pair recurs ~25x across an annotation batch
+      // (measured on a 10k-contig corpus).  Keying on the actual segment
+      // bytes makes the cache correct by construction — identical inputs
+      // give identical counts regardless of which seq produced them.
+      static thread_local std::unordered_map<std::string, std::array<int, 3>>
+          memo;
+      static thread_local std::string key;
+      key.assign(consensus + seq_from, seq_to - seq_from);
+      key.push_back('\x01');
+      key.append(r + read_from, read_to - read_from);
+      auto it = memo.find(key);
+      if (it != memo.end()) {
+        cnts[0] = it->second[0];
+        cnts[1] = it->second[1];
+        cnts[2] = it->second[2];
+        return;
+      }
+      t4a_prof_fill(seq_to - seq_from, read_to - read_from);
       t4_global_alignment_counts(consensus + seq_from, seq_to - seq_from,
                                  r + read_from, read_to - read_from, cnts);
-    else
+      if (memo.size() >= (1u << 20)) memo.clear();  // bound per-thread RSS
+      memo.emplace(key, std::array<int, 3>{cnts[0], cnts[1], cnts[2]});
+    } else {
+      t4a_prof_fill(seq_to - seq_from, read_to - read_from);
       t4_global_alignment_posweight_counts(posweight + 4 * seq_from,
                                            seq_to - seq_from, r + read_from,
                                            read_to - read_from, cnts);
+    }
   };
 
   for (int j = 1; j < n_coords; j++) {
@@ -1218,4 +1268,98 @@ extern "C" int64_t t4_fmt_pw_block(const int32_t* w, int len, char* out,
     *p++ = '\n';
   }
   return (int64_t)(p - out);
+}
+
+// Run-length-compressed variant (engine/assemble.py:903 decompress_pos_weight,
+// reference SeqSet.hpp:2484-2509): decompress then format in one call, so the
+// (len,4) expansion never materializes in Python.  A negative packed value
+// -v means "count v in the consensus base's slot" (N packs into slot 0,
+// any other non-ACGT into slot 3, matching the Python -1 index wraparound).
+extern "C" int64_t t4_fmt_pw_compressed(const char* cons, int len,
+                                        const int32_t* flat, int64_t flat_len,
+                                        char* out, int64_t cap) {
+  static thread_local std::vector<int32_t> dec;
+  dec.assign((size_t)len * 4, 0);
+  int64_t k = 0;
+  for (int j = 0; j < len; j++) {
+    int32_t v = k < flat_len ? flat[k] : 0;
+    if (v < 0) {
+      int code = nuc_num(cons[j]);
+      dec[(size_t)j * 4 + (code < 0 ? 3 : code)] = -v;
+      k += 1;
+    } else {
+      for (int i = 0; i < 4; i++) {
+        dec[(size_t)j * 4 + i] = k < flat_len ? flat[k] : 0;
+        k += 1;
+      }
+    }
+  }
+  return t4_fmt_pw_block(dec.data(), len, out, cap);
+}
+
+// posWeight-free seqs print num_read in the consensus base's slot and 0
+// elsewhere (assembler.py output_seqset fallback; N counts as slot 0,
+// other non-ACGT letters match no slot).
+extern "C" int64_t t4_fmt_pw_onehot(const char* cons, int len, int num_read,
+                                    char* out, int64_t cap) {
+  char* p = out;
+  char* end = out + cap;
+  char numbuf[12];
+  int nb = 0;
+  {
+    uint32_t u = num_read < 0 ? (uint32_t)(-(int64_t)num_read)
+                              : (uint32_t)num_read;
+    char tmp[12];
+    int t = 0;
+    if (num_read < 0) numbuf[nb++] = '-';
+    if (u == 0) tmp[t++] = '0';
+    while (u) {
+      tmp[t++] = (char)('0' + u % 10);
+      u /= 10;
+    }
+    while (t) numbuf[nb++] = tmp[--t];
+  }
+  for (int k = 0; k < 4; k++) {
+    for (int i = 0; i < len; i++) {
+      if (end - p < nb + 4) return -1;
+      if (nuc_num(cons[i]) == k) {
+        for (int b = 0; b < nb; b++) *p++ = numbuf[b];
+      } else {
+        *p++ = '0';
+      }
+      *p++ = ' ';
+    }
+    if (end - p < 1) return -1;
+    *p++ = '\n';
+  }
+  return (int64_t)(p - out);
+}
+
+// Whitespace-separated int32 row parser for the annotator's _final.out
+// loader (Annotator.cpp:573-619): Python int() over ~40M tokens dominates
+// load_assembly on 10k-contig corpora.  Returns the count parsed, or -1
+// when cap is too small.
+extern "C" int64_t t4_parse_i32(const char* s, int64_t slen, int32_t* out,
+                                int64_t cap) {
+  int64_t n = 0;
+  const char* p = s;
+  const char* end = s + slen;
+  while (p < end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+      p++;
+    if (p >= end) break;
+    bool neg = false;
+    if (*p == '-') {
+      neg = true;
+      p++;
+    }
+    int64_t v = 0;
+    while (p < end && *p >= '0' && *p <= '9') {
+      v = v * 10 + (*p - '0');
+      p++;
+    }
+    if (n >= cap) return -1;
+    out[n++] = (int32_t)(neg ? -v : v);
+  }
+  return n;
 }

@@ -17,7 +17,10 @@
 // C ABI only; loaded via ctypes (trust4_tpu/engine/overlap_native.py).
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <string>
@@ -172,6 +175,24 @@ struct RC {
   bool operator==(const RC &o) const { return a == o.a && b == o.b; }
 };
 
+// T4_PROF=1 phase counters (seconds in ns ticks + volumes), dumped by
+// t4o_prof_dump / t4o_prof_dump7.
+std::atomic<int64_t> g_t_hits{0}, g_t_chain{0}, g_t_score{0}, g_t_rest{0};
+std::atomic<int64_t> g_t_ssort{0}, g_t_sdp{0}, g_c_hits{0}, g_c_ovl{0};
+inline int64_t now_ns() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+bool prof_on() {
+  static int v = -1;
+  if (v == -1) {
+    const char* e = getenv("T4_PROF");
+    v = (e && e[0] == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
+
 struct Ov {
   int seq_idx;
   int read_start, read_end;
@@ -201,13 +222,15 @@ struct Conf {
 
 // ---- LIS (overlap.py:52-146; SeqSet.hpp:342-499) -------------------------
 
-int binary_search_lis(const std::vector<int> &top, int size, int val_a,
-                      const std::vector<RC> &hits) {
+// Binary search over the contiguous top-values mirror (top_a[k] =
+// hits[top[k]].a) — the indirect hits[top[m]].a loads dominated LIS on
+// IMGT-scale hit volumes.
+int binary_search_lis(const std::vector<int> &top_a, int size, int val_a) {
   int l = 0, r = size - 1;
   while (l <= r) {
     int m = (l + r) / 2;
-    if (val_a == hits[top[m]].a) return m;
-    if (val_a < hits[top[m]].a)
+    if (val_a == top_a[m]) return m;
+    if (val_a < top_a[m])
       r = m - 1;
     else
       l = m + 1;
@@ -224,33 +247,38 @@ void longest_increasing_subsequence(const std::vector<RC> &hits,
   for (int i = 1; i < size; i++) avg_diff += hits[i].a - hits[i].b;
   avg_diff /= size;
 
-  static thread_local std::vector<int> top, link;
+  static thread_local std::vector<int> top, top_a, link;
   top.assign(size, 0);
+  top_a.assign(size, hits[0].a);
   link.assign(size, -1);
   int ret = 1;
   for (int i = 1; i < size; i++) {
     const RC &hi = hits[i];
     int tag;
-    if (hits[top[ret - 1]].a <= hi.a)
+    if (top_a[ret - 1] <= hi.a)
       tag = ret - 1;
     else
-      tag = binary_search_lis(top, ret, hi.a, hits);
+      tag = binary_search_lis(top_a, ret, hi.a);
     if (tag == -1) {
       top[0] = i;
+      top_a[0] = hi.a;
       link[i] = -1;
-    } else if (hi.a > hits[top[tag]].a) {
+    } else if (hi.a > top_a[tag]) {
       if (tag == ret - 1) {
         top[ret] = i;
+        top_a[ret] = hi.a;
         ret += 1;
         link[i] = top[tag];
-      } else if (hi.a < hits[top[tag + 1]].a) {
+      } else if (hi.a < top_a[tag + 1]) {
         top[tag + 1] = i;
+        top_a[tag + 1] = hi.a;
         link[i] = top[tag];
       }
-    } else if (hi.a == hits[top[tag]].a) {
+    } else if (hi.a == top_a[tag]) {
       if (fabs_(hi.a - hi.b - avg_diff) <
           fabs_(hits[top[tag]].a - hits[top[tag]].b - avg_diff)) {
         top[tag] = i;
+        top_a[tag] = hi.a;
         link[i] = tag > 0 ? top[tag - 1] : -1;
       }
     }
@@ -463,27 +491,65 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
       }
     }
 
+    // Pack (diff, seq_off, read_off) into one uint64 so the group sort
+    // compares plain integers and the per-cluster (b, a) re-sort is just
+    // `key & MASK42` (layout [63:42]=diff+bias [41:21]=seq_off
+    // [20:0]=read_off) — no intermediate Coord array.  Offsets fit 21
+    // bits each in this domain (reads/contigs << 2M); fall back to the
+    // struct sort if a group ever exceeds that.
+    constexpr uint64_t M21 = (1u << 21) - 1;
+    constexpr uint64_t MASK42 = ((uint64_t)1 << 42) - 1;
+    static thread_local std::vector<uint64_t> keys;
     static thread_local std::vector<Coord> hcd;
+    keys.clear();
     hcd.clear();
-    hcd.reserve(j - i);
+    bool packed = true;
     for (int k = i; k < j; k++)
-      hcd.push_back({hits[k].read_off, hits[k].seq_off,
-                     hits[k].read_off - hits[k].seq_off});
-    std::sort(hcd.begin(), hcd.end(), [](const Coord &x, const Coord &y) {
-      if (x.diff != y.diff) return x.diff < y.diff;
-      if (x.seq_off != y.seq_off) return x.seq_off < y.seq_off;
-      return x.read_off < y.read_off;
-    });
+      if ((unsigned)hits[k].read_off >= (1u << 21) ||
+          (unsigned)hits[k].seq_off >= (1u << 21)) {
+        packed = false;
+        break;
+      }
+    if (packed) {
+      keys.reserve(j - i);
+      for (int k = i; k < j; k++) {
+        int64_t diff = (int64_t)hits[k].read_off - hits[k].seq_off;
+        keys.push_back(((uint64_t)(diff + (1 << 21)) << 42) |
+                       ((uint64_t)hits[k].seq_off << 21) |
+                       (uint64_t)hits[k].read_off);
+      }
+      std::sort(keys.begin(), keys.end());
+    } else {
+      hcd.reserve(j - i);
+      for (int k = i; k < j; k++)
+        hcd.push_back({hits[k].read_off, hits[k].seq_off,
+                       hits[k].read_off - hits[k].seq_off});
+      std::sort(hcd.begin(), hcd.end(), [](const Coord &x, const Coord &y) {
+        if (x.diff != y.diff) return x.diff < y.diff;
+        if (x.seq_off != y.seq_off) return x.seq_off < y.seq_off;
+        return x.read_off < y.read_off;
+      });
+    }
     int group_n = j - i;
     int adjust_radius = M.is_ref[seq_idx] ? C.radius : 0;
 
     int s = 0;
     while (s < group_n) {
       int e = s + 1;
-      while (e < group_n) {
-        int diff = hcd[e].diff - hcd[e - 1].diff;
-        if (iabs(diff) > adjust_radius) break;
-        e++;
+      if (packed) {
+        int prev_d = (int)(keys[s] >> 42);
+        while (e < group_n) {
+          int d = (int)(keys[e] >> 42);
+          if (iabs(d - prev_d) > adjust_radius) break;
+          prev_d = d;
+          e++;
+        }
+      } else {
+        while (e < group_n) {
+          int diff = hcd[e].diff - hcd[e - 1].diff;
+          if (iabs(diff) > adjust_radius) break;
+          e++;
+        }
       }
 
       if (e - s < min_hit_required || (e - s) * kl < hit_len_required) {
@@ -509,16 +575,36 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
       static thread_local std::vector<RC> concordant;
       concordant.clear();
       concordant.reserve(e - s);
-      for (int k = s; k < e; k++)
-        concordant.push_back({hcd[k].read_off, hcd[k].seq_off});
-      if (adjust_radius > 0)
-        std::sort(concordant.begin(), concordant.end(),
-                  [](const RC &x, const RC &y) {
-                    if (x.b != y.b) return x.b < y.b;
-                    return x.a < y.a;
-                  });
+      if (packed) {
+        if (adjust_radius > 0) {
+          // (b, a) re-sort: the low 42 key bits already ARE (b << 21 | a).
+          static thread_local std::vector<uint64_t> ckeys;
+          ckeys.clear();
+          ckeys.reserve(e - s);
+          for (int k = s; k < e; k++) ckeys.push_back(keys[k] & MASK42);
+          std::sort(ckeys.begin(), ckeys.end());
+          for (uint64_t key : ckeys)
+            concordant.push_back({(int)(key & M21), (int)(key >> 21)});
+        } else {
+          for (int k = s; k < e; k++)
+            concordant.push_back({(int)(keys[k] & M21),
+                                  (int)((keys[k] >> 21) & M21)});
+        }
+      } else {
+        for (int k = s; k < e; k++)
+          concordant.push_back({hcd[k].read_off, hcd[k].seq_off});
+        if (adjust_radius > 0)
+          std::sort(concordant.begin(), concordant.end(),
+                    [](const RC &x, const RC &y) {
+                      if (x.b != y.b) return x.b < y.b;
+                      return x.a < y.a;
+                    });
+      }
       static thread_local std::vector<RC> lis;
+      bool lprof = prof_on();
+      int64_t tl0 = lprof ? now_ns() : 0;
       longest_increasing_subsequence(concordant, lis);
+      if (lprof) g_t_rest += now_ns() - tl0;
       if ((int)lis.size() * kl < hit_len_required) {
         s = e;
         continue;
@@ -1150,7 +1236,53 @@ void t4_chain_score2(const int32_t* coords, int n_coords, int kl, int radius,
                      int nomatch_gap_limit, int is_ref, const char* consensus,
                      const int32_t* posweight, const char* r, int read_start,
                      int read_end, int64_t* out);
+void t4_chain_score(const int32_t* coords, int n_coords, int kl, int radius,
+                    int nomatch_gap_limit, int is_ref, const char* consensus,
+                    const int32_t* posweight, const char* r, int64_t* out);
 }
+
+namespace {
+
+// Prefix ACGT counts of a read ((len+1) x 4, pc[0]=0), built once per
+// query so every overlap's low-complexity test (t4_chain_score2's tail,
+// SeqSet.hpp:1990-2007) is O(1) instead of an O(span) rescan — the scan
+// dominated the score phase at IMGT hit volumes (~200 overlaps/query).
+void build_prefix_counts(const char* s, int len, std::vector<int32_t>& pc) {
+  pc.assign((size_t)(len + 1) * 4, 0);
+  for (int i = 0; i < len; i++) {
+    const int32_t* prev = pc.data() + (size_t)i * 4;
+    int32_t* cur = pc.data() + (size_t)(i + 1) * 4;
+    cur[0] = prev[0];
+    cur[1] = prev[1];
+    cur[2] = prev[2];
+    cur[3] = prev[3];
+    switch (s[i]) {
+      case 'A': cur[0]++; break;
+      case 'C': cur[1]++; break;
+      case 'G': cur[2]++; break;
+      case 'T': cur[3]++; break;
+      default: break;  // N skipped
+    }
+  }
+}
+
+inline int low_complexity_from_prefix(const std::vector<int32_t>& pc,
+                                      int read_start, int read_end) {
+  const int32_t* a = pc.data() + (size_t)read_start * 4;
+  const int32_t* b = pc.data() + (size_t)(read_end + 1) * 4;
+  long low_cnt = 0, low_total = 0;
+  for (int i = 0; i < 4; i++) {
+    long c = b[i] - a[i];
+    if (c <= 2) {
+      low_cnt++;
+      low_total += c;
+    }
+  }
+  if (low_total * 7 >= read_end - read_start + 1) return 0;
+  return low_cnt >= 2 ? 1 : 0;
+}
+
+}  // namespace
 
 namespace {
 
@@ -1307,26 +1439,34 @@ inline uint64_t gap_key(int q, int ov_idx, int gap_ord) {
 // gap fills are enumerated (collect) or answered from the device counts
 // (consume), falling back to the CPU DP on a miss.
 void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
-                 const char* r, int64_t* out5, GapCtx* gctx = nullptr) {
+                 const char* r, int64_t* out5, GapCtx* gctx = nullptr,
+                 const std::vector<int32_t>* pc = nullptr) {
   const SeqRec& s = R.seqs[o.seq_idx];
-  static thread_local std::vector<int32_t> flat;
-  flat.clear();
-  flat.reserve(o.coords.size() * 2);
-  for (const RC& p : o.coords) {
-    flat.push_back(p.a);
-    flat.push_back(p.b);
-  }
+  // RC is {int32 a; int32 b;}, so the coords vector's storage IS the
+  // interleaved (a, b) int32 layout t4_chain_score2 consumes — no copy.
+  static_assert(sizeof(RC) == 2 * sizeof(int32_t), "RC must pack to 2xi32");
+  const int32_t* flat = reinterpret_cast<const int32_t*>(o.coords.data());
   if (gctx == nullptr || !s.is_ref) {
-    t4_chain_score2(flat.data(), (int)o.coords.size(), kl, C.radius,
-                    C.nomatch_gap_limit, s.is_ref ? 1 : 0,
-                    s.is_ref ? s.consensus.data() : nullptr,
-                    s.is_ref ? nullptr : s.pw, r, o.read_start, o.read_end,
-                    out5);
+    if (pc != nullptr) {
+      // Caller-built prefix counts: chain walk without the per-overlap
+      // low-complexity rescan (bit-identical result by construction).
+      t4_chain_score(flat, (int)o.coords.size(), kl, C.radius,
+                     C.nomatch_gap_limit, s.is_ref ? 1 : 0,
+                     s.is_ref ? s.consensus.data() : nullptr,
+                     s.is_ref ? nullptr : s.pw, r, out5);
+      out5[4] = low_complexity_from_prefix(*pc, o.read_start, o.read_end);
+    } else {
+      t4_chain_score2(flat, (int)o.coords.size(), kl, C.radius,
+                      C.nomatch_gap_limit, s.is_ref ? 1 : 0,
+                      s.is_ref ? s.consensus.data() : nullptr,
+                      s.is_ref ? nullptr : s.pw, r, o.read_start, o.read_end,
+                      out5);
+    }
     return;
   }
   // Inline chain walk with oracle-backed gap fills (mirrors
   // t4_chain_score in align_kernels.cpp).
-  const int32_t* coords = flat.data();
+  const int32_t* coords = flat;
   int n_coords = (int)o.coords.size();
   int64_t match_cnt = 2 * kl, mismatch_cnt = 0, indel_cnt = 0;
   int sim_zero = 0;
@@ -1439,6 +1579,10 @@ void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
   out5[1] = mismatch_cnt;
   out5[2] = indel_cnt;
   out5[3] = sim_zero;
+  if (pc != nullptr) {
+    out5[4] = low_complexity_from_prefix(*pc, o.read_start, o.read_end);
+    return;
+  }
   long cnt4[4] = {0, 0, 0, 0};
   for (int i = o.read_start; i <= o.read_end; i++) {
     switch (r[i]) {
@@ -1468,8 +1612,14 @@ void score_chain(const Engine2& R, const SConf& C, int kl, const SOv& o,
 void score_overlaps(const Engine2& R, const SConf& C, int kl,
                     const char* read, int len, int read_type,
                     std::vector<SOv>& overlaps, GapCtx* gctx = nullptr) {
+  bool prof = prof_on();
+  int64_t tp0 = prof ? now_ns() : 0;
+  if (prof) g_c_ovl += (int64_t)overlaps.size();
   // Sort (overlap.py:808) — Python list.sort is stable.
   std::stable_sort(overlaps.begin(), overlaps.end(), sov_key_less);
+  if (prof) {
+    g_t_ssort += now_ns() - tp0;
+  }
   int overlap_cnt = (int)overlaps.size();
 
   // Strand consistency filter (overlap.py:811-820).
@@ -1491,6 +1641,12 @@ void score_overlaps(const Engine2& R, const SConf& C, int kl,
 
   std::string rc_read;
   revcomp(read, len, rc_read);
+
+  // One prefix-count build per query orientation; every overlap's
+  // low-complexity test becomes O(1) (see build_prefix_counts).
+  static thread_local std::vector<int32_t> pc_fwd, pc_rc;
+  build_prefix_counts(read, len, pc_fwd);
+  build_prefix_counts(rc_read.c_str(), len, pc_rc);
 
   int first_ref = -1;
   int best_novel = -1;
@@ -1568,7 +1724,10 @@ void score_overlaps(const Engine2& R, const SConf& C, int kl,
       gctx->ov_idx = i;
       gctx->strand = o.strand;
     }
-    score_chain(R, C, kl, o, r, out5, gctx);
+    int64_t tdp = prof ? now_ns() : 0;
+    score_chain(R, C, kl, o, r, out5, gctx,
+                o.strand == 1 ? &pc_fwd : &pc_rc);
+    if (prof) g_t_sdp += now_ns() - tdp;
     int64_t match_cnt = out5[0];
     int64_t indel_cnt = out5[2];
     bool sim_zero = out5[3] != 0;
@@ -1654,20 +1813,6 @@ void score_overlaps(const Engine2& R, const SConf& C, int kl,
 
 // Phase timing diagnostics (T4_PROF=1): cumulative nanoseconds per phase,
 // printed by t4o_annotate0_batch when enabled.
-std::atomic<int64_t> g_t_hits{0}, g_t_chain{0}, g_t_score{0}, g_t_rest{0};
-inline int64_t now_ns() {
-  return std::chrono::duration_cast<std::chrono::nanoseconds>(
-             std::chrono::steady_clock::now().time_since_epoch())
-      .count();
-}
-bool prof_on() {
-  static int v = -1;
-  if (v == -1) {
-    const char* e = getenv("T4_PROF");
-    v = (e && e[0] == '1') ? 1 : 0;
-  }
-  return v == 1;
-}
 
 // Full GetOverlapsFromRead: hits -> chains -> VJ rescue -> score
 // (engine/overlap.py:700-1152).  Returns overlap count (0 when none).
@@ -1716,9 +1861,14 @@ int query_scored_core(Engine* E, Engine2& R, const SConf& C, const char* read,
     if (prof) {
       int64_t t1 = now_ns();
       g_t_hits += t1 - t0;
+      g_c_hits += (int64_t)hits.size();
       t0 = t1;
     }
     sort_hits(hits, n_seqs);
+    if (prof) {
+      int64_t t1 = now_ns();
+      g_t_ssort += t1 - t0;  // reused as the sort_hits bucket in dump7
+    }
     int filter_hits = read_type == 0 ? 1 : 0;
     overlap_cnt = get_overlaps_from_hits(kl, C0, M, hits, C.hit_len_required,
                                          filter_hits, read_type != 0,
@@ -2295,6 +2445,20 @@ void t4o_prof_dump(void* h, double* out3) {
   out3[0] = g_t_hits.exchange(0) / 1e9;
   out3[1] = g_t_chain.exchange(0) / 1e9;
   out3[2] = g_t_score.exchange(0) / 1e9;
+}
+
+// Extended dump: [hits_s, chain_s, score_s, score_sort_s, score_dp_s,
+// n_hits, n_overlaps].
+void t4o_prof_dump7(void* h, double* out7) {
+  (void)h;
+  out7[0] = g_t_hits.exchange(0) / 1e9;
+  out7[1] = g_t_chain.exchange(0) / 1e9;
+  out7[2] = g_t_score.exchange(0) / 1e9;
+  out7[3] = g_t_ssort.exchange(0) / 1e9;
+  out7[4] = g_t_sdp.exchange(0) / 1e9;
+  out7[5] = (double)g_c_hits.exchange(0);
+  out7[6] = (double)g_c_ovl.exchange(0);
+  out7[7] = g_t_rest.exchange(0) / 1e9;  // LIS time (caller passes 8 slots)
 }
 
 // Single AssignRead.  Returns 1 (assigned; out filled), 0 (no), -3 (a hit

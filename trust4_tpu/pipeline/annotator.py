@@ -15,6 +15,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from trust4_tpu.align import host as align_host
+from trust4_tpu.align import native as align_native
 from trust4_tpu.dna import revcomp, nuc_num
 from trust4_tpu.engine.seqset import SeqSet, get_gene_type
 from trust4_tpu.engine.scaffold import AssignedRead
@@ -173,8 +174,11 @@ class Annotator:
             seq = lines[i + 1]
             w = np.zeros((len(seq), 4), dtype=np.int32)
             for k in range(4):
-                row = lines[i + 2 + k].split()
-                w[: len(row), k] = [int(x) for x in row]
+                row = align_native.parse_i32(lines[i + 2 + k])
+                if row is None:
+                    srow = lines[i + 2 + k].split()
+                    row = np.array([int(x) for x in srow], dtype=np.int32)
+                w[: len(row), k] = row
             self.seq_set.input_novel_seq(name, seq, w)
             i += 6
         if self.has_barcode:

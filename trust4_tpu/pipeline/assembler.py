@@ -1077,24 +1077,36 @@ class Assembler:
             w = sw.pos_weight
             if w is not None and w.size > 0:
                 if sw.pos_weight_compressed:
-                    w = seq_set.decompress_pos_weight(sw.consensus, w)
-                block = align_host._native.format_pw_block(w)
+                    block = align_host._native.format_pw_compressed(
+                        sw.consensus, w
+                    )
+                    if block is None:
+                        w = seq_set.decompress_pos_weight(sw.consensus, w)
+                        block = align_host._native.format_pw_block(w)
+                else:
+                    block = align_host._native.format_pw_block(w)
                 if block is not None:
                     fp.write(block)
                 else:
                     for k in range(4):
                         fp.write(" ".join(map(str, w[:, k].tolist())) + " \n")
             else:
-                from trust4_tpu.dna import nuc_num
+                block = align_host._native.format_pw_onehot(
+                    sw.consensus, sw.num_read
+                )
+                if block is not None:
+                    fp.write(block)
+                else:
+                    from trust4_tpu.dna import nuc_num
 
-                for k in range(4):
-                    fp.write(
-                        " ".join(
-                            str(sw.num_read) if nuc_num(c) == k else "0"
-                            for c in sw.consensus
+                    for k in range(4):
+                        fp.write(
+                            " ".join(
+                                str(sw.num_read) if nuc_num(c) == k else "0"
+                                for c in sw.consensus
+                            )
+                            + " \n"
                         )
-                        + " \n"
-                    )
 
     def output_assembled_reads(self, sorted_reads, assembled_read_idx, fp):
         """_assembled_reads.fa writer (main.cpp:1995-2016)."""
