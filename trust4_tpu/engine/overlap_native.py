@@ -31,6 +31,7 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 _i8p = ctypes.POINTER(ctypes.c_int8)
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _i64p = ctypes.POINTER(ctypes.c_int64)
+_f64p_mod = ctypes.POINTER(ctypes.c_double)
 
 
 def _load():
@@ -214,6 +215,20 @@ def _load():
         ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, _i64p,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.t4kc_add_count_batch.restype = None
+    lib.t4kc_add_count_batch.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, c_int,
+    ]
+    lib.t4kc_stats_trim_batch.restype = None
+    lib.t4kc_stats_trim_batch.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, c_char_p, c_int, c_int, _i64p,
+        _f64p,
+    ]
+    lib.t4kc_barcode_pass.restype = None
+    lib.t4kc_barcode_pass.argtypes = [
+        c_int, c_char_p, _i64p, _i64p, c_int, ctypes.c_int64, c_int,
+        _i64p, _i64p, _f64p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -275,6 +290,61 @@ class NativeKmerCount:
             if qual is not None:
                 qual = qual[:new_len]
         return read, qual, mn, med, self._f64[0], ok
+
+    def add_count_batch(self, reads) -> None:
+        """One FFI call counting a whole read list in order."""
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(len(blobs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        self._lib.t4kc_add_count_batch(
+            self._h, b"".join(blobs), offs.ctypes.data_as(_i64p), len(blobs)
+        )
+
+    def stats_trim_batch(self, reads, quals):
+        """Batched stats_trim preserving the serial stale-buffer quirk.
+        quals is a same-length list (entries may not be None when the
+        batch has quals; pass quals=None for the no-qual mode).  Returns
+        (i64 (n,4) {min, median, ok, new_len}, f64 (n,) {avg})."""
+        n = len(reads)
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        out_i64 = np.empty((n, 4), dtype=np.int64)
+        out_f64 = np.empty(n, dtype=np.float64)
+        qual_blob = None
+        if quals is not None:
+            qual_blob = b"".join(q.encode("ascii") for q in quals)
+        self._lib.t4kc_stats_trim_batch(
+            self._h, b"".join(blobs), offs.ctypes.data_as(_i64p),
+            qual_blob, 0 if quals is None else 1, n,
+            out_i64.ctypes.data_as(_i64p),
+            out_f64.ctypes.data_as(_f64p_mod),
+        )
+        return out_i64, out_f64
+
+
+def barcode_pass(k, reads, barcodes, max_read_len, n_threads):
+    """Per-barcode k-mer pass (native t4kc_barcode_pass): reads sorted by
+    barcode; returns (min, median, avg) int64/int64/float64 arrays, or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(reads)
+    blobs = [r.encode("ascii") for r in reads]
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=offs[1:])
+    bcs = np.ascontiguousarray(barcodes, dtype=np.int64)
+    out_min = np.empty(n, dtype=np.int64)
+    out_med = np.empty(n, dtype=np.int64)
+    out_avg = np.empty(n, dtype=np.float64)
+    lib.t4kc_barcode_pass(
+        k, b"".join(blobs), offs.ctypes.data_as(_i64p),
+        bcs.ctypes.data_as(_i64p), n, max_read_len, n_threads,
+        out_min.ctypes.data_as(_i64p), out_med.ctypes.data_as(_i64p),
+        out_avg.ctypes.data_as(_f64p_mod),
+    )
+    return out_min, out_med, out_avg
 
 
 class NativeOverlapEngine:

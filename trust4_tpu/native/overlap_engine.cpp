@@ -24,6 +24,7 @@
 #include <cstring>
 #include <cmath>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <utility>
 #include <vector>
@@ -1166,6 +1167,80 @@ void t4kc_stats_trim(void *h, const char *read, int len, const char *qual,
       omin -= 1;
   }
   ook = 1;
+}
+
+// One call for a whole ingest batch (assembler.py ingest count_myself
+// loop): per-read ctypes overhead dominated the Python loop at 68k reads.
+void t4kc_add_count_batch(void *h, const char *blob, const int64_t *offs,
+                          int n_reads) {
+  for (int i = 0; i < n_reads; i++)
+    t4kc_add_count(h, blob + offs[i], (int)(offs[i + 1] - offs[i]));
+}
+
+// Batched GetCountStatsAndTrim over the shared counter.  SERIAL on
+// purpose: the persistent sort buffer carries stale values across calls
+// (the reference quirk), so read order is semantics.  qual_blob may be
+// NULL (no-qual mode); out_i64 rows are {min, median, ok, new_len},
+// out_f64 is {avg} per read.
+void t4kc_stats_trim_batch(void *h, const char *blob, const int64_t *offs,
+                           const char *qual_blob, int has_qual, int n_reads,
+                           int64_t *out_i64, double *out_f64) {
+  for (int i = 0; i < n_reads; i++) {
+    int len = (int)(offs[i + 1] - offs[i]);
+    t4kc_stats_trim(h, blob + offs[i], len,
+                    has_qual ? qual_blob + offs[i] : nullptr, has_qual,
+                    out_i64 + 4 * i, out_f64 + i);
+  }
+}
+
+// Per-barcode 21-mer pass (assembler.py _barcode_kmer_pass; reference
+// main.cpp:1123-1193): reads arrive sorted by barcode; each consecutive
+// group gets a fresh counter (add_count over the group, then per-read
+// stats with no qual/trim).  Groups are independent -> threaded.
+void t4kc_barcode_pass(int k, const char *blob, const int64_t *offs,
+                       const int64_t *barcodes, int n_reads,
+                       int64_t max_read_len, int n_threads,
+                       int64_t *out_min, int64_t *out_med, double *out_avg) {
+  // Collect group boundaries.
+  std::vector<int> starts;
+  for (int i = 0; i < n_reads; i++)
+    if (i == 0 || barcodes[i] != barcodes[i - 1]) starts.push_back(i);
+  starts.push_back(n_reads);
+  int n_groups = (int)starts.size() - 1;
+  auto do_group = [&](int g) {
+    int lo = starts[g], hi = starts[g + 1];
+    KCount kc;
+    kc.k = k;
+    kc.max_read_len = max_read_len;
+    int64_t oi[4];
+    double of;
+    for (int i = lo; i < hi; i++)
+      t4kc_add_count(&kc, blob + offs[i], (int)(offs[i + 1] - offs[i]));
+    for (int i = lo; i < hi; i++) {
+      t4kc_stats_trim(&kc, blob + offs[i], (int)(offs[i + 1] - offs[i]),
+                      nullptr, 0, oi, &of);
+      out_min[i] = oi[0];
+      out_med[i] = oi[1];
+      out_avg[i] = of;
+    }
+  };
+  if (n_threads <= 1 || n_groups < 4) {
+    for (int g = 0; g < n_groups; g++) do_group(g);
+  } else {
+    std::atomic<int> cursor{0};
+    int nt = n_threads < n_groups ? n_threads : n_groups;
+    std::vector<std::thread> ts;
+    ts.reserve(nt);
+    for (int t = 0; t < nt; t++)
+      ts.emplace_back([&]() {
+        for (;;) {
+          int g = cursor.fetch_add(1);
+          if (g >= n_groups) break;
+          do_group(g);
+        }
+      });
+    for (auto &t : ts) t.join();
+  }
 }
 
 }  // extern "C"

@@ -264,6 +264,20 @@ class Assembler:
         umi_iter = iter(read_fastx(umi_files)) if umi_files else None
         self._barcode_total_read_count = {}
 
+        # k-mer counting is commutative, so defer it and flush the whole
+        # ingest in ONE native call (per-read ctypes overhead dominated the
+        # loop at 68k+ reads); the Python fallback replays per read.
+        class _DeferredCounts:
+            __slots__ = ("reads",)
+
+            def __init__(self):
+                self.reads = []
+
+            def add_count(self, read):
+                self.reads.append(read)
+
+        deferred = _DeferredCounts()
+
         for rec in read_fastx(read_files):
             barcode = -1
             umi = -1
@@ -304,8 +318,15 @@ class Assembler:
                 mate_r.read = mrec.seq
                 mate_r.qual = mrec.qual
             process_read(
-                nr, mate_r, self.count_myself, self.kmer_count, sorted_reads
+                nr, mate_r, self.count_myself, deferred, sorted_reads
             )
+        if deferred.reads:
+            nkc = getattr(self.kmer_count, "_native", None)
+            if nkc is not None:
+                nkc.add_count_batch(deferred.reads)
+            else:
+                for rd in deferred.reads:
+                    self.kmer_count.add_count(rd)
         return sorted_reads
 
     # -- per-read stats + trimming + sorting ---------------------------
@@ -336,16 +357,42 @@ class Assembler:
         if _dbg():
             print("Finish read in the reads and kmer count.")
 
-        for r in sorted_reads:
-            qual = r.qual if self.trim_level != 0 else None
-            read, _, min_cnt, median_cnt, avg_cnt, _ = (
-                self.kmer_count.get_count_stats_and_trim(r.read, qual)
+        # Stats/trim in ONE native call when possible (the per-read ctypes
+        # round trip dominated this loop at 68k+ reads); the batch runs
+        # serially inside C so the reference's stale-sort-buffer quirk
+        # (KmerCount.hpp:187-277) sees the same read order.
+        nkc = getattr(self.kmer_count, "_native", None)
+        quals = None
+        if self.trim_level != 0 and nkc is not None:
+            if all(r.qual is not None for r in sorted_reads):
+                quals = [r.qual for r in sorted_reads]
+            elif any(r.qual is not None for r in sorted_reads):
+                nkc = None  # mixed qual presence: keep the per-read path
+        if nkc is not None and sorted_reads:
+            i64, f64 = nkc.stats_trim_batch(
+                [r.read for r in sorted_reads], quals
             )
-            r.read = read if read else None
-            r.qual = None
-            r.min_cnt = min_cnt
-            r.median_cnt = median_cnt
-            r.avg_cnt = avg_cnt
+            rows = i64.tolist()
+            avgs = f64.tolist()
+            for i, r in enumerate(sorted_reads):
+                mn, med, _ok, new_len = rows[i]
+                read = r.read if new_len < 0 else r.read[:new_len]
+                r.read = read if read else None
+                r.qual = None
+                r.min_cnt = mn
+                r.median_cnt = med
+                r.avg_cnt = avgs[i]
+        else:
+            for r in sorted_reads:
+                qual = r.qual if self.trim_level != 0 else None
+                read, _, min_cnt, median_cnt, avg_cnt, _ = (
+                    self.kmer_count.get_count_stats_and_trim(r.read, qual)
+                )
+                r.read = read if read else None
+                r.qual = None
+                r.min_cnt = min_cnt
+                r.median_cnt = median_cnt
+                r.avg_cnt = avg_cnt
 
         kept = [r for r in sorted_reads if r.read is not None]
         for r in kept:
@@ -500,8 +547,44 @@ class Assembler:
     def _barcode_kmer_pass(self, sorted_reads: List[SortRead], max_read_len: int):
         """Per-barcode 21-mer counting + resort (main.cpp:1123-1193)."""
         sorted_reads.sort(key=lambda r: self._barcode_key(r))
-        i = 0
         n = len(sorted_reads)
+        # Native threaded pass: barcode groups are independent counters, so
+        # one FFI call fans them out across threads (t4kc_barcode_pass)
+        # instead of 2 ctypes calls per read.
+        from trust4_tpu.engine import overlap_native as _on
+        from trust4_tpu.utils.parallel import internal_threads
+
+        res = (
+            _on.barcode_pass(
+                21,
+                [r.read for r in sorted_reads],
+                [r.barcode for r in sorted_reads],
+                max_read_len,
+                internal_threads(self.threads),
+            )
+            if n and _os.environ.get("TRUST4_TPU_NATIVE", "1") != "0"
+            else None
+        )
+        if res is not None:
+            mins, meds, avgs = (a.tolist() for a in res)
+            for k, r in enumerate(sorted_reads):
+                r.barcode_min_cnt = mins[k]
+                r.barcode_median_cnt = meds[k]
+                r.barcode_avg_cnt = avgs[k]
+            i = 0
+            while i < n:
+                j = i + 1
+                while (
+                    j < n
+                    and sorted_reads[j].barcode == sorted_reads[i].barcode
+                ):
+                    j += 1
+                sorted_reads[i:j] = sorted(
+                    sorted_reads[i:j], key=lambda r: self._barcode_key(r)
+                )
+                i = j
+            return
+        i = 0
         while i < n:
             j = i + 1
             while j < n and sorted_reads[j].barcode == sorted_reads[i].barcode:
