@@ -122,6 +122,50 @@ def bench_extraction_reads_per_sec() -> float:
     return n_reads / best
 
 
+def bench_barcoded(refdir: str, threads: int):
+    """Single-cell e2e A/B: deterministic 1000-cell 10x-style corpus
+    (per-barcode assembly, 6k+ contigs — the scale bulk can't exercise).
+    Returns (ours_wall, ref_wall), best of 2 alternated runs each."""
+    sys.path.insert(0, REPO)
+    from tools.make_bench_corpus import make_barcoded_corpus
+
+    reads_fq = "/tmp/t4bench_bc_reads.fq"
+    bc_fq = "/tmp/t4bench_bc_bc.fq"
+    if not (os.path.exists(reads_fq) and os.path.exists(bc_fq)):
+        make_barcoded_corpus(reads_fq, bc_fq)
+    fmt = "bc:0:15,um:16:25"
+    d = tempfile.mkdtemp(prefix="t4bench_bc_")
+    ours_best = ref_best = float("inf")
+    for rep in range(2):
+        t0 = time.time()
+        r = subprocess.run(
+            [
+                "perl", os.path.join(refdir, "run-trust4"),
+                "-u", reads_fq, "--barcode", bc_fq, "--readFormat", fmt,
+                "-f", os.path.join(refdir, "hg38_bcrtcr.fa"),
+                "--ref", os.path.join(refdir, "human_IMGT+C.fa"),
+                "-o", os.path.join(d, f"ref{rep}"), "-t", str(threads),
+            ],
+            capture_output=True, timeout=1800,
+        )
+        if r.returncode == 0:
+            ref_best = min(ref_best, time.time() - t0)
+        t0 = time.time()
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "trust4_tpu", "run",
+                "-u", reads_fq, "--barcode", bc_fq, "--readFormat", fmt,
+                "-f", os.path.join(REF_SRC, "hg38_bcrtcr.fa"),
+                "--ref", os.path.join(REF_SRC, "human_IMGT+C.fa"),
+                "-o", f"ours{rep}", "--od", d, "-t", str(threads),
+            ],
+            capture_output=True, timeout=1800, cwd=REPO,
+        )
+        if r.returncode == 0:
+            ours_best = min(ours_best, time.time() - t0)
+    return ours_best, ref_best
+
+
 def bench_dp_device():
     """Device banded-DP cell-updates/s (Pallas kernel)."""
     sys.path.insert(0, REPO)
@@ -181,6 +225,16 @@ def main() -> None:
               file=sys.stderr)
     except Exception as e:
         print(f"extraction bench skipped: {e}", file=sys.stderr)
+
+    if refdir:
+        try:
+            ob, rb = bench_barcoded(refdir, nt)
+            print(
+                f"barcoded single-cell e2e -t{nt}: ours {ob:.2f}s vs ref "
+                f"{rb:.2f}s ({rb / ob:.2f}x)", file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"barcoded bench skipped: {e}", file=sys.stderr)
 
     try:
         dp = bench_dp_device()

@@ -107,13 +107,18 @@ class AssembleMixin:
         self.set_prev_add_info(sid, 0, len(read) - 1, 0, len(read) - 1, strand)
         return sid
 
-    def input_novel_seq(self, name: str, seq: str, pos_weight: np.ndarray) -> int:
+    def input_novel_seq(self, name: str, seq: str, pos_weight: np.ndarray,
+                        defer_index: bool = False) -> int:
+        """defer_index=True skips the per-seq index build so a bulk loader
+        (annotator load_assembly) can run one batched rebuild after all
+        seqs are in — only valid while no query runs in between."""
         sw = SeqWrapper(name=name, consensus=seq, is_ref=False)
         sw.info = [[0, 0, 0], [0, 0, 0], [0, 0, 0]]
         sw.pos_weight = pos_weight
         sid = len(self.seqs)
         self.seqs.append(sw)
-        self.seq_index.build_from_read(seq, self.kmer_length, sid, -1)
+        if not defer_index:
+            self.seq_index.build_from_read(seq, self.kmer_length, sid, -1)
         self.set_prev_add_info(sid, 0, len(seq) - 1, 0, len(seq) - 1, 1)
         return sid
 
@@ -209,6 +214,7 @@ class AssembleMixin:
         self.seq_index.clear()
         self._native_reset()  # seq indices change below
         kept: List[SeqWrapper] = []
+        batch: List[tuple] = []
         for sw in self.seqs:
             if sw is None or sw.consensus is None:
                 continue
@@ -217,8 +223,21 @@ class AssembleMixin:
             k = len(kept)
             kept.append(sw)
             if sw.index:
+                batch.append((sw.consensus, k, sw.barcode))
+        if (
+            batch
+            and self.seq_index.native_only
+            and self.seq_index.native is not None
+        ):
+            # One reserved-map FFI call instead of a per-seq rebuild loop.
+            self.seq_index.native.build_batch(
+                [b[0] for b in batch], self.kmer_length,
+                [b[1] for b in batch], [b[2] for b in batch],
+            )
+        else:
+            for cons, k, bc in batch:
                 self.seq_index.build_from_read(
-                    sw.consensus, self.kmer_length, k, sw.barcode, 0
+                    cons, self.kmer_length, k, bc, 0
                 )
         self.seqs = kept
         self.set_prev_add_info(-1, -1, -1, -1, -1, 0)

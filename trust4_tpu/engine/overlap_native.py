@@ -229,6 +229,18 @@ def _load():
         c_int, c_char_p, _i64p, _i64p, c_int, ctypes.c_int64, c_int,
         _i64p, _i64p, _f64p,
     ]
+    lib.t4o_build_batch.restype = None
+    lib.t4o_build_batch.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i64p, c_int, c_int,
+    ]
+    lib.t4s_assemble_loop.restype = c_int
+    lib.t4s_assemble_loop.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, c_int,
+        _i32p, _f64p, _i32p, _i32p, _f64p, _i32p, c_char_p, _i64p, c_int,
+        c_int, c_int, c_int, c_int, c_dbl, c_dbl, c_dbl,
+        c_int, c_int, c_int, c_int, c_int, ctypes.c_int64, c_int,
+        _i32p, _i32p, _u8p, _i32p, _i32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -368,6 +380,7 @@ class NativeOverlapEngine:
         self._sc_f64 = np.empty(self._sc_cap, dtype=np.float64)
         # posWeight keepalives for registered seqs (sid -> ndarray)
         self._pw_keep = {}
+        self._s_out2 = None  # reusable AddRead out buffer (hot loop)
 
     def __del__(self):
         try:
@@ -394,6 +407,20 @@ class NativeOverlapEngine:
         b = s.encode("ascii")
         self._lib.t4o_build_from_read(self._h, b, len(b), kl, sid, barcode,
                                       shift)
+
+    def build_batch(self, seqs, kl: int, sids, barcodes) -> None:
+        """Full-rebuild batch (t4o_build_batch): one FFI call + reserved
+        postings map for all seqs."""
+        blobs = [s.encode("ascii") for s in seqs]
+        offs = np.zeros(len(blobs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        sid_arr = np.ascontiguousarray(sids, dtype=np.int32)
+        bc_arr = np.ascontiguousarray(barcodes, dtype=np.int64)
+        self._lib.t4o_build_batch(
+            self._h, b"".join(blobs), offs.ctypes.data_as(_i64p),
+            sid_arr.ctypes.data_as(_i32p), bc_arr.ctypes.data_as(_i64p),
+            len(blobs), kl,
+        )
 
     def remove_from_read(self, s: str, kl: int, sid: int, barcode: int,
                          offset: int = 0) -> None:
@@ -862,13 +889,49 @@ class NativeOverlapEngine:
         repsim)."""
         b = read.encode("ascii")
         g = gene_name.encode("ascii")
-        out2 = np.empty(2, dtype=np.int32)
+        # Hot loop (once per AddRead): reuse one out buffer and a cached
+        # bound method instead of np.empty + data_as per call.
+        out2 = self._s_out2
+        if out2 is None:
+            out2 = self._s_out2 = (ctypes.c_int32 * 2)()
         self._lib.t4s_add_read(
             self._h, b, len(b), g, len(g), strand, barcode, min_kmer_count,
-            1 if repetitive else 0, sim_threshold, *conf,
-            out2.ctypes.data_as(_i32p),
+            1 if repetitive else 0, sim_threshold, *conf, out2,
         )
-        return int(out2[0]), int(out2[1])
+        return out2[0], out2[1]
+
+    def s_assemble_loop(self, reads, meta, plan_sim, plan_name4, g8, gsim,
+                        ref_lens, ref_names, conf, has_barcode,
+                        keep_missing_barcode, contig_min_cov,
+                        first_read_len, repetitive, change_kmer_threshold,
+                        index_kmer_length, io_strand, io_info, io_good):
+        """Run the whole greedy loop + rescue pass in C++
+        (t4s_assemble_loop).  Mutates io_strand/io_info/io_good in place;
+        returns (add_ret (n,) i32, assembled index list)."""
+        n = len(reads)
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        nblobs = [s.encode("ascii") for s in ref_names]
+        noffs = np.zeros(len(nblobs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in nblobs], out=noffs[1:])
+        out_add_ret = np.empty(n, dtype=np.int32)
+        out_assembled = np.empty(n, dtype=np.int32)
+        cnt = self._lib.t4s_assemble_loop(
+            self._h, b"".join(blobs), offs.ctypes.data_as(_i64p), n,
+            meta.ctypes.data_as(_i32p), plan_sim.ctypes.data_as(_f64p_mod),
+            plan_name4.ctypes.data_as(_i32p), g8.ctypes.data_as(_i32p),
+            gsim.ctypes.data_as(_f64p_mod), ref_lens.ctypes.data_as(_i32p),
+            b"".join(nblobs), noffs.ctypes.data_as(_i64p), len(nblobs),
+            *conf, has_barcode, 1 if keep_missing_barcode else 0,
+            contig_min_cov, first_read_len, repetitive,
+            change_kmer_threshold, index_kmer_length,
+            io_strand.ctypes.data_as(_i32p), io_info.ctypes.data_as(_i32p),
+            io_good.ctypes.data_as(_u8p),
+            out_add_ret.ctypes.data_as(_i32p),
+            out_assembled.ctypes.data_as(_i32p),
+        )
+        return out_add_ret, out_assembled[:cnt]
 
     def s_add_read_spec(self, read: str, gene_name: str, strand: int,
                         barcode: int, min_kmer_count: int, repetitive: bool,

@@ -847,6 +847,21 @@ void t4o_build_from_read(void *h, const char *s, int len, int kl, int sid,
   }
 }
 
+// Batched build for full rebuilds (SeqSet clean / annotator load): one
+// FFI call for all seqs, with the postings map reserved up front so the
+// 5M+ inserts of a 10k-contig rebuild don't rehash repeatedly.
+void t4o_build_batch(void *h, const char *blob, const int64_t *offs,
+                     const int32_t *sids, const int64_t *barcodes, int n,
+                     int kl) {
+  Engine *E = (Engine *)h;
+  int64_t total = 0;
+  for (int i = 0; i < n; i++) total += offs[i + 1] - offs[i];
+  E->index.reserve(E->index.size() + (size_t)total / 2);
+  for (int i = 0; i < n; i++)
+    t4o_build_from_read(h, blob + offs[i], (int)(offs[i + 1] - offs[i]), kl,
+                        sids[i], barcodes[i], 0);
+}
+
 // KmerIndex.remove_from_read (ops/kmer_index.py:98-104).
 void t4o_remove_from_read(void *h, const char *s, int len, int kl, int sid,
                           int64_t barcode, int offset) {
@@ -4409,3 +4424,270 @@ void t4o_annotate0_batch_oracle(void* h, const char* blob,
 
 // Detail-2 annotation (native port; see the file header for scope).
 #include "annotate2.inc"
+
+// ===========================================================================
+// The greedy assembly loop, fully native (pipeline/assembler.py assemble();
+// reference main.cpp:1583-1940): per-read Python iteration + ctypes
+// marshalling cost ~35us/read at 68k reads.  The loop body calls the same
+// primitives the Python loop called one FFI round-trip at a time
+// (ms_add_read / t4s_repeat_add_read / t4s_input_novel_read / barcode
+// release / consensus cadence / kmer-length growth), so outputs are
+// byte-identical by construction.  The Python loop remains the
+// debug-trace (TRUST4_TPU_DEBUG) and speculative-round path.
+// ===========================================================================
+
+namespace {
+
+// has_motif (engine/annotate.py:84-107; SeqSet.hpp:5029-5074): YYC /
+// [FW]GxG over 3 frames of the FORWARD read (the reference computes but
+// never uses the rc for strand -1).
+int ms_has_motif(const char* read, int len, int strand) {
+  if (strand == 0) return 0;
+  int ret = 0;
+  for (int k = 0; k < 3; k++) {
+    static thread_local std::vector<char> aa;
+    aa.clear();
+    for (int i = k; i + 2 < len; i += 3)
+      aa.push_back(ann2::codon_aa(read[i], read[i + 1], read[i + 2]));
+    int j = (int)aa.size();
+    for (int i = 0; i + 2 < j; i++)
+      if (aa[i] == 'Y' && aa[i + 1] == 'Y' && aa[i + 2] == 'C') {
+        ret |= 2;
+        break;
+      }
+    for (int i = 0; i + 3 < j; i++)
+      if ((aa[i] == 'F' || aa[i] == 'W') && aa[i + 1] == 'G' &&
+          aa[i + 3] == 'G') {
+        ret |= 1;
+        break;
+      }
+  }
+  return ret;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Runs the whole greedy loop + rescue pass.  Per-read inputs:
+//   meta (n, 6) int32 rows {barcode, mate_idx, min_cnt, has_plan,
+//                           plan_strand, plan_min_kmer_cnt}
+//   plan_sim (n,) f64; plan_name4 (n,) int32 (<=4 raw name bytes, LE, 0-padded)
+//   g8 (n, 4, 8) int32 quick-annotation rows {seq_idx, read_start,
+//      read_end, strand, seq_start, seq_end, match_cnt, indel_cnt};
+//   gsim (n, 4) f64 similarities (rows of repeat reads unused — the loop
+//   keeps the last non-repeat read's rows live, the reference variable
+//   semantics).
+//   ref_lens (n_ref,) / ref_names blob+offs: the quick-annotation target
+//   SeqSet (rescue reads its consensus_len + name).
+// In/out: io_strand (n,) i32, io_info (n,) i32, io_good (n,) u8.
+// Outputs: out_add_ret (n,) i32; out_assembled (cap n+rescues) i32 index
+// list in emit order (loop order, then rescue order).  Returns the
+// assembled count written to out_assembled (loop + rescue).
+int t4s_assemble_loop(
+    void* h, const char* blob, const int64_t* offs, int n,
+    const int32_t* meta, const double* plan_sim, const int32_t* plan_name4,
+    const int32_t* g8, const double* gsim, const int32_t* ref_lens,
+    const char* ref_names, const int64_t* ref_name_offs, int n_ref,
+    int radius, int hit_len_required, int is_long_seq_set,
+    int nomatch_gap_limit, double novel_sim, double ref_sim,
+    double repeat_sim, int has_barcode, int keep_missing_barcode,
+    int contig_min_cov, int first_read_len, int repetitive,
+    int64_t change_kmer_threshold, int index_kmer_length,
+    int32_t* io_strand, int32_t* io_info, uint8_t* io_good,
+    int32_t* out_add_ret, int32_t* out_assembled) {
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  (void)n_ref;
+
+  std::unordered_map<int, int> barcode_total, barcode_done;
+  if (has_barcode) {
+    for (int i = 0; i < n; i++) {
+      int bc = meta[6 * i];
+      if (bc != -1) barcode_total[bc]++;
+    }
+  }
+
+  std::vector<int> rescue_idx;
+  int n_assembled = 0;
+  int assembled_read_cnt = 0;
+  int prev_add_ret = -1;
+  int gsrc = 0;  // last non-repeat read: its g8/gsim rows are the live
+                 // gene_overlap variable (reference main.cpp loop scope)
+  auto G = [&](int i, int g, int f) -> int32_t {
+    return g8[(int64_t)32 * i + 8 * g + f];
+  };
+  auto GS = [&](int i, int g) -> double { return gsim[(int64_t)4 * i + g]; };
+
+  for (int i = 0; i < n; i++) {
+    const char* rd = blob + offs[i];
+    int len = (int)(offs[i + 1] - offs[i]);
+    int bc = meta[6 * i];
+    int mate_idx = meta[6 * i + 1];
+    int add_ret = -1;
+    bool is_repeat =
+        i > 0 && len == (int)(offs[i] - offs[i - 1]) &&
+        memcmp(rd, blob + offs[i - 1], len) == 0 && bc == meta[6 * (i - 1)];
+    if (!is_repeat) {
+      gsrc = i;
+      if (meta[6 * i + 3]) {  // has_plan
+        char name[4];
+        int32_t n4 = plan_name4[i];
+        int name_len = 0;
+        for (int b = 0; b < 4; b++) {
+          char c = (char)((n4 >> (8 * b)) & 0xff);
+          if (c == 0) break;
+          name[name_len++] = c;
+        }
+        int o2[2];
+        ms_add_read(h, rd, len, name, name_len, meta[6 * i + 4], bc,
+                    meta[6 * i + 5], repetitive != 0, plan_sim[i], C, o2);
+        add_ret = o2[0];
+        io_strand[i] = o2[1];
+        if (add_ret < 0) {
+          // Reference-anchor rescue (main.cpp:1703-1759).
+          int64_t match_cnt = 0;
+          for (int g = 0; g < 4; g++)
+            if (G(gsrc, g, 0) != -1) match_cnt += G(gsrc, g, 6) / 2;
+          bool filtered = true;
+          if (match_cnt >= 31) {
+            filtered = false;
+          } else {
+            if (G(gsrc, 0, 0) != -1 && G(gsrc, 2, 0) != -1 &&
+                G(gsrc, 0, 2) < G(gsrc, 2, 1)) {
+              filtered = false;
+            } else if (G(gsrc, 0, 0) != -1) {
+              if (G(gsrc, 0, 5) >= ref_lens[G(gsrc, 0, 0)] - 17)
+                filtered = false;
+            } else if (G(gsrc, 2, 0) != -1) {
+              if (G(gsrc, 2, 4) <= 17) filtered = false;
+            }
+          }
+          int first_gene = -1;
+          for (int g = 0; g < 4; g++)
+            if (G(gsrc, g, 0) != -1) {
+              first_gene = g;
+              break;
+            }
+          if (!filtered && first_gene != -1) {
+            int sidx = G(gsrc, first_gene, 0);
+            const char* nm = ref_names + ref_name_offs[sidx];
+            int nm_len = (int)(ref_name_offs[sidx + 1] - ref_name_offs[sidx]);
+            add_ret = t4s_input_novel_read(h, nm, nm_len, rd, len,
+                                           G(gsrc, first_gene, 3), bc);
+          } else if (io_good[i]) {
+            int mate_strand = -io_strand[io_info[i]];
+            if (ms_has_motif(rd, len, mate_strand))
+              add_ret = t4s_input_novel_read(h, "Novel", 5, rd, len,
+                                             mate_strand, bc);
+          }
+        }
+      }
+    } else {
+      if (prev_add_ret != -1 && prev_add_ret != -3)
+        add_ret = t4s_repeat_add_read(h, rd, len);
+      else if (prev_add_ret == -3)
+        add_ret = -3;
+      io_strand[i] = io_strand[i - 1];
+    }
+
+    if (add_ret == -2) {
+      rescue_idx.push_back(i);
+    } else if (add_ret >= 0) {
+      assembled_read_cnt++;
+      out_assembled[n_assembled++] = i;
+      if (mate_idx > i) {
+        bool good = false, may_span = false;
+        if (G(gsrc, 0, 0) != -1 && GS(gsrc, 0) >= 0.9 &&
+            io_strand[i] == 1) {
+          good = true;
+          if (G(gsrc, 2, 0) != -1 && G(gsrc, 2, 1) > G(gsrc, 0, 2))
+            may_span = true;
+          if (G(gsrc, 3, 0) != -1 && G(gsrc, 3, 1) > G(gsrc, 0, 2))
+            may_span = true;
+        }
+        for (int g = 2; g <= 3; g++) {
+          if (G(gsrc, g, 0) != -1 && GS(gsrc, g) >= 0.9 &&
+              io_strand[i] == -1) {
+            good = true;
+            if (G(gsrc, 0, 0) != -1 && G(gsrc, g, 1) > G(gsrc, 0, 2))
+              may_span = true;
+          }
+        }
+        if (may_span) good = false;
+        if (good && !io_good[mate_idx]) {
+          int tag = mate_idx;
+          int64_t tlen = offs[tag + 1] - offs[tag];
+          for (int j = tag - 1; j > 0; j--) {
+            if (offs[j + 1] - offs[j] == tlen &&
+                memcmp(blob + offs[j], blob + offs[tag], tlen) == 0) {
+              io_good[j] = 1;
+              io_info[j] = i;
+            } else {
+              break;
+            }
+          }
+          for (int j = tag + 1; j < n; j++) {
+            if (offs[j + 1] - offs[j] == tlen &&
+                memcmp(blob + offs[j], blob + offs[tag], tlen) == 0) {
+              io_good[j] = 1;
+              io_info[j] = i;
+            } else {
+              break;
+            }
+          }
+        }
+        if (good) {
+          io_good[mate_idx] = 1;
+          io_info[mate_idx] = i;
+        }
+      }
+      if (has_barcode && !keep_missing_barcode && bc != -1) {
+        if (++barcode_done[bc] >= barcode_total[bc])
+          t4s_release_finished_barcode(h, bc, 1, contig_min_cov, 1);
+      }
+    }
+
+    // NOTE: fires on EVERY iteration while the count rests at a 10000
+    // multiple (reference main.cpp behavior), not just on the read that
+    // reached it — repeat calls are no-ops but the call pattern matches.
+    if (assembled_read_cnt > 0 && assembled_read_cnt % 10000 == 0 &&
+        !has_barcode)
+      t4s_update_all_consensus(h);
+
+    prev_add_ret = add_ret;
+    out_add_ret[i] = add_ret;
+
+    if ((int)registry_for(h).seqs.size() > change_kmer_threshold &&
+        index_kmer_length < 16 && !has_barcode) {
+      change_kmer_threshold *= 4;
+      index_kmer_length += 2;
+      t4s_change_kmer_length(h, index_kmer_length);
+    }
+  }
+
+  t4s_update_all_consensus(h);
+
+  // Rescue pass (main.cpp:1897-1940).
+  int rescue_cnt = first_read_len <= 200 ? (int)rescue_idx.size() : 0;
+  for (int k = 0; k < rescue_cnt; k++) {
+    int i = rescue_idx[k];
+    const char* rd = blob + offs[i];
+    int len = (int)(offs[i + 1] - offs[i]);
+    double simthr = 0.9;
+    int min_cnt = meta[6 * i + 2];
+    if (min_cnt >= 20)
+      simthr = 0.97;
+    else if (min_cnt >= 2)
+      simthr = 0.95;
+    int o2[2];
+    ms_add_read(h, rd, len, "", 0, 0, meta[6 * i], 1, repetitive != 0,
+                simthr, C, o2);
+    io_strand[i] = o2[1];
+    if (o2[0] >= 0) out_assembled[n_assembled++] = i;
+  }
+  t4s_update_all_consensus(h);
+  return n_assembled;
+}
+
+}  // extern "C"

@@ -179,8 +179,22 @@ class Annotator:
                     srow = lines[i + 2 + k].split()
                     row = np.array([int(x) for x in srow], dtype=np.int32)
                 w[: len(row), k] = row
-            self.seq_set.input_novel_seq(name, seq, w)
+            self.seq_set.input_novel_seq(name, seq, w, defer_index=True)
             i += 6
+        # One batched index rebuild for all loaded contigs (no query ran
+        # during the deferred loads above).
+        ss = self.seq_set
+        nat = ss.seq_index.native
+        if ss.seq_index.native_only and nat is not None:
+            nat.build_batch(
+                [sw.consensus for sw in ss.seqs], ss.kmer_length,
+                list(range(len(ss.seqs))), [-1] * len(ss.seqs),
+            )
+        else:
+            for sid, sw in enumerate(ss.seqs):
+                ss.seq_index.build_from_read(
+                    sw.consensus, ss.kmer_length, sid, -1
+                )
         if self.has_barcode:
             self._set_barcode_from_seq_name()
             self.seq_set.set_consider_barcode_in_index_hash(True)

@@ -822,6 +822,80 @@ class Assembler:
     # commits replay them (invalid entries re-query serially).
     SPEC_ROUND = 256
 
+    def _assemble_native(self, sorted_reads: List[SortRead],
+                         repetitive: bool) -> List[int]:
+        """Marshal the per-read state once and run the greedy loop +
+        rescue pass natively (native/overlap_engine.cpp
+        t4s_assemble_loop; byte-identical to the Python loop below)."""
+        import numpy as np
+
+        seq_set = self.seq_set
+        n = len(sorted_reads)
+        meta = np.empty((n, 6), dtype=np.int32)
+        plan_sim = np.zeros(n, dtype=np.float64)
+        plan_name4 = np.zeros(n, dtype=np.int32)
+        g8 = np.empty((n, 4, 8), dtype=np.int32)
+        gsim = np.empty((n, 4), dtype=np.float64)
+        io_strand = np.empty(n, dtype=np.int32)
+        io_info = np.empty(n, dtype=np.int32)
+        io_good = np.zeros(n, dtype=np.uint8)
+        for i, r in enumerate(sorted_reads):
+            is_rep = (
+                i > 0
+                and r.read == sorted_reads[i - 1].read
+                and r.barcode == sorted_reads[i - 1].barcode
+            )
+            p = None if is_rep else self._add_read_params(r)
+            if p is None:
+                meta[i] = (r.barcode, r.mate_idx, r.min_cnt, 0, 0, 0)
+            else:
+                name, strand, min_kmer_cnt, sim = p
+                nb = name.encode("ascii")[:4]
+                packed = 0
+                for k, byte in enumerate(nb):
+                    packed |= byte << (8 * k)
+                meta[i] = (
+                    r.barcode, r.mate_idx, r.min_cnt, 1, strand, min_kmer_cnt,
+                )
+                plan_sim[i] = sim
+                plan_name4[i] = packed
+            io_strand[i] = r.strand
+            io_info[i] = r.info
+            go = r.gene_overlap
+            for g in range(4):
+                o = go[g]
+                g8[i, g] = (
+                    o.seq_idx, o.read_start, o.read_end, o.strand,
+                    o.seq_start, o.seq_end, o.match_cnt, o.indel_cnt,
+                )
+                gsim[i, g] = o.similarity
+        ref_lens = np.array(
+            [s.consensus_len for s in self.ref_set.seqs], dtype=np.int32
+        )
+        ref_names = [s.name for s in self.ref_set.seqs]
+
+        change_kmer_threshold = self.change_kmer_length_threshold
+        add_ret, assembled = seq_set.seq_index.native.s_assemble_loop(
+            [r.read for r in sorted_reads], meta, plan_sim, plan_name4,
+            g8, gsim, ref_lens, ref_names, seq_set._sconf(),
+            1 if self.has_barcode else 0, self.keep_missing_barcode,
+            self.contig_min_cov, self.first_read_len,
+            1 if repetitive else 0, change_kmer_threshold,
+            self.index_kmer_length, io_strand, io_info, io_good,
+        )
+        strands = io_strand.tolist()
+        rets = add_ret.tolist()
+        loop_assembled = 0
+        for i, r in enumerate(sorted_reads):
+            r.strand = strands[i]
+            if rets[i] >= 0:
+                loop_assembled += 1
+        assembled_read_idx = assembled.tolist()
+        log(f"Assembled {loop_assembled} reads.")
+        seq_set.pull_from_native()
+        log(f"Rescued {len(assembled_read_idx) - loop_assembled} reads.")
+        return assembled_read_idx
+
     def assemble(self, sorted_reads: List[SortRead]) -> List[int]:
         """Greedy assembly loop (main.cpp:1583-1940) restructured as
         speculative rounds: phase A batch-matches the next SPEC_ROUND
@@ -898,6 +972,18 @@ class Assembler:
         spec_threads = max(1, internal_threads(self.threads))
 
         dbg = _dbg()
+        # Fully-native greedy loop (t4s_assemble_loop): one FFI call runs
+        # the whole AddRead/rescue loop against the master-mode engine —
+        # the per-read Python iteration + marshalling cost ~35us/read.
+        # The Python loop below remains the debug-trace and
+        # speculative-round path (and the non-master fallback).
+        if (
+            seq_set.native_master
+            and not use_spec
+            and not dbg
+            and _os.environ.get("TRUST4_TPU_NATIVE_LOOP", "1") != "0"
+        ):
+            return self._assemble_native(sorted_reads, repetitive)
         for i in range(read_cnt):
             r = sorted_reads[i]
             if dbg:
