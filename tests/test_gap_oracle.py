@@ -111,3 +111,79 @@ def test_gap_oracle_in_pipeline_example(tmp_path):
             os.path.join(DATA, golden)
         ) as f_want:
             assert f_got.read() == f_want.read(), suffix
+
+
+def test_gap_counts_dedup_scatter(monkeypatch):
+    """The pre-transfer content dedup (gap_oracle.gap_counts_on_device)
+    must scatter unique-row results back bit-exactly.  Device mocked: the
+    tier function computes counts on CPU from the code rows, so the test
+    validates the dedup/scatter plumbing itself."""
+    from trust4_tpu.ops import gap_oracle
+
+    rng = np.random.default_rng(7)
+    # Read/seq universe with heavy duplication (same segments repeat).
+    seqs_str = ["".join(rng.choice(list("ACGT"), 60)) for _ in range(3)]
+    reads = ["".join(rng.choice(list("ACGT"), 50)) for _ in range(4)]
+
+    class _SW:  # minimal SeqWrapper stand-in
+        def __init__(self, s):
+            self.consensus = s
+
+    seqs = [_SW(s) for s in seqs_str]
+    jobs = []
+    for _ in range(300):  # many duplicates by construction
+        q = int(rng.integers(0, len(reads)))
+        sidx = int(rng.integers(0, len(seqs)))
+        t_from = int(rng.integers(0, 10)) * 5
+        t_len = int(rng.integers(1, 13))
+        r_from = int(rng.integers(0, 8)) * 5
+        r_len = int(rng.integers(1, 11))
+        jobs.append((q, 0, 0, sidx, t_from, min(t_len, 60 - t_from),
+                     r_from, min(r_len, 50 - r_from)))
+    gap_jobs = np.array(jobs, dtype=np.int32)
+
+    code_of = {c: i for i, c in enumerate("ACGT")}
+
+    class _FakeNat:
+        def emit_gap_codes(self, query_jobs, sub_jobs, width):
+            n = len(sub_jobs)
+            out_t = np.full((n, width), 5, dtype=np.int8)
+            out_p = np.full((n, width), 5, dtype=np.int8)
+            for j, row in enumerate(sub_jobs):
+                q, _ov, _go, sidx, t_from, t_len, r_from, r_len = (
+                    int(v) for v in row
+                )
+                t = seqs_str[sidx][t_from : t_from + t_len][:width]
+                p = reads[q][r_from : r_from + r_len][:width]
+                for i, c in enumerate(t):
+                    out_t[j, i] = code_of[c]
+                for i, c in enumerate(p):
+                    out_p[j, i] = code_of[c]
+            return out_t, out_p
+
+    def _cpu_tier_counts(tc, tcl, pc, pcl, w, p_max):
+        m = len(tc)
+        out = np.zeros((m, 3), dtype=np.int32)
+        for j in range(m):
+            t = "".join("ACGT"[v] for v in tc[j][: int(tcl[j])])
+            p = "".join("ACGT"[v] for v in pc[j][: int(pcl[j])])
+            out[j] = align_native.global_alignment_counts(t, p)
+        return out
+
+    monkeypatch.setattr(gap_oracle, "_get_tier_counts",
+                        lambda: _cpu_tier_counts)
+    monkeypatch.setattr(gap_oracle, "_prewarm_thread", None)
+
+    counts = gap_oracle.gap_counts_on_device(
+        _FakeNat(), reads, gap_jobs, seqs
+    )
+    assert counts is not None
+    for i, row in enumerate(gap_jobs):
+        q, _ov, _go, sidx, t_from, t_len, r_from, r_len = (
+            int(v) for v in row
+        )
+        want = align_native.global_alignment_counts(
+            seqs_str[sidx][t_from : t_from + t_len],
+            reads[q][r_from : r_from + r_len],
+        )
+        assert tuple(int(v) for v in counts[i]) == tuple(want), i

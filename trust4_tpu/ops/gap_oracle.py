@@ -207,6 +207,30 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
             )
             tl = np.minimum(t_lens[idx], s_cap).astype(np.int32)
             pl = np.minimum(r_lens[idx], s_cap).astype(np.int32)
+            # Content dedup before transfer: IMGT alleles are
+            # near-duplicates, so the same (target, read) code pair recurs
+            # ~25x per batch (measured; same fact the CPU memo exploits).
+            # The code rows determine the lengths (pad byte 5), so the
+            # concatenated row IS the job identity.
+            comb = np.ascontiguousarray(
+                np.concatenate([t_codes, p_codes], axis=1)
+            )
+            voids = comb.view(
+                np.dtype((np.void, comb.shape[1]))
+            ).reshape(-1)
+            _, uniq_at, inv = np.unique(
+                voids, return_index=True, return_inverse=True
+            )
+            if len(uniq_at) < len(idx):
+                t_codes = np.ascontiguousarray(t_codes[uniq_at])
+                p_codes = np.ascontiguousarray(p_codes[uniq_at])
+                tl = tl[uniq_at]
+                pl = pl[uniq_at]
+                scatter = (idx, inv)
+                idx = idx[uniq_at]  # launch count only
+            else:
+                scatter = None
+            uniq_counts_parts = []
             for at in range(0, len(idx), chunk):
                 hi = min(at + chunk, len(idx))
                 if hi - at == chunk:
@@ -223,7 +247,16 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
                     pcl[: hi - at] = pl[at:hi]
                 dev_counts = tier_counts(tc, tcl, pc, pcl,
                                          w=w_cap, p_max=s_cap)
-                pending.append((idx[at:hi], hi - at, dev_counts))
+                if scatter is None:
+                    pending.append((idx[at:hi], hi - at, dev_counts))
+                else:
+                    uniq_counts_parts.append((hi - at, dev_counts))
+            if scatter is not None:
+                all_idx, inv2 = scatter
+                uc = np.concatenate(
+                    [np.asarray(d)[:m] for m, d in uniq_counts_parts]
+                )
+                pending.append((all_idx, len(all_idx), uc[inv2]))
         for sel, m, dev_counts in pending:
             counts[sel] = np.asarray(dev_counts)[:m]
             done[sel] = True
