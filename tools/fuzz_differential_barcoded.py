@@ -73,8 +73,18 @@ for seed in range(int(sys.argv[1]), int(sys.argv[2])):
         for f in ['_final.out', '_cdr3.out', '_annot.fa']:
             if open(f'{d}/my{f}','rb').read() != open(f'{d}/ref{f}','rb').read():
                 st.append(f + ':DIFF')
+        import re
+        def _norm(path):
+            # The reference's trust-barcoderep.pl picks the cross-cell
+            # imputation SOURCE cell by Perl hash iteration order when
+            # several tie (verified nondeterministic run-to-run on
+            # identical inputs), and the copied abundance follows the
+            # choice — blank both for the comparison.
+            txt = open(path).read()
+            txt = re.sub(r'[0-9.]+,impute_from_\S+?,', 'IMPUTED,', txt)
+            return sorted(txt.splitlines())
         for f in ['_barcode_report.tsv', '_report.tsv']:
-            if sorted(open(f'{d}/my{f}').read().splitlines()) != sorted(open(f'{d}/ref{f}').read().splitlines()):
+            if _norm(f'{d}/my{f}') != _norm(f'{d}/ref{f}'):
                 st.append(f + ':DIFF')
     tag = 'UMI' if use_umi else 'BC'
     print(f"seed {seed} {tag} n={n}: {st if st else 'OK'}", flush=True)
