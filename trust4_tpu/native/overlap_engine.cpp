@@ -48,12 +48,57 @@ struct Engine {
   int kmer_len = 9;
   bool consider_barcode = false;
   std::unordered_map<Key, std::vector<std::pair<int, int>>, KeyHash> index;
+  // Direct-addressed CSR snapshot of the postings (code -> pairs), built
+  // lazily at batch-query entry when the index is frozen for the batch
+  // (annotator/quick-annotation sweeps): one array lookup replaces the
+  // unordered_map find in the hits hot loop.  Invalidated by ANY index
+  // mutation; only valid in the non-barcode-hashed mode at kl <= 10
+  // (4^10 slots = 4MB of offsets).
+  bool csr_valid = false;
+  int csr_kl = 0;
+  std::vector<int32_t> csr_off;
+  std::vector<std::pair<int, int>> csr_post;
 };
+
+inline void invalidate_csr(Engine *E) { E->csr_valid = false; }
 
 inline Key make_key(const Engine &E, uint64_t code, int64_t barcode) {
   if (E.consider_barcode)
     return {code, ((int64_t)code + barcode + 1) % KINDEX_HASH_MAX};
   return {code, (int64_t)(code % (uint64_t)KINDEX_HASH_MAX)};
+}
+
+// Build (or skip) the CSR snapshot; call single-threaded before a batch.
+inline void engine_ensure_csr(Engine *E) {
+  if (E->csr_valid && E->csr_kl == E->kmer_len) return;
+  E->csr_valid = false;
+  if (E->consider_barcode || E->kmer_len > 10 || E->index.size() < 1024)
+    return;
+  size_t slots = (size_t)1 << (2 * E->kmer_len);
+  E->csr_off.assign(slots + 1, 0);
+  size_t total = 0;
+  for (const auto &kv : E->index) {
+    // Mirror find(make_key(code, ·)) in non-barcode mode exactly: keys
+    // inserted under barcode hashing (different second) are unreachable
+    // in this mode and are skipped.
+    if (kv.first.code >= slots) return;  // stale longer-k key: bail
+    if (kv.first.h !=
+        (int64_t)(kv.first.code % (uint64_t)KINDEX_HASH_MAX))
+      continue;
+    E->csr_off[kv.first.code + 1] = (int32_t)kv.second.size();
+    total += kv.second.size();
+  }
+  for (size_t i = 1; i <= slots; i++) E->csr_off[i] += E->csr_off[i - 1];
+  E->csr_post.resize(total);
+  for (const auto &kv : E->index) {
+    if (kv.first.h !=
+        (int64_t)(kv.first.code % (uint64_t)KINDEX_HASH_MAX))
+      continue;
+    std::copy(kv.second.begin(), kv.second.end(),
+              E->csr_post.begin() + E->csr_off[kv.first.code]);
+  }
+  E->csr_kl = E->kmer_len;
+  E->csr_valid = true;
 }
 
 // ---------------------------------------------------------------------------
@@ -723,8 +768,9 @@ void get_hits_from_read(const Engine &E, const Conf &C, const Meta &M,
   static thread_local std::vector<uint64_t> codes;
   static thread_local std::vector<uint8_t> valid;
   static thread_local std::string rc;
-  static const std::vector<std::pair<int, int>> kEmpty;
 
+  const bool use_csr = E.csr_valid && !E.consider_barcode &&
+                       E.csr_kl == kl;
   auto scan = [&](const char *s, int slen, int st) {
     window_codes(s, slen, kl, codes, valid);
     int n = (int)codes.size();
@@ -734,12 +780,21 @@ void get_hits_from_read(const Engine &E, const Conf &C, const Meta &M,
       if (C.down_sample > 1 && w % C.down_sample != 0) continue;
       uint64_t code = codes[w];
       if (w == 0 || code != prev_code) {
-        const std::vector<std::pair<int, int>> *postings = &kEmpty;
+        const std::pair<int, int> *pdata = nullptr;
+        int size = 0;
         if (valid[w]) {
-          auto it = E.index.find(make_key(E, code, barcode));
-          if (it != E.index.end()) postings = &it->second;
+          if (use_csr) {
+            int32_t a = E.csr_off[code];
+            size = E.csr_off[code + 1] - a;
+            pdata = E.csr_post.data() + a;
+          } else {
+            auto it = E.index.find(make_key(E, code, barcode));
+            if (it != E.index.end()) {
+              pdata = it->second.data();
+              size = (int)it->second.size();
+            }
+          }
         }
-        int size = (int)postings->size();
         if (size >= 100 && puse == nullptr && w != 0 && w != n - 1 &&
             skip_cnt < C.skip_limit) {
           skip_cnt += 1;
@@ -750,13 +805,14 @@ void get_hits_from_read(const Engine &E, const Conf &C, const Meta &M,
         int repeats;
         if (puse != nullptr) {
           repeats = 0;
-          for (const auto &p : *postings)
-            if (puse[p.first]) repeats++;
+          for (int pi = 0; pi < size; pi++)
+            if (puse[pdata[pi].first]) repeats++;
         } else {
           repeats = size;
         }
         if (barcode != -1) repeats = 1;
-        for (const auto &p : *postings) {
+        for (int pi = 0; pi < size; pi++) {
+          const std::pair<int, int> &p = pdata[pi];
           if (puse != nullptr && !puse[p.first]) continue;
           if (barcode != -1 && M.barcode[p.first] != barcode) continue;
           hits.push_back({st == 1 ? 1 : 0, p.first, w, p.second, repeats});
@@ -822,6 +878,7 @@ void t4o_set_consider_barcode(void *h, int v) {
 
 void t4o_clear(void *h) {
   ((Engine *)h)->index.clear();
+  invalidate_csr((Engine *)h);
   // wholesale index change: every speculative result is void
   auto it = g_spec.find(h);
   if (it != g_spec.end()) it->second.active = false;
@@ -845,6 +902,7 @@ void t4o_build_from_read(void *h, const char *s, int len, int kl, int sid,
     spec_note_mutation(h, key);
     E->index[key].push_back({sid, w + shift});
   }
+  invalidate_csr(E);
 }
 
 // Batched build for full rebuilds (SeqSet clean / annotator load): one
@@ -866,6 +924,7 @@ void t4o_build_batch(void *h, const char *blob, const int64_t *offs,
 void t4o_remove_from_read(void *h, const char *s, int len, int kl, int sid,
                           int64_t barcode, int offset) {
   Engine *E = (Engine *)h;
+  invalidate_csr(E);
   std::vector<uint64_t> codes;
   std::vector<uint8_t> valid;
   window_codes(s, len, kl, codes, valid);
@@ -891,6 +950,7 @@ void t4o_remove_from_read(void *h, const char *s, int len, int kl, int sid,
 void t4o_update_from_read(void *h, const char *s, int len, int kl,
                           int64_t barcode, int shift, int old_id, int new_id) {
   Engine *E = (Engine *)h;
+  invalidate_csr(E);
   std::vector<uint64_t> codes;
   std::vector<uint8_t> valid;
   window_codes(s, len, kl, codes, valid);
@@ -2495,6 +2555,7 @@ void t4o_annotate0_batch(void* h, const char* blob, const int64_t* offs,
                          double ref_sim, double repeat_sim, int gap_n,
                          int32_t* out_i32, double* out_f64) {
   Engine* E = (Engine*)h;
+  engine_ensure_csr(E);  // frozen index for this batch
   Engine2& R = registry_for(h);
   SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
           novel_sim, ref_sim, repeat_sim};
@@ -2578,6 +2639,7 @@ void t4o_assign_batch(void* h, const char* blob, const int64_t* offs,
                       double repeat_sim, int32_t* out_i32, double* out_f64,
                       int32_t* out_found) {
   Engine* E = (Engine*)h;
+  engine_ensure_csr(E);  // frozen index for this batch
   Engine2& R = registry_for(h);
   SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
           novel_sim, ref_sim, repeat_sim};
@@ -3635,6 +3697,7 @@ void ms_clean(void* h, bool remove_ref_seq) {
   Engine* E = (Engine*)h;
   Engine2& R = registry_for(h);
   E->index.clear();
+  invalidate_csr(E);
   std::vector<SeqRec> kept;
   for (SeqRec& sw : R.seqs) {
     if (!sw.active) continue;
@@ -4080,6 +4143,7 @@ int t4o_query_scored_batch(void* h, const char* blob, const int64_t* offs,
                            double repeat_sim, int32_t* out_i32,
                            double* out_f64, int cap, int64_t* out_range) {
   Engine* E = (Engine*)h;
+  engine_ensure_csr(E);  // frozen index for this batch
   Engine2& R = registry_for(h);
   SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
           novel_sim, ref_sim, repeat_sim};
@@ -4148,6 +4212,7 @@ int t4o_batch_collect_gaps(void* h, const char* blob, const int64_t* offs,
                            double novel_sim, double ref_sim,
                            double repeat_sim, int32_t* out_jobs, int cap) {
   Engine* E = (Engine*)h;
+  engine_ensure_csr(E);  // frozen index for this batch
   Engine2& R = registry_for(h);
   SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
           novel_sim, ref_sim, repeat_sim};
@@ -4248,6 +4313,7 @@ int t4o_query_scored_batch_oracle(
     const int32_t* jobs, const int32_t* counts, int n_jobs,
     int32_t* out_i32, double* out_f64, int cap, int64_t* out_range) {
   Engine* E = (Engine*)h;
+  engine_ensure_csr(E);  // frozen index for this batch
   Engine2& R = registry_for(h);
   SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
           novel_sim, ref_sim, repeat_sim};
@@ -4319,6 +4385,7 @@ int t4o_annotate0_collect_gaps(void* h, const char* blob,
                                double ref_sim, double repeat_sim, int gap_n,
                                int32_t* out_jobs, int cap) {
   Engine* E = (Engine*)h;
+  engine_ensure_csr(E);  // frozen index for this batch
   Engine2& R = registry_for(h);
   SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
           novel_sim, ref_sim, repeat_sim};
@@ -4380,6 +4447,7 @@ void t4o_annotate0_batch_oracle(void* h, const char* blob,
                                 const int32_t* counts, int n_jobs,
                                 int32_t* out_i32, double* out_f64) {
   Engine* E = (Engine*)h;
+  engine_ensure_csr(E);  // frozen index for this batch
   Engine2& R = registry_for(h);
   SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
           novel_sim, ref_sim, repeat_sim};
