@@ -42,4 +42,7 @@ echo "example e2e: asan-clean, outputs identical"
 
 LO=${1:-7000}; HI=${2:-7006}
 python tools/fuzz_differential.py $LO $HI
+# Barcoded corpora exercise the per-barcode counter pass, barcode release,
+# and the barcoded branches of the native assembly loop.
+python tools/fuzz_differential_barcoded.py $LO $HI
 echo "asan check passed"
