@@ -509,6 +509,25 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
     }
   }
 
+  // Pack (diff, seq_off, read_off) into one uint64 so the group sort
+  // compares plain integers and the per-cluster (b, a) re-sort is just
+  // `key & MASK42` (layout [63:42]=diff+bias [41:21]=seq_off
+  // [20:0]=read_off) — no intermediate Coord array.  Offsets fit 21
+  // bits each in this domain (reads/contigs << 2M); fall back to the
+  // struct sort if a group ever exceeds that.  Scratch vectors live at
+  // function scope: a per-group `static thread_local` access re-does the
+  // TLS load every group, and groups number in the millions per batch.
+  constexpr uint64_t M21 = (1u << 21) - 1;
+  constexpr uint64_t MASK42 = ((uint64_t)1 << 42) - 1;
+  static thread_local std::vector<uint64_t> keys_tls;
+  static thread_local std::vector<Coord> hcd_tls;
+  static thread_local std::vector<RC> concordant_tls;
+  static thread_local std::vector<uint64_t> ckeys_tls;
+  std::vector<uint64_t>& keys = keys_tls;
+  std::vector<Coord>& hcd = hcd_tls;
+  std::vector<RC>& concordant = concordant_tls;
+  std::vector<uint64_t>& ckeys = ckeys_tls;
+
   int i = 0;
   while (i < hit_size) {
     int st = hits[i].strand_key;
@@ -537,16 +556,6 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
       }
     }
 
-    // Pack (diff, seq_off, read_off) into one uint64 so the group sort
-    // compares plain integers and the per-cluster (b, a) re-sort is just
-    // `key & MASK42` (layout [63:42]=diff+bias [41:21]=seq_off
-    // [20:0]=read_off) — no intermediate Coord array.  Offsets fit 21
-    // bits each in this domain (reads/contigs << 2M); fall back to the
-    // struct sort if a group ever exceeds that.
-    constexpr uint64_t M21 = (1u << 21) - 1;
-    constexpr uint64_t MASK42 = ((uint64_t)1 << 42) - 1;
-    static thread_local std::vector<uint64_t> keys;
-    static thread_local std::vector<Coord> hcd;
     keys.clear();
     hcd.clear();
     bool packed = true;
@@ -618,13 +627,11 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
         }
       }
 
-      static thread_local std::vector<RC> concordant;
       concordant.clear();
       concordant.reserve(e - s);
       if (packed) {
-        if (adjust_radius > 0) {
+        if (adjust_radius > 0 && (keys[s] >> 42) != (keys[e - 1] >> 42)) {
           // (b, a) re-sort: the low 42 key bits already ARE (b << 21 | a).
-          static thread_local std::vector<uint64_t> ckeys;
           ckeys.clear();
           ckeys.reserve(e - s);
           for (int k = s; k < e; k++) ckeys.push_back(keys[k] & MASK42);
@@ -632,6 +639,8 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
           for (uint64_t key : ckeys)
             concordant.push_back({(int)(key & M21), (int)(key >> 21)});
         } else {
+          // Single-diff clusters are already (b, a)-ordered by the group
+          // sort (key layout is (diff, b, a)), so the re-sort is a no-op.
           for (int k = s; k < e; k++)
             concordant.push_back({(int)(keys[k] & M21),
                                   (int)((keys[k] >> 21) & M21)});
