@@ -167,27 +167,39 @@ def bench_barcoded(refdir: str, threads: int):
 
 
 def bench_dp_device():
-    """Device banded-DP cell-updates/s (Pallas kernel)."""
-    sys.path.insert(0, REPO)
-    from trust4_tpu.ops.dp_pallas import banded_affine_scores_pallas
-
-    rng = np.random.default_rng(0)
-    N, L, W = 8192, 152, 32
-    tc = rng.integers(0, 4, size=(N, L), dtype=np.int8)
-    pc = rng.integers(0, 4, size=(N, L), dtype=np.int8)
-    tl = np.full(N, 150, dtype=np.int32)
-    pl = np.full(N, 148, dtype=np.int32)
-    cells = N * 150 * W
-    fn = lambda: banded_affine_scores_pallas(tc, tl, pc, pl, W)
-    fn().block_until_ready()
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(10):
-            s = fn()
-        s.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / 10)
-    return cells / best
+    """Device banded-DP cell-updates/s (Pallas kernel).  Runs in a
+    subprocess with a hard timeout: a wedged device tunnel hangs jax's
+    backend init forever (not an error), and that must not take the
+    whole benchmark down."""
+    code = (
+        "import sys, time; sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from trust4_tpu.ops.dp_pallas import banded_affine_scores_pallas\n"
+        "rng = np.random.default_rng(0)\n"
+        "N, L, W = 8192, 152, 32\n"
+        "tc = rng.integers(0, 4, size=(N, L), dtype=np.int8)\n"
+        "pc = rng.integers(0, 4, size=(N, L), dtype=np.int8)\n"
+        "tl = np.full(N, 150, dtype=np.int32)\n"
+        "pl = np.full(N, 148, dtype=np.int32)\n"
+        "fn = lambda: banded_affine_scores_pallas(tc, tl, pc, pl, W)\n"
+        "fn().block_until_ready()\n"
+        "best = float('inf')\n"
+        "for _ in range(5):\n"
+        "    t0 = time.perf_counter()\n"
+        "    for _ in range(10):\n"
+        "        s = fn()\n"
+        "    s.block_until_ready()\n"
+        "    best = min(best, (time.perf_counter() - t0) / 10)\n"
+        "print('CELLS', N * 150 * W / best)\n" % REPO
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=900,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CELLS"):
+            return float(line.split()[1])
+    raise RuntimeError(f"device bench failed: {out.stderr[-500:]}")
 
 
 def main() -> None:

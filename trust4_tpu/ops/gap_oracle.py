@@ -49,6 +49,8 @@ _TIERS = ((16, 16, 65536), (48, 24, 32768), (144, 48, 16384))
 AUTO_MIN_READS = int(os.environ.get("TRUST4_TPU_DEVICE_MIN_READS", "25000"))
 
 _prewarm_thread: Optional[threading.Thread] = None
+_prewarm_done = threading.Event()
+_prewarm_ok = False
 
 
 def mode() -> str:
@@ -58,12 +60,19 @@ def mode() -> str:
 
 def active() -> bool:
     """True when the device path should serve this process's batches:
-    forced on, or auto mode with a prewarm started by the driver."""
+    forced on, or auto mode with a COMPLETED prewarm.  Auto mode never
+    touches the backend from the caller's thread: if the device tunnel is
+    wedged, the prewarm thread hangs in backend init holding the import
+    lock, and a device_available() probe here would deadlock the
+    pipeline — so auto trusts the prewarm outcome only (not finished ->
+    CPU path; it had the whole assembly stage to finish)."""
     m = mode()
     if m == "0":
         return False
-    if m == "auto" and _prewarm_thread is None:
-        return False
+    if m == "auto":
+        if _prewarm_thread is None:
+            return False
+        return _prewarm_done.is_set() and _prewarm_ok
     return device_available()
 
 
@@ -127,13 +136,17 @@ def prewarm(wait: bool = False) -> None:
         return
     if _prewarm_thread is None:
         def run():
+            global _prewarm_ok
             try:
                 if not device_available():  # imports jax (slow) off-thread
                     return
                 for s_cap, w_cap, chunk in _TIERS:
                     _trace_tier(s_cap, w_cap, chunk)
+                _prewarm_ok = True
             except Exception:
                 pass
+            finally:
+                _prewarm_done.set()
 
         _prewarm_thread = threading.Thread(
             target=run, name="trust4-tpu-prewarm", daemon=True
@@ -178,7 +191,16 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
     if n == 0:
         return np.zeros((0, 3), dtype=np.int32)
     check = os.environ.get("TRUST4_TPU_DEVICE_CHECK", "0") == "1"
-    if _prewarm_thread is not None:
+    if _prewarm_thread is not None and mode() != "1":
+        # active() only admits completed prewarms in auto mode, so this
+        # returns immediately; the timeout guards a wedged backend init
+        # (CPU fallback instead of a pipeline hang).
+        _prewarm_thread.join(timeout=600)
+        if not _prewarm_done.is_set():
+            return None if not check else (_ for _ in ()).throw(
+                RuntimeError("device prewarm did not complete")
+            )
+    elif _prewarm_thread is not None:
         _prewarm_thread.join()
 
     t_lens = gap_jobs[:, 5]
