@@ -124,6 +124,11 @@ def _load():
         c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64,
     ]
+    lib.t4_parse_final_out.restype = ctypes.c_int64
+    lib.t4_parse_final_out.argtypes = [
+        c_char_p, ctypes.c_int64, ctypes.POINTER(c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, i32_p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -389,6 +394,31 @@ def format_pw_onehot(consensus: str, num_read: int) -> Optional[str]:
     if n < 0:
         return None
     return buf.raw[:n].decode("ascii")
+
+
+def parse_final_out(data: bytes):
+    """Parse a whole _final.out in one native call.  Returns
+    (rec_meta (n,4) i64 {header_off, header_len, seq_off, seq_len},
+     row_cnt (n,4) i32, counts flat i32) or None (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    # Upper bounds: every record needs >= 6 newlines; ints are >= 2 bytes
+    # each ("v ").
+    rec_cap = max(1, data.count(b">"))
+    counts_cap = max(16, len(data) // 2 + 4)
+    rec_meta = np.empty((rec_cap, 4), dtype=np.int64)
+    row_cnt = np.empty((rec_cap, 4), dtype=np.int32)
+    counts = np.empty(counts_cap, dtype=np.int32)
+    n = lib.t4_parse_final_out(
+        data, len(data),
+        rec_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), rec_cap,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), counts_cap,
+        row_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if n < 0:
+        return None
+    return rec_meta[:n], row_cnt[:n], counts
 
 
 def parse_i32(line: str) -> Optional["np.ndarray"]:

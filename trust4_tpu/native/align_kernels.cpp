@@ -1335,6 +1335,64 @@ extern "C" int64_t t4_fmt_pw_onehot(const char* cons, int len, int num_read,
   return (int64_t)(p - out);
 }
 
+// Whole-file _final.out parser (Annotator.cpp:573-619 record layout:
+// '>' header line, consensus line, 4 posWeight count rows).  One call
+// replaces 4 ctypes row parses per contig.  Outputs, per record:
+//   rec_meta (n, 4) int64: {header_off, header_len, seq_off, seq_len}
+//   row_cnt  (n, 4) int32: ints parsed per posWeight row
+//   counts   flat int32 in row-major (record, row) order
+// Returns the record count, or -1 when a cap is exceeded / the layout
+// doesn't match (caller falls back to the line-by-line path).
+extern "C" int64_t t4_parse_final_out(const char* s, int64_t slen,
+                                      int64_t* rec_meta, int64_t rec_cap,
+                                      int32_t* counts, int64_t counts_cap,
+                                      int32_t* row_cnt) {
+  int64_t n = 0;
+  int64_t ci = 0;
+  const char* p = s;
+  const char* end = s + slen;
+  auto line_end = [&](const char* q) {
+    const char* e = (const char*)memchr(q, '\n', end - q);
+    return e ? e : end;
+  };
+  while (p < end) {
+    if (*p != '>') return -1;
+    if (n >= rec_cap) return -1;
+    const char* he = line_end(p);
+    int64_t* m = rec_meta + 4 * n;
+    m[0] = (p + 1) - s;
+    m[1] = he - (p + 1);
+    p = he < end ? he + 1 : end;
+    const char* se = line_end(p);
+    m[2] = p - s;
+    m[3] = se - p;
+    p = se < end ? se + 1 : end;
+    for (int r = 0; r < 4; r++) {
+      const char* re = line_end(p);
+      int32_t cnt = 0;
+      while (p < re) {
+        while (p < re && (*p == ' ' || *p == '\t' || *p == '\r')) p++;
+        if (p >= re) break;
+        bool neg = *p == '-';
+        if (neg) p++;
+        int64_t v = 0;
+        while (p < re && *p >= '0' && *p <= '9') {
+          v = v * 10 + (*p - '0');
+          p++;
+        }
+        if (ci >= counts_cap) return -1;
+        counts[ci++] = (int32_t)(neg ? -v : v);
+        cnt++;
+      }
+      row_cnt[4 * n + r] = cnt;
+      p = re < end ? re + 1 : end;
+    }
+    n++;
+    while (p < end && (*p == '\n' || *p == '\r')) p++;
+  }
+  return n;
+}
+
 // Whitespace-separated int32 row parser for the annotator's _final.out
 // loader (Annotator.cpp:573-619): Python int() over ~40M tokens dominates
 // load_assembly on 10k-contig corpora.  Returns the count parsed, or -1

@@ -161,26 +161,48 @@ class Annotator:
 
     def load_assembly(self, final_out_path: str) -> None:
         """Parse trust4 _final.out (consensus + 4xL posWeight rows,
-        Annotator.cpp:573-619)."""
-        with open(final_out_path) as fp:
-            lines = fp.read().splitlines()
-        i = 0
-        while i < len(lines):
-            header = lines[i]
-            if not header.startswith(">"):
-                i += 1
-                continue
-            name = header[1:].split(" ")[0]
-            seq = lines[i + 1]
-            w = np.zeros((len(seq), 4), dtype=np.int32)
-            for k in range(4):
-                row = align_native.parse_i32(lines[i + 2 + k])
-                if row is None:
-                    srow = lines[i + 2 + k].split()
-                    row = np.array([int(x) for x in srow], dtype=np.int32)
-                w[: len(row), k] = row
-            self.seq_set.input_novel_seq(name, seq, w, defer_index=True)
-            i += 6
+        Annotator.cpp:573-619).  The whole file parses in one native call
+        (t4_parse_final_out); the line loop remains as fallback."""
+        with open(final_out_path, "rb") as bfp:
+            data = bfp.read()
+        parsed = align_native.parse_final_out(data)
+        if parsed is not None:
+            rec_meta, row_cnt, counts = parsed
+            meta_l = rec_meta.tolist()
+            cnt_l = row_cnt.tolist()
+            ci = 0
+            for r in range(len(meta_l)):
+                h_off, h_len, s_off, s_len = meta_l[r]
+                header = data[h_off : h_off + h_len].decode("ascii")
+                name = header.split(" ")[0]
+                seq = data[s_off : s_off + s_len].decode("ascii")
+                w = np.zeros((s_len, 4), dtype=np.int32)
+                for k in range(4):
+                    m = cnt_l[r][k]
+                    w[:m, k] = counts[ci : ci + m]
+                    ci += m
+                self.seq_set.input_novel_seq(name, seq, w, defer_index=True)
+        else:
+            lines = data.decode("ascii").splitlines()
+            i = 0
+            while i < len(lines):
+                header = lines[i]
+                if not header.startswith(">"):
+                    i += 1
+                    continue
+                name = header[1:].split(" ")[0]
+                seq = lines[i + 1]
+                w = np.zeros((len(seq), 4), dtype=np.int32)
+                for k in range(4):
+                    row = align_native.parse_i32(lines[i + 2 + k])
+                    if row is None:
+                        srow = lines[i + 2 + k].split()
+                        row = np.array(
+                            [int(x) for x in srow], dtype=np.int32
+                        )
+                    w[: len(row), k] = row
+                self.seq_set.input_novel_seq(name, seq, w, defer_index=True)
+                i += 6
         # One batched index rebuild for all loaded contigs (no query ran
         # during the deferred loads above).
         ss = self.seq_set
