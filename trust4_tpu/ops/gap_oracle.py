@@ -197,9 +197,9 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
         # (CPU fallback instead of a pipeline hang).
         _prewarm_thread.join(timeout=600)
         if not _prewarm_done.is_set():
-            return None if not check else (_ for _ in ()).throw(
-                RuntimeError("device prewarm did not complete")
-            )
+            if check:
+                raise RuntimeError("device prewarm did not complete")
+            return None
     elif _prewarm_thread is not None:
         _prewarm_thread.join()
 
