@@ -1044,3 +1044,121 @@ int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Assembler ingest, single-end (+barcode/+umi) case (pipeline/assembler.py
+// ingest + process_read's no-mate path): parse up to three FASTQs in
+// lockstep, skip missing_barcode records, intern barcode/UMI strings in
+// first-appearance order, drop low-complexity reads, and return flat
+// arrays.  The paired/mate-merge path stays in Python (it needs the DP
+// mate-overlap logic and is bulk-RNA-only where ingest is not the
+// bottleneck).
+// ===========================================================================
+
+extern "C" {
+
+// Returns n_kept, or -1 on I/O failure / capacity overflow (caller falls
+// back to the Python loop).  All caps are byte/entry capacities of the
+// caller-allocated outputs.  have_qual: 1 when quals should be captured.
+// out_meta: {first_read_len, n_barcodes, n_reads_total} int64.
+int64_t t4x_ingest_single(
+    const char *reads_paths, const char *bc_path, const char *umi_path,
+    int keep_missing_barcode, int want_bc_totals,
+    char *reads_blob, int64_t reads_cap, int64_t *read_offs,
+    char *quals_blob, char *ids_blob, int64_t ids_cap, int64_t *id_offs,
+    int32_t *bc_ids, int32_t *umi_ids, int64_t n_cap,
+    char *bct_blob, int64_t bct_cap, int64_t *bct_offs, int64_t bct_n_cap,
+    int64_t *bc_totals, int64_t *out_meta) {
+  RecStream rs(reads_paths);
+  RecStream *bs = bc_path && bc_path[0] ? new RecStream(bc_path) : nullptr;
+  RecStream *us = umi_path && umi_path[0] ? new RecStream(umi_path) : nullptr;
+  if (!rs.open_ok || (bs && !bs->open_ok) || (us && !us->open_ok)) {
+    delete bs;
+    delete us;
+    return -1;
+  }
+  std::unordered_map<std::string, int32_t> bc_map, umi_map;
+  int64_t n = 0, r_at = 0, i_at = 0, bct_at = 0;
+  int64_t first_read_len = -1, n_total = 0;
+  Rec r, b, u;
+  read_offs[0] = 0;
+  id_offs[0] = 0;
+  bct_offs[0] = 0;
+  bool fail = false;
+  while (rs.next(r)) {
+    int32_t bc = -1, um = -1;
+    if (bs) {
+      if (!bs->next(b)) break;  // ragged -> stop like zip()
+      if (us && !us->next(u)) break;
+      if (!keep_missing_barcode && b.seq == "missing_barcode") continue;
+      auto it = bc_map.find(b.seq);
+      if (it == bc_map.end()) {
+        bc = (int32_t)bc_map.size();
+        if (bc >= bct_n_cap ||
+            bct_at + (int64_t)b.seq.size() > bct_cap) {
+          fail = true;
+          break;
+        }
+        bc_map.emplace(b.seq, bc);
+        memcpy(bct_blob + bct_at, b.seq.data(), b.seq.size());
+        bct_at += (int64_t)b.seq.size();
+        bct_offs[bc + 1] = bct_at;
+        if (want_bc_totals) bc_totals[bc] = 0;
+      } else {
+        bc = it->second;
+      }
+      if (want_bc_totals) bc_totals[bc] += 1;
+    } else if (us) {
+      if (!us->next(u)) break;
+    }
+    if (us) {
+      auto it = umi_map.find(u.seq);
+      if (it == umi_map.end()) {
+        um = (int32_t)umi_map.size();
+        umi_map.emplace(u.seq, um);
+      } else {
+        um = it->second;
+      }
+    }
+    n_total++;
+    if (!r.has_qual) {
+      // FASTA record: the Python path carries qual=None (trim semantics
+      // differ) — bail to the fallback loop.
+      fail = true;
+      break;
+    }
+    if (first_read_len == -1) first_read_len = (int64_t)r.seq.size();
+    if (is_low_complexity(r.seq.data(), (int)r.seq.size())) continue;
+    if (n >= n_cap || r_at + (int64_t)r.seq.size() > reads_cap ||
+        i_at + (int64_t)r.id.size() > ids_cap) {
+      fail = true;
+      break;
+    }
+    memcpy(reads_blob + r_at, r.seq.data(), r.seq.size());
+    if (quals_blob) {
+      // qual length == read length in well-formed FASTQ; guard anyway.
+      size_t ql = r.qual.size() < r.seq.size() ? r.qual.size()
+                                               : r.seq.size();
+      memcpy(quals_blob + r_at, r.qual.data(), ql);
+      for (size_t x = ql; x < r.seq.size(); x++)
+        quals_blob[r_at + x] = '!';
+    }
+    r_at += (int64_t)r.seq.size();
+    memcpy(ids_blob + i_at, r.id.data(), r.id.size());
+    i_at += (int64_t)r.id.size();
+    bc_ids[n] = bc;
+    umi_ids[n] = um;
+    n++;
+    read_offs[n] = r_at;
+    id_offs[n] = i_at;
+  }
+  delete bs;
+  delete us;
+  if (fail) return -1;
+  out_meta[0] = first_read_len;
+  out_meta[1] = (int64_t)bc_map.size();
+  out_meta[2] = n_total;
+  return n;
+}
+
+}  // extern "C"

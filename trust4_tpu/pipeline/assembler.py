@@ -259,6 +259,43 @@ class Assembler:
         self.has_barcode = bool(barcode_files)
         self.has_umi = bool(umi_files)
 
+        # Native fast path for the single-end (+barcode/+umi) case: one
+        # C call parses/interns/filters everything (the per-record Python
+        # loop cost ~30us/record at single-cell scale).  Paired inputs
+        # keep the Python loop (mate merging needs the DP logic below).
+        if not mate_files and _os.environ.get("TRUST4_TPU_NATIVE", "1") != "0":
+            from trust4_tpu.pipeline import extract_native
+
+            got = extract_native.ingest_single(
+                read_files, barcode_files, umi_files,
+                self.keep_missing_barcode, self.contig_min_cov > 0,
+            )
+            if got is not None:
+                self._barcode_total_read_count = (
+                    {i: c for i, c in enumerate(got["bc_totals"])}
+                    if self.contig_min_cov > 0
+                    else {}
+                )
+                self.barcode_int_to_str = got["barcode_table"]
+                if self.first_read_len == -1 and got["first_read_len"] >= 0:
+                    self.first_read_len = got["first_read_len"]
+                for rd, q, rid, bc, um in zip(
+                    got["reads"], got["quals"], got["ids"],
+                    got["bc_ids"], got["umi_ids"],
+                ):
+                    sorted_reads.append(
+                        SortRead(id=rid, read=rd, qual=q, barcode=bc,
+                                 umi=um)
+                    )
+                if self.count_myself and sorted_reads:
+                    nkc = getattr(self.kmer_count, "_native", None)
+                    if nkc is not None:
+                        nkc.add_count_batch(got["reads"])
+                    else:
+                        for rd in got["reads"]:
+                            self.kmer_count.add_count(rd)
+                return sorted_reads
+
         mate_iter = iter(read_fastx(mate_files)) if mate_files else None
         barcode_iter = iter(read_fastx(barcode_files)) if barcode_files else None
         umi_iter = iter(read_fastx(umi_files)) if umi_files else None

@@ -69,6 +69,18 @@ def _load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_char_p, ctypes.c_int,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.t4x_ingest_single.restype = ctypes.c_int64
+    lib.t4x_ingest_single.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int64, i64p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i64p,
+        i32p, i32p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, i64p, ctypes.c_int64,
+        i64p, i64p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -136,3 +148,84 @@ class NativeCandidateFilter:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         )
         return out
+
+
+def ingest_single(read_files, barcode_files, umi_files,
+                  keep_missing_barcode: bool, want_bc_totals: bool):
+    """Native assembler ingest for the single-end (+barcode/+umi) case
+    (t4x_ingest_single).  Returns None when unavailable/overflowed, else
+    a dict with reads/quals/ids lists, bc/umi id arrays, the barcode
+    string table, per-barcode totals, first_read_len and the pre-filter
+    record count."""
+    lib = _load()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def total_size(paths):
+        t = 0
+        for p in paths or []:
+            if p.endswith(".gz"):
+                return None  # compressed: size bound unknown -> fallback
+            try:
+                t += os.path.getsize(p)
+            except OSError:
+                return None
+        return t
+
+    r_size = total_size(read_files)
+    b_size = total_size(barcode_files) if barcode_files else 0
+    u_size = total_size(umi_files) if umi_files else 0
+    if r_size is None or b_size is None or u_size is None:
+        return None
+    reads_cap = r_size + 16
+    n_cap = r_size // 4 + 16
+    bct_cap = b_size + 16
+    bct_n_cap = b_size // 4 + 16
+    reads_blob = ctypes.create_string_buffer(reads_cap)
+    quals_blob = ctypes.create_string_buffer(reads_cap)
+    ids_blob = ctypes.create_string_buffer(reads_cap)
+    read_offs = np.zeros(n_cap + 1, dtype=np.int64)
+    id_offs = np.zeros(n_cap + 1, dtype=np.int64)
+    bc_ids = np.zeros(n_cap, dtype=np.int32)
+    umi_ids = np.zeros(n_cap, dtype=np.int32)
+    bct_blob = ctypes.create_string_buffer(max(bct_cap, 1))
+    bct_offs = np.zeros(bct_n_cap + 1, dtype=np.int64)
+    bc_totals = np.zeros(max(bct_n_cap, 1), dtype=np.int64)
+    out_meta = np.zeros(3, dtype=np.int64)
+    n = lib.t4x_ingest_single(
+        "\n".join(read_files).encode(),
+        "\n".join(barcode_files).encode() if barcode_files else None,
+        "\n".join(umi_files).encode() if umi_files else None,
+        1 if keep_missing_barcode else 0, 1 if want_bc_totals else 0,
+        reads_blob, reads_cap, read_offs.ctypes.data_as(i64p),
+        quals_blob, ids_blob, reads_cap, id_offs.ctypes.data_as(i64p),
+        bc_ids.ctypes.data_as(i32p), umi_ids.ctypes.data_as(i32p), n_cap,
+        bct_blob, bct_cap, bct_offs.ctypes.data_as(i64p), bct_n_cap,
+        bc_totals.ctypes.data_as(i64p), out_meta.ctypes.data_as(i64p),
+    )
+    if n < 0:
+        return None
+    n = int(n)
+    rb = reads_blob.raw
+    qb = quals_blob.raw
+    ib = ids_blob.raw
+    ro = read_offs[: n + 1].tolist()
+    io_ = id_offs[: n + 1].tolist()
+    n_bc = int(out_meta[1])
+    bo = bct_offs[: n_bc + 1].tolist()
+    bt = bct_blob.raw
+    return {
+        "reads": [rb[ro[i]: ro[i + 1]].decode("ascii") for i in range(n)],
+        "quals": [qb[ro[i]: ro[i + 1]].decode("ascii") for i in range(n)],
+        "ids": [ib[io_[i]: io_[i + 1]].decode("ascii") for i in range(n)],
+        "bc_ids": bc_ids[:n].tolist(),
+        "umi_ids": umi_ids[:n].tolist(),
+        "barcode_table": [
+            bt[bo[i]: bo[i + 1]].decode("ascii") for i in range(n_bc)
+        ],
+        "bc_totals": bc_totals[:n_bc].tolist(),
+        "first_read_len": int(out_meta[0]),
+        "n_total": int(out_meta[2]),
+    }
