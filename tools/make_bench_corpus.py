@@ -81,25 +81,30 @@ def make_barcoded_corpus(out_reads, out_bc, n_cells=1000, seed=20260817,
     refs_v, refs_j, refs_c = [], [], []
     cur_name = None
     cur = []
+
+    def _flush():
+        if cur_name is None:
+            return
+        s = "".join(cur)
+        s = "".join(
+            c if c in "ACGT" else random.choice("ACGT") for c in s.upper()
+        )
+        if len(cur_name) > 3 and cur_name[3] == "V":
+            refs_v.append(s)
+        elif len(cur_name) > 3 and cur_name[3] == "J":
+            refs_j.append(s)
+        elif len(cur_name) <= 3 or cur_name[3] not in "VDJ":
+            refs_c.append(s)
+
     with open(ref_fa) as f:
         for line in f:
             if line.startswith(">"):
-                if cur_name is not None:
-                    s = "".join(cur)
-                    s = "".join(
-                        c if c in "ACGT" else random.choice("ACGT")
-                        for c in s.upper()
-                    )
-                    if len(cur_name) > 3 and cur_name[3] == "V":
-                        refs_v.append(s)
-                    elif len(cur_name) > 3 and cur_name[3] == "J":
-                        refs_j.append(s)
-                    elif len(cur_name) <= 3 or cur_name[3] not in "VDJ":
-                        refs_c.append(s)
+                _flush()
                 cur_name = line[1:].split()[0]
                 cur = []
             else:
                 cur.append(line.strip())
+    _flush()  # the last record (the loop only flushes on the NEXT header)
     clones = []
     for _ in range(n_clones):
         v, j, c = (

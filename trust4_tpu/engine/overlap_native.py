@@ -239,7 +239,7 @@ def _load():
         _i32p, _f64p, _i32p, _i32p, _f64p, _i32p, c_char_p, _i64p, c_int,
         c_int, c_int, c_int, c_int, c_dbl, c_dbl, c_dbl,
         c_int, c_int, c_int, c_int, c_int, ctypes.c_int64, c_int,
-        _i32p, _i32p, _u8p, _i32p, _i32p,
+        _i32p, _i32p, _u8p, _i32p, _i32p, _i32p,
     ]
     _LIB = lib
     return _LIB
@@ -599,8 +599,10 @@ class NativeOverlapEngine:
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(b) for b in blobs], out=offs[1:])
         blob = b"".join(blobs)
-        cap = 1 << 16
-        while True:
+        # Overflow returns the exact needed size (negative), so at most
+        # one retry re-runs the batch instead of an exponential ladder.
+        cap = max(1 << 16, 8 * n)
+        for _ in range(2):
             out = np.empty((cap, 8), dtype=np.int32)
             rc = self._lib.t4o_annotate0_collect_gaps(
                 self._h, blob, offs.ctypes.data_as(_i64p), n, n_threads,
@@ -608,9 +610,10 @@ class NativeOverlapEngine:
                 nomatch_gap_limit, novel_sim, ref_sim, repeat_sim, gap_n,
                 out.ctypes.data_as(_i32p), cap,
             )
-            if rc != -2:
+            if rc >= 0:
                 return out[:rc]
-            cap *= 4
+            cap = -rc
+        raise RuntimeError("annotate0_collect_gaps cap negotiation failed")
 
     def annotate0_batch_oracle(self, reads, gap_jobs, gap_counts,
                                n_threads: int, radius: int,
@@ -740,8 +743,9 @@ class NativeOverlapEngine:
         """Phase 1 of the device-assisted batch: run the queries in collect
         mode and return the is_ref gap-fill job rows (n, 8) int32."""
         n, blob, offs, st, bc, rt, sk = self._batch_args(jobs)
-        cap = 1 << 16
-        while True:
+        # Overflow returns the exact needed size (negative): one retry max.
+        cap = max(1 << 16, 128 * n)
+        for _ in range(2):
             out = np.empty((cap, 8), dtype=np.int32)
             rc = self._lib.t4o_batch_collect_gaps(
                 self._h, blob, offs.ctypes.data_as(_i64p),
@@ -752,9 +756,10 @@ class NativeOverlapEngine:
                 novel_sim, ref_sim, repeat_sim,
                 out.ctypes.data_as(_i32p), cap,
             )
-            if rc != -2:
+            if rc >= 0:
                 return out[:rc]
-            cap *= 4
+            cap = -rc
+        raise RuntimeError("batch_collect_gaps cap negotiation failed")
 
     def emit_gap_codes(self, jobs, gap_jobs, width: int):
         """Device-ready DP code rows for collected gap jobs: returns
@@ -917,6 +922,7 @@ class NativeOverlapEngine:
         np.cumsum([len(b) for b in nblobs], out=noffs[1:])
         out_add_ret = np.empty(n, dtype=np.int32)
         out_assembled = np.empty(n, dtype=np.int32)
+        out_final_kl = np.empty(1, dtype=np.int32)
         cnt = self._lib.t4s_assemble_loop(
             self._h, b"".join(blobs), offs.ctypes.data_as(_i64p), n,
             meta.ctypes.data_as(_i32p), plan_sim.ctypes.data_as(_f64p_mod),
@@ -930,8 +936,9 @@ class NativeOverlapEngine:
             io_good.ctypes.data_as(_u8p),
             out_add_ret.ctypes.data_as(_i32p),
             out_assembled.ctypes.data_as(_i32p),
+            out_final_kl.ctypes.data_as(_i32p),
         )
-        return out_add_ret, out_assembled[:cnt]
+        return out_add_ret, out_assembled[:cnt], int(out_final_kl[0])
 
     def s_add_read_spec(self, read: str, gene_name: str, strand: int,
                         barcode: int, min_kmer_count: int, repetitive: bool,

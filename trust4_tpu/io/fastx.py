@@ -65,7 +65,7 @@ def _read_fastq_bulk(path: str) -> Optional[list]:
         if head != "@":
             return None
         data = head + f.read()
-    if "\r" in data[: 1 << 16]:
+    if "\r" in data:  # CRLF anywhere: keep the rstrip'ing streaming path
         return None
     lines = data.split("\n")
     if lines and lines[-1] == "":
@@ -79,7 +79,12 @@ def _read_fastq_bulk(path: str) -> Optional[list]:
         if not h.startswith("@") or not lines[i + 2].startswith("+"):
             return None
         rid, comment = _parse_header(h)
-        out.append(FastxRecord(rid, lines[i + 1], lines[i + 3], comment))
+        seq = lines[i + 1]
+        # The streaming parser strips sequence-line whitespace; mirror it
+        # only when an edge byte is whitespace (one char test per line).
+        if seq and (seq[0] in " \t" or seq[-1] in " \t"):
+            seq = seq.strip()
+        out.append(FastxRecord(rid, seq, lines[i + 3], comment))
     return out
 
 

@@ -1055,6 +1055,37 @@ int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
 // bottleneck).
 // ===========================================================================
 
+namespace {
+
+// The ASSEMBLER's IsLowComplexity replica (pipeline/assembler.py
+// is_low_complexity): counts exactly A/C/G/T/N and IGNORES any other
+// byte.  This differs from is_low_complexity() above, which maps other
+// bytes into the N bucket (the extractor Python's cnt[-1] aliasing); the
+// reference's own main.cpp:183-205 indexes cnt[-1] for such bytes (UB),
+// so each side mirrors the Python function it replaces.
+bool asm_is_low_complexity(const char *s, int n) {
+  long cnt[5] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < n; i++) {
+    switch (s[i]) {
+      case 'A': cnt[0]++; break;
+      case 'C': cnt[1]++; break;
+      case 'G': cnt[2]++; break;
+      case 'T': cnt[3]++; break;
+      case 'N': cnt[4]++; break;
+      default: break;
+    }
+  }
+  if (cnt[0] >= n / 2 || cnt[1] >= n / 2 || cnt[2] >= n / 2 ||
+      cnt[3] >= n / 2 || cnt[4] >= n / 10)
+    return true;
+  int low = 0;
+  for (int i = 0; i < 4; i++)
+    if (cnt[i] <= 2) low++;
+  return low >= 2;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Returns n_kept, or -1 on I/O failure / capacity overflow (caller falls
@@ -1088,8 +1119,16 @@ int64_t t4x_ingest_single(
   while (rs.next(r)) {
     int32_t bc = -1, um = -1;
     if (bs) {
-      if (!bs->next(b)) break;  // ragged -> stop like zip()
-      if (us && !us->next(u)) break;
+      if (!bs->next(b)) {
+        // Ragged barcode file: the Python loop raises (next() with no
+        // default) — bail so the fallback path surfaces the error.
+        fail = true;
+        break;
+      }
+      if (us && !us->next(u)) {
+        fail = true;
+        break;
+      }
       if (!keep_missing_barcode && b.seq == "missing_barcode") continue;
       auto it = bc_map.find(b.seq);
       if (it == bc_map.end()) {
@@ -1109,7 +1148,10 @@ int64_t t4x_ingest_single(
       }
       if (want_bc_totals) bc_totals[bc] += 1;
     } else if (us) {
-      if (!us->next(u)) break;
+      if (!us->next(u)) {
+        fail = true;
+        break;
+      }
     }
     if (us) {
       auto it = umi_map.find(u.seq);
@@ -1128,7 +1170,7 @@ int64_t t4x_ingest_single(
       break;
     }
     if (first_read_len == -1) first_read_len = (int64_t)r.seq.size();
-    if (is_low_complexity(r.seq.data(), (int)r.seq.size())) continue;
+    if (asm_is_low_complexity(r.seq.data(), (int)r.seq.size())) continue;
     if (n >= n_cap || r_at + (int64_t)r.seq.size() > reads_cap ||
         i_at + (int64_t)r.id.size() > ids_cap) {
       fail = true;

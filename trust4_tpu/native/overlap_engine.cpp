@@ -1585,6 +1585,7 @@ struct GapCtx {
   int ov_base = 0;
   int ov_cap = 1 << 24;  // max ov_idx keyed (1<<16 under piece encoding)
   int strand = 1;     // current overlap's strand (set with ov_idx)
+  bool piece_set = false;  // annotate0 sets real piece bounds per piece
   int piece_a = 0;    // full-read span of the current piece query
   int piece_b = 0;    // (piece_b only read for strand -1 anchors)
 };
@@ -2027,6 +2028,7 @@ int query_scored_core(Engine* E, Engine2& R, const SConf& C, const char* read,
     if (prof) {
       int64_t t1 = now_ns();
       g_t_ssort += t1 - t0;  // reused as the sort_hits bucket in dump7
+      t0 = t1;  // keep the sort out of the chain bucket below
     }
     int filter_hits = read_type == 0 ? 1 : 0;
     overlap_cnt = get_overlaps_from_hits(kl, C0, M, hits, C.hit_len_required,
@@ -2057,6 +2059,14 @@ int query_scored_core(Engine* E, Engine2& R, const SConf& C, const char* read,
     s.info_from_hits = 0;
     s.coords = std::move(o.coords);
     out.push_back(std::move(s));
+  }
+  if (gctx != nullptr && !gctx->piece_set) {
+    // Defensive anchor bounds for non-annotate0 collectors: with the
+    // whole read as the single piece, strand -1 anchors stay in range.
+    // (Unreachable today: read_type 1 batches keep only strand 1
+    // overlaps; annotate0 sets the real piece bounds itself.)
+    gctx->piece_a = 0;
+    gctx->piece_b = len - 1;
   }
   score_overlaps(R, C, kl, read, len, read_type, out, gctx);
   if (prof) g_t_score += now_ns() - t0;
@@ -2344,6 +2354,7 @@ void annotate_detail0(Engine* E, Engine2& R, const SConf& C, int gap_n,
       // high bits and jobs anchor into the FULL forward read.
       gctx->ov_base = piece_ord << 16;
       gctx->ov_cap = 1 << 16;
+      gctx->piece_set = true;
       gctx->piece_a = a;
       gctx->piece_b = b;
     }
@@ -2607,8 +2618,8 @@ void t4o_prof_dump(void* h, double* out3) {
   out3[2] = g_t_score.exchange(0) / 1e9;
 }
 
-// Extended dump: [hits_s, chain_s, score_s, score_sort_s, score_dp_s,
-// n_hits, n_overlaps].
+// Extended dump — 8 slots despite the legacy name: [hits_s, chain_s,
+// score_s, sort_hits_s, score_dp_s, n_hits, n_overlaps, lis_s].
 void t4o_prof_dump7(void* h, double* out7) {
   (void)h;
   out7[0] = g_t_hits.exchange(0) / 1e9;
@@ -4248,7 +4259,7 @@ int t4o_batch_collect_gaps(void* h, const char* blob, const int64_t* offs,
   }
   int64_t total = 0;
   for (auto& s : sinks) total += (int64_t)s.size();
-  if (total > cap) return -2;
+  if (total > cap) return (int)(-total - 16);  // needed size, one exact retry
   int64_t at = 0;
   for (auto& s : sinks)
     for (const GapJob& j : s) {
@@ -4427,7 +4438,7 @@ int t4o_annotate0_collect_gaps(void* h, const char* blob,
   }
   int64_t total = 0;
   for (auto& s : sinks) total += (int64_t)s.size();
-  if (total > cap) return -2;
+  if (total > cap) return (int)(-total - 16);  // needed size, one exact retry
   int64_t at = 0;
   for (auto& s : sinks)
     for (const GapJob& j : s) {
@@ -4518,6 +4529,14 @@ namespace {
 // has_motif (engine/annotate.py:84-107; SeqSet.hpp:5029-5074): YYC /
 // [FW]GxG over 3 frames of the FORWARD read (the reference computes but
 // never uses the rc for strand -1).
+// compute_nomatch_gap_limit (engine/seqset.py:111; SeqSet.hpp:2476-2482).
+int ms_nomatch_gap_limit(int kmer_length) {
+  double kmer_hit_prob = std::pow(0.8, (double)kmer_length);
+  return (int)((double)kmer_length *
+               (std::log(0.01) / std::log(1.0 - kmer_hit_prob))) +
+         1;
+}
+
 int ms_has_motif(const char* read, int len, int strand) {
   if (strand == 0) return 0;
   int ret = 0;
@@ -4572,7 +4591,7 @@ int t4s_assemble_loop(
     int contig_min_cov, int first_read_len, int repetitive,
     int64_t change_kmer_threshold, int index_kmer_length,
     int32_t* io_strand, int32_t* io_info, uint8_t* io_good,
-    int32_t* out_add_ret, int32_t* out_assembled) {
+    int32_t* out_add_ret, int32_t* out_assembled, int32_t* out_final_kl) {
   SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
           novel_sim, ref_sim, repeat_sim};
   (void)n_ref;
@@ -4740,6 +4759,9 @@ int t4s_assemble_loop(
       change_kmer_threshold *= 4;
       index_kmer_length += 2;
       t4s_change_kmer_length(h, index_kmer_length);
+      // The Python loop re-reads _sconf() per AddRead, which tracks the
+      // new k's nomatch limit (seqset.change_kmer_length) — mirror it.
+      C.nomatch_gap_limit = ms_nomatch_gap_limit(index_kmer_length);
     }
   }
 
@@ -4764,6 +4786,7 @@ int t4s_assemble_loop(
     if (o2[0] >= 0) out_assembled[n_assembled++] = i;
   }
   t4s_update_all_consensus(h);
+  *out_final_kl = index_kmer_length;
   return n_assembled;
 }
 

@@ -232,10 +232,18 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
             # Content dedup before transfer: IMGT alleles are
             # near-duplicates, so the same (target, read) code pair recurs
             # ~25x per batch (measured; same fact the CPU memo exploits).
-            # The code rows determine the lengths (pad byte 5), so the
-            # concatenated row IS the job identity.
+            # Lengths join the key explicitly: non-ACGTN input bytes also
+            # encode as the pad code, so code rows alone can't always
+            # distinguish a trailing-ambiguity base from a shorter job.
             comb = np.ascontiguousarray(
-                np.concatenate([t_codes, p_codes], axis=1)
+                np.concatenate(
+                    [
+                        t_codes, p_codes,
+                        tl.astype("<i2").view(np.int8).reshape(-1, 2),
+                        pl.astype("<i2").view(np.int8).reshape(-1, 2),
+                    ],
+                    axis=1,
+                )
             )
             voids = comb.view(
                 np.dtype((np.void, comb.shape[1]))

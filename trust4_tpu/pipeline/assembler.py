@@ -912,7 +912,7 @@ class Assembler:
         ref_names = [s.name for s in self.ref_set.seqs]
 
         change_kmer_threshold = self.change_kmer_length_threshold
-        add_ret, assembled = seq_set.seq_index.native.s_assemble_loop(
+        add_ret, assembled, final_kl = seq_set.seq_index.native.s_assemble_loop(
             [r.read for r in sorted_reads], meta, plan_sim, plan_name4,
             g8, gsim, ref_lens, ref_names, seq_set._sconf(),
             1 if self.has_barcode else 0, self.keep_missing_barcode,
@@ -920,6 +920,17 @@ class Assembler:
             1 if repetitive else 0, change_kmer_threshold,
             self.index_kmer_length, io_strand, io_info, io_good,
         )
+        # Mirror the in-loop kmer-length growth on the Python objects
+        # (mate extension and later stages read seq_set.kmer_length /
+        # nomatch_gap_limit; the native engine already reindexed).
+        while self.index_kmer_length < final_kl:
+            self.change_kmer_length_threshold *= 4
+            self.index_kmer_length += 2
+        if seq_set.kmer_length != final_kl:
+            from trust4_tpu.engine.seqset import compute_nomatch_gap_limit
+
+            seq_set.kmer_length = final_kl
+            seq_set.nomatch_gap_limit = compute_nomatch_gap_limit(final_kl)
         strands = io_strand.tolist()
         rets = add_ret.tolist()
         loop_assembled = 0
