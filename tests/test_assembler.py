@@ -218,3 +218,41 @@ def test_fastx_bulk_matches_streaming(tmp_path):
     assert bulk is not None
     got = [(r.id, r.seq, r.qual, r.comment) for r in bulk]
     assert got == want
+
+
+def test_native_loop_kmer_growth_parity(tmp_path, monkeypatch):
+    """In-loop kmer-length growth (change_kmer_length at the contig-count
+    threshold, main.cpp change path): the native loop must recompute the
+    nomatch gap limit exactly like the Python loop's per-call _sconf(),
+    and sync the final k back to the Python engine.  A tiny threshold
+    forces several growth steps on the example corpus."""
+    ref = (
+        os.path.join(GOLDEN, "..", "..", ".refbuild", "hg38_bcrtcr.fa")
+        if os.path.exists(
+            os.path.join(GOLDEN, "..", "..", ".refbuild", "hg38_bcrtcr.fa")
+        )
+        else "/root/reference/hg38_bcrtcr.fa"
+    )
+
+    def run(native_loop):
+        monkeypatch.setenv("TRUST4_TPU_NATIVE_LOOP", native_loop)
+        asm = Assembler(ref, output_prefix=str(tmp_path / f"g{native_loop}"))
+        asm.change_kmer_length_threshold = 8  # force growth early + often
+        sr = asm.ingest(
+            [os.path.join(GOLDEN, "gold_toassemble_1.fq")],
+            [os.path.join(GOLDEN, "gold_toassemble_2.fq")],
+        )
+        sr = asm.prepare(sr)
+        idx = asm.assemble(sr)
+        out = tmp_path / f"graw{native_loop}.out"
+        with open(out, "w") as fp:
+            asm.output_seqset(asm.seq_set, fp)
+        return (out.read_text(), idx, asm.index_kmer_length,
+                asm.seq_set.kmer_length, asm.seq_set.nomatch_gap_limit)
+
+    raw_n, idx_n, kl_n, skl_n, ngl_n = run("1")
+    raw_p, idx_p, kl_p, skl_p, ngl_p = run("0")
+    assert kl_n > 9  # the growth actually fired
+    assert (kl_n, skl_n, ngl_n) == (kl_p, skl_p, ngl_p)
+    assert raw_n == raw_p
+    assert idx_n == idx_p
