@@ -355,7 +355,11 @@ class OverlapMixin:
                             cnt += 1
                     if cnt >= novel_min_hit[st]:
                         remove_only_repeats[st] = True
-                i = j
+                # Reference quirk (SeqSet.hpp:811 `i = j` inside a `++i`
+                # for-loop): the scan resumes at j+1, counting each later
+                # group one hit short and skipping single-hit groups,
+                # which skews the novel_min_hit adaptation.
+                i = j + 1
             for s in range(2):
                 if possible_overlap_cnt[s] > 100000:
                     novel_min_hit[s] = int(longest_hits[s] * 0.75)

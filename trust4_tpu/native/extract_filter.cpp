@@ -310,7 +310,7 @@ int get_overlaps_from_hits(const Filter &F, const std::vector<Hit> &hits,
           if (hits[k].repeats <= 10000) cnt++;
         if (cnt >= 3) remove_only_repeats[st] = true;  // novel_min_hit[st]
       }
-      i = j;
+      i = j + 1;  // reference quirk: `i = j` inside a `++i` for-loop
     }
   }
 

@@ -495,7 +495,13 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
           if (hits[k].repeats <= 10000) cnt++;
         if (cnt >= novel_min_hit[st]) remove_only_repeats[st] = true;
       }
-      i = j;
+      // Reference quirk (SeqSet.hpp:811 `i = j` inside a `++i` for-loop):
+      // the scan resumes at j+1, so every subsequent group is counted one
+      // hit short and single-hit groups are skipped entirely.  This skews
+      // possible_overlap_cnt / longest_hits / remove_only_repeats, which
+      // gates the novel_min_hit adaptation — observable on long-read
+      // corpora where the count sits near the 100 bucket boundary.
+      i = j + 1;
     }
     for (int s = 0; s < 2; s++) {
       if (possible_overlap_cnt[s] > 100000)

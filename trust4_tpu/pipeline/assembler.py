@@ -565,7 +565,10 @@ class Assembler:
 
         if self.first_read_len > 200:
             for r in sorted_reads:
-                if r.read is not None and r.len < self.first_read_len / 3:
+                # C integer division (main.cpp:1473): len < firstReadLen/3
+                # truncates, so a post-trim read of exactly floor(len/3)
+                # bases survives.
+                if r.read is not None and r.len < self.first_read_len // 3:
                     r.read = None
             self.seq_set.set_is_long_seq_set(True)
 
