@@ -29,7 +29,11 @@ def gen_corpus(seed, outdir):
     paired = mode == 'pe'
     read_len = random.choice([400, 700, 1200]) if mode == 'long' else random.choice([50, 75, 100, 125, 150])
     err = random.choice([0.0, 0.005, 0.02, 0.05])
-    n_clones = random.randint(3, 40)
+    # Long mode needs corpora big and diverse enough to push
+    # possible_overlap_cnt past the novel_min_hit adaptation buckets
+    # (>100) — that regime exposed the reference's pre-scan group-skip
+    # quirk (SeqSet.hpp:811); small fixed-length corpora never reach it.
+    n_clones = random.randint(40, 160) if mode == 'long' else random.randint(3, 40)
     frag_len = read_len if mode == 'long' else read_len * 2 + random.randint(0, 120)
     r1 = open(f'{outdir}/r1.fq', 'w')
     r2 = open(f'{outdir}/r2.fq', 'w') if paired else None
@@ -43,16 +47,20 @@ def gen_corpus(seed, outdir):
         depth = random.randint(2, 60)
         for _ in range(depth):
             if len(full) < frag_len + 5: break
-            fs = random.randint(0, len(full) - frag_len)
-            frag = full[fs:fs+frag_len]
+            this_frag = frag_len
+            if mode == 'long':  # variable long-read lengths
+                this_frag = random.randint(max(210, frag_len // 2), frag_len)
+            fs = random.randint(0, len(full) - this_frag)
+            frag = full[fs:fs+this_frag]
             def mut(s):
                 s = list(s)
                 for i in range(len(s)):
                     if random.random() < err:
                         s[i] = random.choice('ACGTN')
                 return ''.join(s)
-            fwd = mut(frag[:read_len])
-            q = ''.join(random.choice('BFHI5') for _ in range(read_len))
+            this_len = this_frag if mode == 'long' else read_len
+            fwd = mut(frag[:this_len])
+            q = ''.join(random.choice('BFHI5') for _ in range(this_len))
             r1.write(f"@fz{n}\n{fwd}\n+\n{q}\n")
             if paired:
                 import re
