@@ -54,6 +54,33 @@ def is_pos_weight_compatible(a: np.ndarray, b: np.ndarray) -> bool:
     return False
 
 
+def _vote_extend(wa: np.ndarray, wb: np.ndarray) -> tuple:
+    """Vectorized posWeight-compatibility voting walk (the per-position
+    loop at SeqSet.hpp:2376-2414): returns (extend, 2 * match_cnt at that
+    extend) for the LAST k where match_cnt > 0.75 * k — identical to the
+    serial walk, which records every k that satisfies the ratio and keeps
+    the final one."""
+    n = min(len(wa), len(wb))
+    if n == 0:
+        return 0, 0
+    A = wa[:n]
+    B = wb[:n]
+    sa = A.sum(axis=1)
+    sb = B.sum(axis=1)
+    compat = (
+        ((sa[:, None] < 3 * A) & (sb[:, None] < 3 * B)).any(axis=1)
+        | (sa == 0)
+        | (sb == 0)
+    )
+    cum = np.cumsum(compat)
+    # The serial walk tests the ratio only at compat positions.
+    ok = compat & (cum > np.arange(1, n + 1) * 0.75)
+    if not ok.any():
+        return 0, 0
+    k = int(np.nonzero(ok)[0][-1]) + 1
+    return k, 2 * int(cum[k - 1])
+
+
 class ScaffoldMixin:
     # ------------------------------------------------------------------
     # Branch graph (SeqSet.hpp:2312-2463)
@@ -99,38 +126,18 @@ class ScaffoldMixin:
                 other = self.seqs[seq_idx]
                 # posWeight-compatibility voting extension
                 # (SeqSet.hpp:2376-2414).
-                match_cnt = 0
-                right_extend = 0
-                right_extend_match = 0
-                k = 1
-                a, b = o.read_end + 1, o.seq_end + 1
-                while a < sw.consensus_len and b < other.consensus_len:
-                    if is_pos_weight_compatible(
-                        sw.pos_weight[a], other.pos_weight[b]
-                    ):
-                        match_cnt += 1
-                        if match_cnt > k * 0.75:
-                            right_extend_match = 2 * match_cnt
-                            right_extend = k
-                    a += 1
-                    b += 1
-                    k += 1
-                match_cnt = 0
-                left_extend = 0
-                left_extend_match = 0
-                k = 1
-                a, b = o.read_start - 1, o.seq_start - 1
-                while a >= 0 and b >= 0:
-                    if is_pos_weight_compatible(
-                        sw.pos_weight[a], other.pos_weight[b]
-                    ):
-                        match_cnt += 1
-                        if match_cnt > k * 0.75:
-                            left_extend_match = 2 * match_cnt
-                            left_extend = k
-                    a -= 1
-                    b -= 1
-                    k += 1
+                right_extend, right_extend_match = _vote_extend(
+                    sw.pos_weight[o.read_end + 1 :],
+                    other.pos_weight[o.seq_end + 1 :],
+                )
+                left_extend, left_extend_match = _vote_extend(
+                    sw.pos_weight[o.read_start - 1 :: -1]
+                    if o.read_start >= 1
+                    else sw.pos_weight[:0],
+                    other.pos_weight[o.seq_start - 1 :: -1]
+                    if o.seq_start >= 1
+                    else other.pos_weight[:0],
+                )
 
                 ext = Overlap(**o.__dict__)
                 ext.read_start -= left_extend
