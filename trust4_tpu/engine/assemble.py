@@ -37,7 +37,9 @@ def accumulate_read(pos_weight: np.ndarray, offset: int, r: str) -> None:
     codes = seq_to_codes(r)
     mask = np.frombuffer(r.encode("ascii"), dtype=np.uint8) != ord("N")
     idx = np.nonzero(mask)[0]
-    np.add.at(pos_weight, (idx + offset, codes[idx].astype(np.int64)), 1)
+    # Each position appears once, so plain fancy-index increment is exact
+    # (and several times faster than np.add.at's unbuffered path).
+    pos_weight[idx + offset, codes[idx].astype(np.int64)] += 1
 
 
 def new_pos_weight_from_seq(consensus: str) -> np.ndarray:
