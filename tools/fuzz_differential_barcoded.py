@@ -45,7 +45,9 @@ def gen(seed, outdir):
                 rd = list(full[st:st+read_len])
                 for i in range(len(rd)):
                     if random.random() < err: rd[i] = random.choice('ACGTN')
-                q = ''.join(random.choice('FGHI') for _ in range(read_len))
+                # Include low-quality chars so the 3' trim + the
+                # stale-sort-buffer stats quirk get exercised.
+                q = ''.join(random.choice('FGHI#5B') for _ in range(read_len))
                 r1.write(f"@bz{n}\n{''.join(rd)}\n+\n{q}\n")
                 umi = ''.join(random.choice('ACGT') for _ in range(10))
                 bc.write(f"@bz{n}\n{cb}{umi}\n+\n{'I'*26}\n")
