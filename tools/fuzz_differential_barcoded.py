@@ -65,6 +65,8 @@ for seed in range(int(sys.argv[1]), int(sys.argv[2])):
             '-u', f'{d}/r1.fq', '--barcode', f'{d}/bc.fq', '--readFormat', fmt]
     if use_umi:
         args += ['--UMI', f'{d}/bc.fq']
+    if seed % 3 == 0:  # exercise the shallow-contig release + dropout
+        args += ['--contigMinCov', str(random.choice([2, 4, 6]))]
     rc1 = subprocess.run(['perl', f'{REF}/run-trust4'] + args + ['-o', f'{d}/ref'], capture_output=True, cwd=d)
     rc2 = subprocess.run([sys.executable, '-m', 'trust4_tpu', 'run'] + args + ['-o', f'{d}/my'],
                          capture_output=True, cwd=d, env={**os.environ, 'PYTHONPATH': '/root/repo'})

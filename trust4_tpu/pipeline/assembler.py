@@ -1358,6 +1358,12 @@ class Assembler:
             return
         assembled_read_idx = self.assemble(sorted_reads)
 
+        # Final shallow-contig release (main.cpp:1951-1954): contigs with
+        # any sub-minCov covered base drop before the raw output (and
+        # before mate extension consumes the set).
+        if self.contig_min_cov > 0:
+            self.seq_set.release_shallow_contigs(self.contig_min_cov)
+
         with open(self.output_prefix + "_raw.out", "w") as fp:
             self.output_seqset(self.seq_set, fp)
         with open(self.output_prefix + "_assembled_reads.fa", "w") as fp:
