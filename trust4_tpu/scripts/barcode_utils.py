@@ -88,6 +88,24 @@ def barcoderep_filter(
                 out.write(line.rstrip() + "\n")
 
 
+def _chain_type_10x(v, j, c):
+    """trust-barcoderep-to-10X.pl GetDetailChainType: scan (v, j, c) IN
+    ORDER and return the first gene whose PREFIX matches a known chain —
+    unlike barcoderep-expand.py's GetChainType below, which prefers
+    c-then-j-then-v and classifies only that single gene.  The two
+    reference scripts genuinely disagree (e.g. TRDV1 + TRAJ56: 10X says
+    TRD, expand says TRA)."""
+    table = {
+        "IGH": 0, "IGK": 1, "IGL": 2, "TRA": 3, "TRB": 4, "TRG": 5,
+        "TRD": 6,
+    }
+    for g in (v, j, c):
+        t = table.get(g[:3])
+        if t is not None:
+            return t
+    return 7
+
+
 def _chain_type_star(v, j, c):
     s = ""
     if c not in ("*", "."):
@@ -175,7 +193,7 @@ def barcoderep_to_10x(barcode_report, out_prefix):
                 c = cols[i].split(",")
                 row = [
                     cols[0], "True", c[7], "True", "None",
-                    _CHAIN_NAMES[_chain_type_star(c[0], c[2], c[3])],
+                    _CHAIN_NAMES[_chain_type_10x(c[0], c[2], c[3])],
                     "None" if c[0] == "*" else c[0],
                     "None" if c[1] == "*" else c[1],
                     "None" if c[2] == "*" else c[2],
