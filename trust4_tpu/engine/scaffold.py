@@ -380,23 +380,57 @@ class ScaffoldMixin:
             cxx_sort(prev_adj[i], _overlap_less)
             cxx_sort(next_adj[i], _overlap_less)
 
-        # Rough V/J/C annotation of used contigs (SeqSet.hpp:9855-9891).
+        # Rough V/J/C annotation of used contigs (SeqSet.hpp:9855-9891);
+        # one threaded native batch when available (per-contig serial
+        # queries otherwise).
+        used_idx = [i for i in range(seq_cnt) if use_in_branch[i]]
         for i in range(seq_cnt):
             if not use_in_branch[i]:
                 for k in range(3):
                     seqs[i].info[k] = [-1, -1, -1]
-                continue
-            _, gene_overlap, _ = ref_set.annotate_read(seqs[i].consensus, 0)
-            for j in (0, 2, 3):
-                k = j if j <= 1 else j - 1
-                if gene_overlap[j].seq_idx == -1:
-                    seqs[i].info[k] = [-1, -1, -1]
-                else:
-                    seqs[i].info[k] = [
-                        gene_overlap[j].read_start,
-                        gene_overlap[j].read_end,
-                        gene_overlap[j].seq_idx,
-                    ]
+        nat = ref_set._native_sync() if used_idx else None
+        if nat is not None:
+            import os as _os
+
+            if _os.environ.get("TRUST4_TPU_SCORED", "1") == "0" or _os.environ.get(
+                "TRUST4_TPU_SCORED_CHECK", "0"
+            ) == "1":
+                nat = None
+        if nat is not None:
+            from trust4_tpu.utils.parallel import internal_threads
+
+            rows, _sims = nat.annotate0_batch(
+                [seqs[i].consensus for i in used_idx],
+                internal_threads(getattr(self, "threads", 1) or 1),
+                ref_set.radius, ref_set.hit_len_required,
+                ref_set.is_long_seq_set, ref_set.nomatch_gap_limit,
+                ref_set.novel_seq_similarity, ref_set.ref_seq_similarity,
+                ref_set.repeat_similarity, ref_set.gap_n,
+            )
+            rows_l = rows.tolist()
+            for at, i in enumerate(used_idx):
+                for j in (0, 2, 3):
+                    k = j if j <= 1 else j - 1
+                    r8 = rows_l[at][j]
+                    if r8[0] == -1:
+                        seqs[i].info[k] = [-1, -1, -1]
+                    else:
+                        seqs[i].info[k] = [r8[1], r8[2], r8[0]]
+        else:
+            for i in used_idx:
+                _, gene_overlap, _ = ref_set.annotate_read(
+                    seqs[i].consensus, 0
+                )
+                for j in (0, 2, 3):
+                    k = j if j <= 1 else j - 1
+                    if gene_overlap[j].seq_idx == -1:
+                        seqs[i].info[k] = [-1, -1, -1]
+                    else:
+                        seqs[i].info[k] = [
+                            gene_overlap[j].read_start,
+                            gene_overlap[j].read_end,
+                            gene_overlap[j].seq_idx,
+                        ]
 
         backup_hlr = self.hit_len_required
         self.hit_len_required = least_overlap_len
