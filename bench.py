@@ -123,20 +123,22 @@ def bench_extraction_reads_per_sec() -> float:
 
 
 def bench_barcoded(refdir: str, threads: int):
-    """Single-cell e2e A/B: deterministic 1000-cell 10x-style corpus
-    (per-barcode assembly, 6k+ contigs — the scale bulk can't exercise).
-    Returns (ours_wall, ref_wall), best of 2 alternated runs each."""
+    """Single-cell e2e A/B: deterministic 5000-cell 10x-style corpus
+    (~224k reads; per-barcode assembly at the scale where the per-run
+    fixed costs amortize).  Returns (ours_wall, ref_wall), one alternated
+    run each (the corpus is big enough that run-to-run noise is small)."""
     sys.path.insert(0, REPO)
     from tools.make_bench_corpus import make_barcoded_corpus
 
-    reads_fq = "/tmp/t4bench_bc_reads.fq"
-    bc_fq = "/tmp/t4bench_bc_bc.fq"
+    reads_fq = "/tmp/t4bench_bc5k_reads.fq"
+    bc_fq = "/tmp/t4bench_bc5k_bc.fq"
     if not (os.path.exists(reads_fq) and os.path.exists(bc_fq)):
-        make_barcoded_corpus(reads_fq, bc_fq)
+        make_barcoded_corpus(reads_fq, bc_fq, n_cells=5000, seed=777,
+                             n_clones=800)
     fmt = "bc:0:15,um:16:25"
     d = tempfile.mkdtemp(prefix="t4bench_bc_")
     ours_best = ref_best = float("inf")
-    for rep in range(2):
+    for rep in range(1):
         t0 = time.time()
         r = subprocess.run(
             [
