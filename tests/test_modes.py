@@ -106,3 +106,27 @@ def test_not_imgt_annotation(tmp_path):
     got = open(prefix + "_annot.fa").read()
     want = open(os.path.join(GOLDEN, "notimgt_annot.fa")).read()
     assert got == want
+
+
+@pytest.mark.slow
+def test_contig_min_cov_release(tmp_path):
+    """--contigMinCov drops shallow contigs: the per-barcode release
+    during assembly AND the final ReleaseShallowContigs pass before the
+    raw output (main.cpp:1951-1954) — the final pass was missing until a
+    round-2 at-scale differential caught it (19 vs 99 contigs on this
+    corpus)."""
+    from trust4_tpu.pipeline.run import run_trust4
+
+    run_trust4(
+        "/root/reference/hg38_bcrtcr.fa",
+        "/root/reference/human_IMGT+C.fa",
+        single_files=[os.path.join(GOLDEN, "mincov_r1.fq")],
+        barcode_files=[os.path.join(GOLDEN, "mincov_bc.fq")],
+        read_format="bc:0:15",
+        contig_min_cov=4,
+        output_prefix=str(tmp_path / "mc"),
+    )
+    assert (
+        (tmp_path / "mc_final.out").read_text()
+        == open(os.path.join(GOLDEN, "gold_mincov_final.out")).read()
+    )
