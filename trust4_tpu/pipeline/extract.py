@@ -44,14 +44,44 @@ def is_good_candidate(read: str, ref_set: SeqSet) -> bool:
     return not is_low_complexity(read) and ref_set.has_hit_in_set(read, 0) != 0
 
 
+def _read_lengths_head(paths, limit: int):
+    """Sequence lengths of the first `limit` records, parsed lazily (the
+    whole-file fast path in read_fastx would parse a multi-GB corpus just
+    to sample its head)."""
+    import gzip
+
+    out = []
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    for p in paths:
+        op = gzip.open if str(p).endswith(".gz") else open
+        with op(p, "rt") as f:
+            first = f.readline()
+            if first.startswith("@"):  # FASTQ: fixed 4-line records
+                while first:
+                    seq = f.readline().strip()
+                    f.readline()
+                    f.readline()
+                    out.append(len(seq))
+                    if len(out) >= limit:
+                        return out
+                    first = f.readline()
+            else:  # FASTA (or empty): fall back to the full reader
+                for rec in read_fastx([p]):
+                    out.append(len(rec.seq))
+                    if len(out) >= limit:
+                        return out
+    return out
+
+
 def compute_hit_len_required(paths, has_mate: bool) -> int:
     """Adaptive hit length from the first 1000 reads
     (FastqExtractor.cpp:436-454)."""
     hit_len = 27 if has_mate else 23
     total = 0
     n = 0
-    for rec in read_fastx(paths):
-        total += len(rec.seq)
+    for ln in _read_lengths_head(paths, 1000):
+        total += ln
         n += 1
         if n >= 1000:
             break
