@@ -363,13 +363,31 @@ def run_barcoded_extractor(
     it1 = read_fastx(read1)
     it2 = read_fastx(read2) if has_mate else None
     itb = read_fastx(barcode_files) if has_barcode else None
-    itu = read_fastx(umi_files) if has_umi else None
+    # 10x runs pass the SAME file as barcode and UMI source (different
+    # format slices); alias the records instead of parsing it twice.
+    def _paths(p):
+        if isinstance(p, (str, os.PathLike)):
+            return [str(p)]
+        return [str(x) for x in p]
+
+    umi_aliases_barcode = (
+        has_umi and has_barcode
+        and _paths(umi_files) == _paths(barcode_files)
+    )
+    itu = (
+        read_fastx(umi_files)
+        if has_umi and not umi_aliases_barcode
+        else None
+    )
 
     def tuples():
         for r1 in it1:
             r2 = next(it2) if it2 is not None else None
             rb = next(itb) if itb is not None else None
-            ru = next(itu) if itu is not None else None
+            if umi_aliases_barcode:
+                ru = rb
+            else:
+                ru = next(itu) if itu is not None else None
             yield r1, r2, rb, ru
 
     def candidate_tuples():
