@@ -29,21 +29,37 @@ def _detect_imgt(path: str) -> bool:
     return False
 
 
+
+def _flatfiles(lst):
+    """Flatten `action="append", nargs="+"` file lists and expand globs
+    (run-trust4 accepts `-1 a.fq b.fq 'c*.fq'` until the next flag and
+    globs each token)."""
+    import glob as _glob
+
+    out = []
+    for group in lst:
+        items = group if isinstance(group, list) else [group]
+        for item in items:
+            hits = sorted(_glob.glob(item))
+            out.extend(hits if hits else [item])
+    return out
+
+
 def cmd_run(argv) -> int:
     p = argparse.ArgumentParser(prog="trust4_tpu run")
     p.add_argument("-f", dest="coord_fasta", required=True,
                    help="V/D/J/C genomic reference fasta")
     p.add_argument("--ref", dest="imgt_fasta", default="",
                    help="IMGT allele reference fasta")
-    p.add_argument("-1", dest="read1", action="append", default=[])
-    p.add_argument("-2", dest="read2", action="append", default=[])
-    p.add_argument("-u", dest="single", action="append", default=[])
+    p.add_argument("-1", dest="read1", action="append", nargs="+", default=[])
+    p.add_argument("-2", dest="read2", action="append", nargs="+", default=[])
+    p.add_argument("-u", dest="single", action="append", nargs="+", default=[])
     p.add_argument("-b", dest="bam", default=None)
     p.add_argument("-o", dest="prefix", default="")
     p.add_argument("--od", dest="outdir", default="")
     p.add_argument("-t", dest="threads", type=int, default=1)
-    p.add_argument("--barcode", action="append", default=[])
-    p.add_argument("--UMI", action="append", default=[])
+    p.add_argument("--barcode", action="append", nargs="+", default=[])
+    p.add_argument("--UMI", action="append", nargs="+", default=[])
     p.add_argument("--readFormat", default="")
     p.add_argument("--barcodeWhitelist", default=None)
     p.add_argument("--barcodeTranslate", default=None)
@@ -68,6 +84,11 @@ def cmd_run(argv) -> int:
     p.add_argument("--tpuPrefilter", action="store_true",
                    help="use the TPU membership prefilter for extraction")
     args = p.parse_args(argv)
+    args.read1 = _flatfiles(args.read1)
+    args.read2 = _flatfiles(args.read2)
+    args.single = _flatfiles(args.single)
+    args.barcode = _flatfiles(args.barcode)
+    args.UMI = _flatfiles(args.UMI)
 
     from trust4_tpu.pipeline.run import run_trust4
 
@@ -144,17 +165,22 @@ def cmd_run(argv) -> int:
 def cmd_extract(argv) -> int:
     p = argparse.ArgumentParser(prog="trust4_tpu extract")
     p.add_argument("-f", dest="ref", required=True)
-    p.add_argument("-1", dest="read1", action="append", default=[])
-    p.add_argument("-2", dest="read2", action="append", default=[])
-    p.add_argument("-u", dest="single", action="append", default=[])
+    p.add_argument("-1", dest="read1", action="append", nargs="+", default=[])
+    p.add_argument("-2", dest="read2", action="append", nargs="+", default=[])
+    p.add_argument("-u", dest="single", action="append", nargs="+", default=[])
     p.add_argument("-o", dest="prefix", default="toassemble")
-    p.add_argument("--barcode", action="append", default=[])
-    p.add_argument("--UMI", action="append", default=[])
+    p.add_argument("--barcode", action="append", nargs="+", default=[])
+    p.add_argument("--UMI", action="append", nargs="+", default=[])
     p.add_argument("--readFormat", default="")
     p.add_argument("--barcodeWhitelist", default=None)
     p.add_argument("--barcodeTranslate", default=None)
     p.add_argument("--tpuPrefilter", action="store_true")
     args = p.parse_args(argv)
+    args.read1 = _flatfiles(args.read1)
+    args.read2 = _flatfiles(args.read2)
+    args.single = _flatfiles(args.single)
+    args.barcode = _flatfiles(args.barcode)
+    args.UMI = _flatfiles(args.UMI)
 
     from trust4_tpu.pipeline.extract import (
         run_barcoded_extractor,
@@ -207,15 +233,15 @@ def cmd_bamextract(argv) -> int:
 def cmd_assemble(argv) -> int:
     p = argparse.ArgumentParser(prog="trust4_tpu assemble")
     p.add_argument("-f", dest="ref", required=True)
-    p.add_argument("-1", dest="read1", action="append", default=[])
-    p.add_argument("-2", dest="read2", action="append", default=[])
-    p.add_argument("-u", dest="single", action="append", default=[])
+    p.add_argument("-1", dest="read1", action="append", nargs="+", default=[])
+    p.add_argument("-2", dest="read2", action="append", nargs="+", default=[])
+    p.add_argument("-u", dest="single", action="append", nargs="+", default=[])
     p.add_argument("-o", dest="prefix", default="trust")
     p.add_argument("-k", dest="kmer", type=int, default=9)
     p.add_argument("-c", dest="kmerCountFile", default=None,
                    help="jellyfish2 k-mer count dump to use instead of counting")
-    p.add_argument("--barcode", action="append", default=[])
-    p.add_argument("--UMI", action="append", default=[])
+    p.add_argument("--barcode", action="append", nargs="+", default=[])
+    p.add_argument("--UMI", action="append", nargs="+", default=[])
     p.add_argument("--trimLevel", type=int, default=1)
     p.add_argument("--skipMateExtension", action="store_true")
     p.add_argument("--minHitLen", type=int, default=-1)
@@ -223,6 +249,11 @@ def cmd_assemble(argv) -> int:
     p.add_argument("--cgeneEnd", type=int, default=200)
     p.add_argument("--keepNoBarcode", action="store_true")
     args = p.parse_args(argv)
+    args.read1 = _flatfiles(args.read1)
+    args.read2 = _flatfiles(args.read2)
+    args.single = _flatfiles(args.single)
+    args.barcode = _flatfiles(args.barcode)
+    args.UMI = _flatfiles(args.UMI)
 
     from trust4_tpu.pipeline.assembler import Assembler
 
