@@ -37,6 +37,10 @@ def bam_record(name, flag, refid, pos, mapq, cigar_ops, seq, qual, mrefid, mpos,
     body += nm + cig + bytes(sb) + qb + tags
     return struct.pack("<i", len(body)) + body
 
+def z_tag(tag, val):
+    return tag.encode() + b"Z" + val.encode() + b"\x00"
+
+
 def main():
     random.seed(31415)
     vs, js, cs = [], [], []
@@ -64,12 +68,17 @@ def main():
         nm = c.encode() + b"\x00"
         header += struct.pack("<i", len(nm)) + nm + struct.pack("<i", 100000000)
 
-    out = open('/tmp/bulk50k.bam', 'wb')
+    import sys as _s
+    barcoded = "--barcoded" in _s.argv
+    out = open('/tmp/bc20k.bam' if barcoded else '/tmp/bulk50k.bam', 'wb')
     out.write(bgzf_block(header))
     buf = b""
     n = 0
     L = 100
-    while n < 50000:
+    cells = ["".join(random.choice("ACGT") for _ in range(16))
+             for _ in range(200)]
+    limit = 20000 if barcoded else 50000
+    while n < limit:
         rid = f"bm{n}"
         is_receptor = random.random() < 0.25
         if is_receptor:
@@ -86,18 +95,27 @@ def main():
         r1 = frag[:L]
         r2 = frag[-L:].translate(comp)[::-1]
         q = 'I' * L
+        tags = b""
+        if barcoded:
+            cb = random.choice(cells)
+            umi = "".join(random.choice("ACGT") for _ in range(10))
+            tags = z_tag("CB", cb) + z_tag("UB", umi)
         if random.random() < 0.5 and not is_receptor:
             # proper mapped pair on the fake chromosome
             pos = random.randint(1000, 90000000)
-            rec1 = bam_record(rid, 0x63, 0, pos, 60, [(L, 0)], r1, q, 0, pos + frag_len - L, frag_len)
+            rec1 = bam_record(rid, 0x63, 0, pos, 60, [(L, 0)], r1, q, 0,
+                              pos + frag_len - L, frag_len, tags)
             rec2 = bam_record(rid, 0x93, 0, pos + frag_len - L, 60, [(L, 0)],
-                              r2.translate(comp)[::-1], q, 0, pos, -frag_len)
+                              r2.translate(comp)[::-1], q, 0, pos, -frag_len,
+                              tags)
             # mate stored on forward strand per BAM convention with reverse flag:
             buf += rec1 + rec2
         else:
             # unmapped pair (adjacent)
-            rec1 = bam_record(rid, 0x4D, -1, -1, 0, [], r1, q, -1, -1, 0)
-            rec2 = bam_record(rid, 0x8D, -1, -1, 0, [], r2, q, -1, -1, 0)
+            rec1 = bam_record(rid, 0x4D, -1, -1, 0, [], r1, q, -1, -1, 0,
+                              tags)
+            rec2 = bam_record(rid, 0x8D, -1, -1, 0, [], r2, q, -1, -1, 0,
+                              tags)
             buf += rec1 + rec2
         n += 1
         if len(buf) > 50000:
@@ -105,6 +123,6 @@ def main():
     if buf: out.write(bgzf_block(buf))
     out.write(EOF_MARKER)
     out.close()
-    print("wrote 50k pairs")
+    print("wrote", limit, "pairs", "barcoded" if barcoded else "")
 
 main()
