@@ -57,31 +57,28 @@ def ensure_reference() -> str:
 
 
 def run_ours(threads: int) -> float:
+    """Full CLI wall-clock, the same surface a user invokes (includes
+    interpreter boot — kept honest vs the reference's perl+C driver)."""
+    sys.path.insert(0, REPO)
+    from trust4_tpu.utils.axonboot import stashed_env
+
     d = tempfile.mkdtemp(prefix="t4bench_ours_")
-    code = (
-        "import sys, time; sys.path.insert(0, %r)\n"
-        "from trust4_tpu.pipeline.run import run_trust4\n"
-        "t0 = time.time()\n"
-        "run_trust4(%r, %r, single_files=[%r], output_prefix=%r,\n"
-        "           threads=%d)\n"
-        "print('WALL', time.time() - t0)\n"
-        % (
-            REPO,
-            os.path.join(REF_SRC, "hg38_bcrtcr.fa"),
-            os.path.join(REF_SRC, "human_IMGT+C.fa"),
-            CORPUS,
-            os.path.join(d, "ours"),
-            threads,
-        )
-    )
+    t0 = time.time()
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=1800,
+        [
+            sys.executable, "-m", "trust4_tpu", "run",
+            "-u", CORPUS,
+            "-f", os.path.join(REF_SRC, "hg38_bcrtcr.fa"),
+            "--ref", os.path.join(REF_SRC, "human_IMGT+C.fa"),
+            "-o", "ours", "--od", d, "-t", str(threads),
+        ],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+        env=stashed_env(),
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("WALL"):
-            return float(line.split()[1])
-    raise RuntimeError(f"our pipeline failed: {out.stderr[-2000:]}")
+    wall = time.time() - t0
+    if out.returncode != 0:
+        raise RuntimeError(f"our pipeline failed: {out.stderr[-2000:]}")
+    return wall
 
 
 def run_reference(refdir: str, threads: int) -> float:
@@ -129,6 +126,7 @@ def bench_barcoded(refdir: str, threads: int):
     run each (the corpus is big enough that run-to-run noise is small)."""
     sys.path.insert(0, REPO)
     from tools.make_bench_corpus import make_barcoded_corpus
+    from trust4_tpu.utils.axonboot import stashed_env
 
     reads_fq = "/tmp/t4bench_bc5k_reads.fq"
     bc_fq = "/tmp/t4bench_bc5k_bc.fq"
@@ -162,6 +160,7 @@ def bench_barcoded(refdir: str, threads: int):
                 "-o", f"ours{rep}", "--od", d, "-t", str(threads),
             ],
             capture_output=True, timeout=1800, cwd=REPO,
+            env=stashed_env(),
         )
         if r.returncode == 0:
             ours_best = min(ours_best, time.time() - t0)

@@ -80,6 +80,9 @@ def device_available() -> bool:
     if mode() == "0":
         return False
     try:
+        from trust4_tpu.utils.axonboot import ensure_registered
+
+        ensure_registered()
         import jax
 
         return jax.default_backend() in ("tpu", "axon")
