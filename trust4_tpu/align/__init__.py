@@ -3,9 +3,13 @@
 ``host``   — exact scalar oracle matching the reference DP semantics bit for
              bit (reference: AlignAlgo.hpp).  Used for correctness and for the
              low-volume edit-script decodes on the host.
-``tpu``    — batched fixed-shape banded DP in JAX (scores + packed traceback)
-             for the high-volume sweeps (assembly overlap verification,
-             annotator realignment).
+``native`` — ctypes bindings to the C++ DP suite (native/align_kernels.cpp),
+             the shipping CPU path.
+
+The device DP lives in ``trust4_tpu.ops``: ``dp_batch``/``dp_pallas``
+(batched fixed-shape banded DP — scores plus per-cell direction bits with an
+on-device decode to edit counts) serve the high-volume annotation gap fills
+through ``ops.gap_oracle``.
 """
 
 from trust4_tpu.align.host import (
