@@ -161,6 +161,12 @@ def prewarm(wait: bool = False) -> None:
 
 _RC_FLAG = 1 << 30
 
+# TRUST4_TPU_GAP_PROF=1: per-batch cost/coverage breakdown on stderr —
+# job/unique counts per tier, device-miss fraction (jobs beyond the top
+# tier, VERDICT r2 item 7), and where the wall time goes (emit / dedup /
+# device / scatter / cpu-leftovers).
+_GAP_PROF = os.environ.get("TRUST4_TPU_GAP_PROF", "0") == "1"
+
 
 def _job_segments(reads, seqs, row):
     """The (t, p) DP strings of one gap-job row, honoring the bit-30 rc
@@ -190,9 +196,14 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
     may carry the bit-30 rc flag); seqs: queried SeqSet's wrappers (CPU
     leftovers + check mode).  Returns (n, 3) int32, or None (caller uses
     the CPU DP)."""
+    import time as _time
+
     n = len(gap_jobs)
     if n == 0:
         return np.zeros((0, 3), dtype=np.int32)
+    prof = {"emit": 0.0, "dedup": 0.0, "device": 0.0, "scatter": 0.0,
+            "cpu_left": 0.0, "tiers": []} if _GAP_PROF else None
+    t_all0 = _time.perf_counter() if _GAP_PROF else 0.0
     check = os.environ.get("TRUST4_TPU_DEVICE_CHECK", "0") == "1"
     if _prewarm_thread is not None and mode() != "1":
         # active() only admits completed prewarms in auto mode, so this
@@ -227,9 +238,12 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
             if len(idx) == 0:
                 continue
             sub_jobs = np.ascontiguousarray(gap_jobs[idx])
+            t0 = _time.perf_counter() if prof is not None else 0.0
             t_codes, p_codes = nat.emit_gap_codes(
                 query_jobs, sub_jobs, s_cap
             )
+            if prof is not None:
+                prof["emit"] += _time.perf_counter() - t0
             tl = np.minimum(t_lens[idx], s_cap).astype(np.int32)
             pl = np.minimum(r_lens[idx], s_cap).astype(np.int32)
             # Content dedup before transfer: IMGT alleles are
@@ -238,6 +252,7 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
             # Lengths join the key explicitly: non-ACGTN input bytes also
             # encode as the pad code, so code rows alone can't always
             # distinguish a trailing-ambiguity base from a shorter job.
+            t0 = _time.perf_counter() if prof is not None else 0.0
             comb = np.ascontiguousarray(
                 np.concatenate(
                     [
@@ -263,6 +278,12 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
                 idx = idx[uniq_at]  # launch count only
             else:
                 scatter = None
+            if prof is not None:
+                prof["dedup"] += _time.perf_counter() - t0
+                prof["tiers"].append(
+                    (s_cap, len(np.nonzero(tier_of == ti)[0]), len(idx))
+                )
+                t0 = _time.perf_counter()
             uniq_counts_parts = []
             for at in range(0, len(idx), chunk):
                 hi = min(at + chunk, len(idx))
@@ -284,15 +305,23 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
                     pending.append((idx[at:hi], hi - at, dev_counts))
                 else:
                     uniq_counts_parts.append((hi - at, dev_counts))
+            if prof is not None:
+                prof["device"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
             if scatter is not None:
                 all_idx, inv2 = scatter
                 uc = np.concatenate(
                     [np.asarray(d)[:m] for m, d in uniq_counts_parts]
                 )
                 pending.append((all_idx, len(all_idx), uc[inv2]))
+            if prof is not None:
+                prof["scatter"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter() if prof is not None else 0.0
         for sel, m, dev_counts in pending:
             counts[sel] = np.asarray(dev_counts)[:m]
             done[sel] = True
+        if prof is not None:
+            prof["scatter"] += _time.perf_counter() - t0
     except Exception:
         if check:
             raise
@@ -305,10 +334,27 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
         # oracle.
         import trust4_tpu.align.native as an
 
+        t0 = _time.perf_counter() if prof is not None else 0.0
         reads = [j[0] if isinstance(j, tuple) else j for j in query_jobs]
         for i in np.nonzero(~done)[0]:
             t, p = _job_segments(reads, seqs, gap_jobs[i])
             counts[i] = an.global_alignment_counts(t, p)
+        if prof is not None:
+            prof["cpu_left"] = _time.perf_counter() - t0
+    if prof is not None:
+        n_miss = int((~done).sum())
+        tiers = " ".join(
+            f"cap{c}:{tot}j/{u}u" for c, tot, u in prof["tiers"]
+        )
+        print(
+            f"[gap-prof] n={n} tiers[{tiers}] miss={n_miss}"
+            f" ({100.0 * n_miss / n:.2f}%)"
+            f" emit={prof['emit']:.3f}s dedup={prof['dedup']:.3f}s"
+            f" device={prof['device']:.3f}s scatter={prof['scatter']:.3f}s"
+            f" cpu_left={prof['cpu_left']:.3f}s"
+            f" total={_time.perf_counter() - t_all0:.3f}s",
+            file=__import__('sys').stderr, flush=True,
+        )
 
     if check:
         import trust4_tpu.align.native as an
