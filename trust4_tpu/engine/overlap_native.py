@@ -136,6 +136,14 @@ def _load():
     lib.t4o_emit_gap_codes.argtypes = [
         ctypes.c_void_p, c_char_p, _i64p, _i32p, c_int, c_int, _i8p, _i8p,
     ]
+    lib.t4o_prof_dump7.restype = None
+    lib.t4o_prof_dump7.argtypes = [ctypes.c_void_p, _f64p]
+    lib.t4s_pull_meta_all.restype = None
+    lib.t4s_pull_meta_all.argtypes = [ctypes.c_void_p, _i64p]
+    lib.t4s_pull_data_all.restype = None
+    lib.t4s_pull_data_all.argtypes = [
+        ctypes.c_void_p, c_char_p, c_char_p, _i32p, _u8p,
+    ]
     lib.t4o_annotate0_collect_gaps.restype = c_int
     lib.t4o_annotate0_collect_gaps.argtypes = [
         ctypes.c_void_p, c_char_p, _i64p, c_int, c_int, c_int, c_int, c_int,
@@ -247,6 +255,23 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def prof_dump() -> "dict | None":
+    """Drain the T4_PROF=1 native phase counters (cumulative since the
+    last drain).  Keys: hits/chain/score/sort/score_dp seconds (summed
+    across threads), n_hits/n_overlaps volumes, lis seconds.  None when
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros(8, dtype=np.float64)
+    lib.t4o_prof_dump7(None, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return {
+        "hits_s": out[0], "chain_s": out[1], "score_s": out[2],
+        "sort_s": out[3], "score_dp_s": out[4], "n_hits": int(out[5]),
+        "n_overlaps": int(out[6]), "lis_s": out[7],
+    }
 
 
 class NativeKmerCount:
@@ -1024,6 +1049,29 @@ class NativeOverlapEngine:
         out = np.empty(6, dtype=np.int32)
         self._lib.t4s_get_prev_add(self._h, out.ctypes.data_as(_i32p))
         return tuple(int(v) for v in out)
+
+    def s_pull_all(self):
+        """Bulk-pull every seq's state in two FFI calls.  Returns
+        (meta (n, 11) i64 [last column = name_len], names bytes,
+        cons bytes, pw_flat i32, info_zero (n,) u8)."""
+        n = self._lib.t4s_seq_count(self._h)
+        meta = np.empty((n, 11), dtype=np.int64)
+        if n:
+            self._lib.t4s_pull_meta_all(self._h, meta.ctypes.data_as(_i64p))
+        name_total = int(meta[:, 10].sum()) if n else 0
+        cons_total = int(meta[:, 8].sum()) if n else 0
+        pw_total = int(meta[:, 9].sum()) if n else 0
+        names = ctypes.create_string_buffer(max(1, name_total))
+        cons = ctypes.create_string_buffer(max(1, cons_total))
+        pw = np.empty(max(1, pw_total), dtype=np.int32)
+        info_zero = np.zeros(max(1, n), dtype=np.uint8)
+        if n:
+            self._lib.t4s_pull_data_all(
+                self._h, names, cons, pw.ctypes.data_as(_i32p),
+                info_zero.ctypes.data_as(_u8p),
+            )
+        return (meta, names.raw[:name_total], cons.raw[:cons_total],
+                pw[:pw_total], info_zero[:n])
 
     def s_pull(self, sid: int):
         """Pull one seq's full state.  Returns (meta11, name, consensus,

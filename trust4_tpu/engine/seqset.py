@@ -219,14 +219,21 @@ class SeqSet(
         if not self.native_master:
             return
         nat = self.seq_index.native
-        n = nat.s_seq_count()
+        meta, names_blob, cons_blob, pw_flat, info_zero = nat.s_pull_all()
+        n = meta.shape[0]
+        rows = meta.tolist()
+        izl = info_zero.tolist()
         seqs: List[Optional[SeqWrapper]] = []
+        at_n = at_c = at_p = 0
         for i in range(n):
-            meta, name, consensus, pw_flat = nat.s_pull(i)
             (active, is_ref, barcode, num_read, min_l, min_r, index_flag,
-             compressed, cons_len, pw_len, info_zero) = (
-                int(v) for v in meta
-            )
+             compressed, cons_len, pw_len, name_len) = rows[i]
+            name = names_blob[at_n:at_n + name_len].decode("ascii")
+            consensus = cons_blob[at_c:at_c + cons_len].decode("ascii")
+            pw = pw_flat[at_p:at_p + pw_len]
+            at_n += name_len
+            at_c += cons_len
+            at_p += pw_len
             if not active:
                 sw = SeqWrapper(name=None, consensus=None,
                                 is_ref=bool(is_ref))
@@ -235,16 +242,16 @@ class SeqSet(
                     name=name, consensus=consensus, is_ref=bool(is_ref)
                 )
                 if compressed:
-                    sw.pos_weight = pw_flat
+                    sw.pos_weight = pw.copy()
                     sw.pos_weight_compressed = True
                 else:
-                    sw.pos_weight = pw_flat.reshape(-1, 4)
+                    sw.pos_weight = pw.reshape(-1, 4).copy()
             sw.barcode = barcode
             sw.num_read = num_read
             sw.min_left_ext_anchor = min_l
             sw.min_right_ext_anchor = min_r
             sw.index = bool(index_flag)
-            if info_zero:
+            if izl[i]:
                 sw.info = [[0, 0, 0], [0, 0, 0], [0, 0, 0]]
             seqs.append(sw)
         self.seqs = seqs

@@ -4050,6 +4050,52 @@ void t4s_pull_data(void* h, int sid, char* cons, char* name, int32_t* pw) {
     memcpy(pw, s.own_pw.data(), s.own_pw.size() * sizeof(int32_t));
 }
 
+// Bulk pull, phase 1: per-seq meta rows (n, 11) in one call so Python
+// can size the blob buffers (pull_from_native was 3 GIL-bound ctypes
+// round trips per seq — dominated stitching at 26k contigs).
+void t4s_pull_meta_all(void* h, int64_t* out11xn) {
+  Engine2& R = registry_for(h);
+  int n = (int)R.seqs.size();
+  for (int i = 0; i < n; i++) {
+    SeqRec& s = R.seqs[i];
+    int64_t* o = out11xn + 11 * i;
+    o[0] = s.active ? 1 : 0;
+    o[1] = s.is_ref ? 1 : 0;
+    o[2] = s.barcode;
+    o[3] = s.num_read;
+    o[4] = s.min_left_ext_anchor;
+    o[5] = s.min_right_ext_anchor;
+    o[6] = s.index_flag ? 1 : 0;
+    o[7] = s.pw_compressed ? 1 : 0;
+    o[8] = (int64_t)s.consensus.size();
+    o[9] = (int64_t)s.own_pw.size();
+    o[10] = (int64_t)s.name.size();
+  }
+}
+
+// Bulk pull, phase 2: concatenated name/consensus bytes and posWeight
+// ints, in seq order (caller sized the buffers from phase 1; the
+// info_zero flag rides in meta slot 10's high bit-free... it moved to a
+// separate array to keep layout simple).
+void t4s_pull_data_all(void* h, char* names, char* cons, int32_t* pw,
+                       uint8_t* info_zero) {
+  Engine2& R = registry_for(h);
+  int n = (int)R.seqs.size();
+  size_t at_n = 0, at_c = 0, at_p = 0;
+  for (int i = 0; i < n; i++) {
+    SeqRec& s = R.seqs[i];
+    memcpy(names + at_n, s.name.data(), s.name.size());
+    at_n += s.name.size();
+    memcpy(cons + at_c, s.consensus.data(), s.consensus.size());
+    at_c += s.consensus.size();
+    if (!s.own_pw.empty()) {
+      memcpy(pw + at_p, s.own_pw.data(), s.own_pw.size() * sizeof(int32_t));
+      at_p += s.own_pw.size();
+    }
+    info_zero[i] = s.info_zero ? 1 : 0;
+  }
+}
+
 // BuildSeqSubstringRelation (SeqSet.hpp:2127-2250; Python oracle
 // engine/scaffold.py:1019-1089): for every seq, count shared-k-mer hits
 // against the index and verify a <2-mismatch full-length substring

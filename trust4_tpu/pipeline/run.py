@@ -28,10 +28,26 @@ _stage_t0 = [0.0]
 
 def _stamp(name: str) -> None:
     """Logs elapsed wall since the previous stamp when
-    TRUST4_TPU_STAGE_TIMES=1."""
+    TRUST4_TPU_STAGE_TIMES=1; with T4_PROF=1 also drains and prints the
+    native engine's phase counters (per-stage deltas, thread-summed)."""
     now = time.perf_counter()
     if _STAGE_TIMES and name:
         log(f"[stage-time] {name}: {now - _stage_t0[0]:.3f}s")
+    if name and os.environ.get("T4_PROF", "0") == "1":
+        try:
+            from trust4_tpu.engine import overlap_native as _on
+
+            p = _on.prof_dump()
+            if p is not None:
+                log(
+                    f"[t4-prof] {name}: hits={p['hits_s']:.2f}s"
+                    f" chain={p['chain_s']:.2f}s lis={p['lis_s']:.2f}s"
+                    f" score={p['score_s']:.2f}s (sort={p['sort_s']:.2f}s"
+                    f" dp={p['score_dp_s']:.2f}s)"
+                    f" n_hits={p['n_hits']} n_ovl={p['n_overlaps']}"
+                )
+        except Exception:
+            pass
     _stage_t0[0] = now
 
 
