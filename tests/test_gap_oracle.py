@@ -161,6 +161,23 @@ def test_gap_counts_dedup_scatter(monkeypatch):
                     out_p[j, i] = code_of[c]
             return out_t, out_p
 
+        def dedup_gap_jobs(self, query_jobs, sub_jobs, width, n_threads):
+            # Reference dedup: group by exact (t codes, p codes, lens) —
+            # the same key the native t4o_dedup_gap_jobs hashes.
+            t, p = self.emit_gap_codes(query_jobs, sub_jobs, width)
+            seen = {}
+            uniq = []
+            inverse = np.empty(len(sub_jobs), dtype=np.int32)
+            for j, row in enumerate(sub_jobs):
+                tl = min(int(row[5]), width)
+                pl = min(int(row[7]), width)
+                key = (t[j].tobytes(), p[j].tobytes(), tl, pl)
+                if key not in seen:
+                    seen[key] = len(uniq)
+                    uniq.append(j)
+                inverse[j] = seen[key]
+            return np.asarray(uniq, dtype=np.int32), inverse
+
     def _cpu_tier_counts(tc, tcl, pc, pcl, w, p_max):
         m = len(tc)
         out = np.zeros((m, 3), dtype=np.int32)
@@ -187,3 +204,67 @@ def test_gap_counts_dedup_scatter(monkeypatch):
             reads[q][r_from : r_from + r_len],
         )
         assert tuple(int(v) for v in counts[i]) == tuple(want), i
+
+
+def test_native_dedup_matches_python_oracle():
+    """t4o_dedup_gap_jobs must group exactly the jobs whose device DP
+    inputs (code rows + truncated lengths, rc-walked for bit-30 jobs)
+    are identical — validated against a dict-based Python oracle on a
+    duplicate-heavy random universe including N's and rc jobs."""
+    from trust4_tpu.engine import overlap_native as on
+    from trust4_tpu.dna import revcomp
+
+    if not on.available():
+        pytest.skip("native engine unavailable")
+
+    rng = np.random.default_rng(11)
+    alpha = list("ACGTN")
+    seqs_str = ["".join(rng.choice(alpha, 80)) for _ in range(4)]
+    reads = ["".join(rng.choice(alpha, 70)) for _ in range(5)]
+
+    eng = on.NativeOverlapEngine(9)
+    for i, s in enumerate(seqs_str):
+        eng.reg_seq(i, True, -1, f"ref{i}", s, None, -1)
+
+    jobs = []
+    for _ in range(2000):
+        q = int(rng.integers(0, len(reads)))
+        sidx = int(rng.integers(0, len(seqs_str)))
+        t_from = int(rng.integers(0, 8)) * 5
+        t_len = min(int(rng.integers(1, 14)), 80 - t_from)
+        rc = bool(rng.integers(0, 2))
+        r_len = int(rng.integers(1, 12))
+        if rc:
+            r_from = int(rng.integers(r_len - 1, 70))
+        else:
+            r_from = int(rng.integers(0, 70 - r_len + 1))
+        jobs.append((q, 0, 0, sidx | ((1 << 30) if rc else 0),
+                     t_from, t_len, r_from, r_len))
+    gap_jobs = np.array(jobs, dtype=np.int32)
+
+    width = 16
+
+    def key_of(row):
+        q, _ov, _go, sidx, t_from, t_len, r_from, r_len = (
+            int(v) for v in row
+        )
+        rc = bool(sidx & (1 << 30))
+        sidx &= ~(1 << 30)
+        tl, pl = min(t_len, width), min(r_len, width)
+        t = seqs_str[sidx][t_from:t_from + tl]
+        if rc:
+            p = revcomp(reads[q][r_from - pl + 1:r_from + 1])
+        else:
+            p = reads[q][r_from:r_from + pl]
+        # non-ACGTN and N NOT identified: codes N->4, other->5; here the
+        # alphabet is ACGTN so the string itself is the code row.
+        return (t, p, tl, pl)
+
+    uniq, inverse = eng.dedup_gap_jobs(reads, gap_jobs, width, 4)
+
+    # 1. Each job's representative has the same key.
+    for j, row in enumerate(gap_jobs):
+        rep = gap_jobs[uniq[inverse[j]]]
+        assert key_of(row) == key_of(rep), j
+    # 2. Unique count matches the oracle's distinct-key count.
+    assert len(uniq) == len({key_of(r) for r in gap_jobs})

@@ -140,6 +140,11 @@ def _load():
     lib.t4o_prof_dump7.argtypes = [ctypes.c_void_p, _f64p]
     lib.t4s_pull_meta_all.restype = None
     lib.t4s_pull_meta_all.argtypes = [ctypes.c_void_p, _i64p]
+    lib.t4o_dedup_gap_jobs.restype = c_int
+    lib.t4o_dedup_gap_jobs.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, ctypes.c_int64, c_int,
+        c_int, _i32p, _i32p,
+    ]
     lib.t4s_pull_data_all.restype = None
     lib.t4s_pull_data_all.argtypes = [
         ctypes.c_void_p, c_char_p, c_char_p, _i32p, _u8p,
@@ -806,6 +811,27 @@ class NativeOverlapEngine:
             out_t.ctypes.data_as(_i8p), out_p.ctypes.data_as(_i8p),
         )
         return out_t, out_p
+
+    def dedup_gap_jobs(self, jobs, gap_jobs, width: int, n_threads: int):
+        """Content-keyed dedup of gap jobs (t4o_dedup_gap_jobs): groups
+        jobs whose device DP inputs (code rows + lengths) are identical.
+        Returns (uniq_idx (n_uniq,) i32 — job index of each unique's
+        representative, inverse (n,) i32 — unique ordinal per job)."""
+        reads = [j[0] if isinstance(j, tuple) else j for j in jobs]
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(len(reads) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        gj = np.ascontiguousarray(gap_jobs, dtype=np.int32)
+        n = len(gj)
+        inverse = np.empty(n, dtype=np.int32)
+        uniq = np.empty(max(1, n), dtype=np.int32)
+        n_uniq = self._lib.t4o_dedup_gap_jobs(
+            self._h, blob, offs.ctypes.data_as(_i64p),
+            gj.ctypes.data_as(_i32p), n, width, n_threads,
+            inverse.ctypes.data_as(_i32p), uniq.ctypes.data_as(_i32p),
+        )
+        return uniq[:n_uniq].copy(), inverse
 
     def query_scored_batch_oracle(self, jobs, gap_jobs, gap_counts,
                                   n_threads: int, radius: int,

@@ -188,19 +188,26 @@ def _job_segments(reads, seqs, row):
 
 
 def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
-                         seqs) -> Optional[np.ndarray]:
+                         seqs, n_threads: int = 0) -> Optional[np.ndarray]:
     """Compute (match, mismatch, indel) for each collected gap job on the
     TPU.  nat: the NativeOverlapEngine; query_jobs: the batch's query
     tuples or plain read strings (for the read blob); gap_jobs: (n, 8)
     int32 rows from batch_collect_gaps or annotate0_collect_gaps (seq_idx
     may carry the bit-30 rc flag); seqs: queried SeqSet's wrappers (CPU
     leftovers + check mode).  Returns (n, 3) int32, or None (caller uses
-    the CPU DP)."""
+    the CPU DP).
+
+    Dedup happens NATIVELY before any code emission (t4o_dedup_gap_jobs):
+    only unique DP inputs are materialized, transferred, and launched;
+    duplicates scatter from the unique results.  (The earlier
+    np.unique-on-void-rows dedup cost 68s at the 10M-job scale.)"""
     import time as _time
 
     n = len(gap_jobs)
     if n == 0:
         return np.zeros((0, 3), dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
     prof = {"emit": 0.0, "dedup": 0.0, "device": 0.0, "scatter": 0.0,
             "cpu_left": 0.0, "tiers": []} if _GAP_PROF else None
     t_all0 = _time.perf_counter() if _GAP_PROF else 0.0
@@ -232,61 +239,47 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
     try:
         tier_counts = _get_tier_counts()
 
+        # ONE global content dedup over all device-eligible jobs (equal
+        # content implies equal lengths implies the same tier, so
+        # cross-tier merges are impossible by construction).
+        t0 = _time.perf_counter() if prof is not None else 0.0
+        dev_all = bool((tier_of >= 0).all())
+        if dev_all:
+            dev_idx = None
+            dev_jobs = gap_jobs
+        else:
+            dev_idx = np.nonzero(tier_of >= 0)[0]
+            dev_jobs = np.ascontiguousarray(gap_jobs[dev_idx])
+        top_cap = _TIERS[-1][0]
+        uniq_local, inverse = nat.dedup_gap_jobs(
+            query_jobs, dev_jobs, top_cap, n_threads
+        )
+        uniq_global = uniq_local if dev_all else dev_idx[uniq_local]
+        uniq_tier = tier_of[uniq_global]
+        uniq_counts = np.zeros((len(uniq_global), 3), dtype=np.int32)
+        if prof is not None:
+            prof["dedup"] += _time.perf_counter() - t0
+
         pending = []
         for ti, (s_cap, w_cap, chunk) in enumerate(_TIERS):
-            idx = np.nonzero(tier_of == ti)[0]
-            if len(idx) == 0:
+            usel = np.nonzero(uniq_tier == ti)[0]
+            if len(usel) == 0:
                 continue
-            sub_jobs = np.ascontiguousarray(gap_jobs[idx])
+            gsel = uniq_global[usel]
             t0 = _time.perf_counter() if prof is not None else 0.0
             t_codes, p_codes = nat.emit_gap_codes(
-                query_jobs, sub_jobs, s_cap
+                query_jobs, np.ascontiguousarray(gap_jobs[gsel]), s_cap
             )
+            tl = np.minimum(t_lens[gsel], s_cap).astype(np.int32)
+            pl = np.minimum(r_lens[gsel], s_cap).astype(np.int32)
             if prof is not None:
                 prof["emit"] += _time.perf_counter() - t0
-            tl = np.minimum(t_lens[idx], s_cap).astype(np.int32)
-            pl = np.minimum(r_lens[idx], s_cap).astype(np.int32)
-            # Content dedup before transfer: IMGT alleles are
-            # near-duplicates, so the same (target, read) code pair recurs
-            # ~25x per batch (measured; same fact the CPU memo exploits).
-            # Lengths join the key explicitly: non-ACGTN input bytes also
-            # encode as the pad code, so code rows alone can't always
-            # distinguish a trailing-ambiguity base from a shorter job.
-            t0 = _time.perf_counter() if prof is not None else 0.0
-            comb = np.ascontiguousarray(
-                np.concatenate(
-                    [
-                        t_codes, p_codes,
-                        tl.astype("<i2").view(np.int8).reshape(-1, 2),
-                        pl.astype("<i2").view(np.int8).reshape(-1, 2),
-                    ],
-                    axis=1,
-                )
-            )
-            voids = comb.view(
-                np.dtype((np.void, comb.shape[1]))
-            ).reshape(-1)
-            _, uniq_at, inv = np.unique(
-                voids, return_index=True, return_inverse=True
-            )
-            if len(uniq_at) < len(idx):
-                t_codes = np.ascontiguousarray(t_codes[uniq_at])
-                p_codes = np.ascontiguousarray(p_codes[uniq_at])
-                tl = tl[uniq_at]
-                pl = pl[uniq_at]
-                scatter = (idx, inv)
-                idx = idx[uniq_at]  # launch count only
-            else:
-                scatter = None
-            if prof is not None:
-                prof["dedup"] += _time.perf_counter() - t0
                 prof["tiers"].append(
-                    (s_cap, len(np.nonzero(tier_of == ti)[0]), len(idx))
+                    (s_cap, int((tier_of == ti).sum()), len(usel))
                 )
                 t0 = _time.perf_counter()
-            uniq_counts_parts = []
-            for at in range(0, len(idx), chunk):
-                hi = min(at + chunk, len(idx))
+            for at in range(0, len(usel), chunk):
+                hi = min(at + chunk, len(usel))
                 if hi - at == chunk:
                     tc, pc = t_codes[at:hi], p_codes[at:hi]
                     tcl, pcl = tl[at:hi], pl[at:hi]
@@ -301,25 +294,23 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
                     pcl[: hi - at] = pl[at:hi]
                 dev_counts = tier_counts(tc, tcl, pc, pcl,
                                          w=w_cap, p_max=s_cap)
-                if scatter is None:
-                    pending.append((idx[at:hi], hi - at, dev_counts))
-                else:
-                    uniq_counts_parts.append((hi - at, dev_counts))
+                pending.append((usel[at:hi], hi - at, dev_counts))
             if prof is not None:
                 prof["device"] += _time.perf_counter() - t0
-                t0 = _time.perf_counter()
-            if scatter is not None:
-                all_idx, inv2 = scatter
-                uc = np.concatenate(
-                    [np.asarray(d)[:m] for m, d in uniq_counts_parts]
-                )
-                pending.append((all_idx, len(all_idx), uc[inv2]))
-            if prof is not None:
-                prof["scatter"] += _time.perf_counter() - t0
         t0 = _time.perf_counter() if prof is not None else 0.0
-        for sel, m, dev_counts in pending:
-            counts[sel] = np.asarray(dev_counts)[:m]
-            done[sel] = True
+        for usel_part, m, dev_counts in pending:
+            tb = _time.perf_counter() if prof is not None else 0.0
+            uniq_counts[usel_part] = np.asarray(dev_counts)[:m]
+            if prof is not None:
+                print(f"[gap-prof]   block launch m={m}: "
+                      f"{_time.perf_counter() - tb:.3f}s",
+                      file=__import__('sys').stderr, flush=True)
+        if dev_all:
+            counts[:] = uniq_counts[inverse]
+            done[:] = True
+        else:
+            counts[dev_idx] = uniq_counts[inverse]
+            done[dev_idx] = True
         if prof is not None:
             prof["scatter"] += _time.perf_counter() - t0
     except Exception:

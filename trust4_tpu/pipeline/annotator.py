@@ -286,7 +286,15 @@ class Annotator:
         # TRUST4_TPU_ANN2_CHECK=1 runs both and asserts field equality).
         # Fork-based parallelism is unsafe here (jax/axon background
         # threads; fork inherits held locks), so parallelism lives in C++.
+        import time as _time
+
+        _sub = _os.environ.get("TRUST4_TPU_STAGE_TIMES", "0") == "1"
+        _t0 = _time.perf_counter()
         precomputed = self._precompute_contig_queries()
+        if _sub:
+            print(f"[stage-time]     ann/precompute: "
+                  f"{_time.perf_counter() - _t0:.3f}s", file=sys.stderr)
+            _t0 = _time.perf_counter()
         try:
             ann2_on = _os.environ.get("TRUST4_TPU_ANN2", "1") != "0"
             check = _os.environ.get("TRUST4_TPU_ANN2_CHECK", "0") == "1"
@@ -302,6 +310,9 @@ class Annotator:
                 ]
         finally:
             self.ref_set._scored_cache = None
+        if _sub:
+            print(f"[stage-time]     ann/decide: "
+                  f"{_time.perf_counter() - _t0:.3f}s", file=sys.stderr)
 
         self._annotation_tie_break()
         for i in range(seq_cnt):
@@ -454,7 +465,7 @@ class Annotator:
             try:
                 gap_jobs = nat.batch_collect_gaps(jobs, *conf)
                 counts = gap_oracle.gap_counts_on_device(
-                    nat, jobs, gap_jobs, ref_set.seqs
+                    nat, jobs, gap_jobs, ref_set.seqs, n_threads=conf[0]
                 )
                 if counts is not None:
                     results = nat.query_scored_batch_oracle(

@@ -489,7 +489,7 @@ class Assembler:
                 try:
                     gap_jobs = _nat.annotate0_collect_gaps(reads, *conf)
                     counts = gap_oracle.gap_counts_on_device(
-                        _nat, reads, gap_jobs, rs.seqs
+                        _nat, reads, gap_jobs, rs.seqs, n_threads=conf[0]
                     )
                     if counts is not None:
                         rows, sims = _nat.annotate0_batch_oracle(

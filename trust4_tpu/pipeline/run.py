@@ -217,11 +217,24 @@ def run_trust4(
             has_umi=has_umi,
             threads=threads,
         )
+        _sub = _STAGE_TIMES
+        _t0 = time.perf_counter()
+
+        def _substamp(what: str) -> None:
+            nonlocal _t0
+            now = time.perf_counter()
+            if _sub:
+                log(f"[stage-time]   ann/{what}: {now - _t0:.3f}s")
+            _t0 = now
+
         ann.load_assembly(prefix + "_final.out")
+        _substamp("load")
         ann.annotate_all()
+        _substamp("annotate")
         with open(prefix + "_annot.fa", "w") as fp:
             ann.write_annotation_fasta(fp)
         ann.write_airr_align(prefix + "_airr_align.tsv")
+        _substamp("writers")
         if not skip_read_realign:
             ann.realign_and_write_cdr3(
                 prefix + "_assembled_reads.fa",
@@ -230,6 +243,7 @@ def run_trust4(
                     prefix + "_assign.out" if output_read_assignment else None
                 ),
             )
+            _substamp("realign")
         else:
             # run-trust4:521-524: --skipReadRealign uses the
             # consensus-coverage CDR3 writer.
