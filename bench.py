@@ -119,11 +119,19 @@ def bench_extraction_reads_per_sec() -> float:
     return n_reads / best
 
 
-def bench_barcoded(refdir: str, threads: int):
+def bench_barcoded(refdir: str, threads: int, reps: int = 3):
     """Single-cell e2e A/B: deterministic 5000-cell 10x-style corpus
     (~224k reads; per-barcode assembly at the scale where the per-run
-    fixed costs amortize).  Returns (ours_wall, ref_wall), one alternated
-    run each (the corpus is big enough that run-to-run noise is small)."""
+    fixed costs amortize).
+
+    Self-adjudicating record (VERDICT r3 item 3): >=3 alternated reps of
+    THREE configs — reference, ours with the shipping default
+    (TRUST4_TPU_DEVICE auto), ours with the device off — reported as
+    median and min-max spread.  A wedge detector catches the failure
+    mode that produced the 0.07x r03 record (a wedged device tunnel):
+    any shipping-default rep slower than 3x the device-off median is
+    flagged and rerun once; if it stays slow, the record says so
+    explicitly instead of silently publishing a hung wall-clock."""
     sys.path.insert(0, REPO)
     from tools.make_bench_corpus import make_barcoded_corpus
     from trust4_tpu.utils.axonboot import stashed_env
@@ -135,8 +143,8 @@ def bench_barcoded(refdir: str, threads: int):
                              n_clones=800)
     fmt = "bc:0:15,um:16:25"
     d = tempfile.mkdtemp(prefix="t4bench_bc_")
-    ours_best = ref_best = float("inf")
-    for rep in range(1):
+
+    def run_ref(tag: str) -> float:
         t0 = time.time()
         r = subprocess.run(
             [
@@ -144,12 +152,17 @@ def bench_barcoded(refdir: str, threads: int):
                 "-u", reads_fq, "--barcode", bc_fq, "--readFormat", fmt,
                 "-f", os.path.join(refdir, "hg38_bcrtcr.fa"),
                 "--ref", os.path.join(refdir, "human_IMGT+C.fa"),
-                "-o", os.path.join(d, f"ref{rep}"), "-t", str(threads),
+                "-o", os.path.join(d, f"ref{tag}"), "-t", str(threads),
             ],
             capture_output=True, timeout=1800,
         )
-        if r.returncode == 0:
-            ref_best = min(ref_best, time.time() - t0)
+        if r.returncode != 0:
+            raise RuntimeError("reference barcoded run failed")
+        return time.time() - t0
+
+    def run_ours(tag: str, device: str) -> float:
+        env = stashed_env()
+        env["TRUST4_TPU_DEVICE"] = device
         t0 = time.time()
         r = subprocess.run(
             [
@@ -157,14 +170,50 @@ def bench_barcoded(refdir: str, threads: int):
                 "-u", reads_fq, "--barcode", bc_fq, "--readFormat", fmt,
                 "-f", os.path.join(REF_SRC, "hg38_bcrtcr.fa"),
                 "--ref", os.path.join(REF_SRC, "human_IMGT+C.fa"),
-                "-o", f"ours{rep}", "--od", d, "-t", str(threads),
+                "-o", f"ours{tag}", "--od", d, "-t", str(threads),
             ],
-            capture_output=True, timeout=1800, cwd=REPO,
-            env=stashed_env(),
+            capture_output=True, timeout=1800, cwd=REPO, env=env,
         )
-        if r.returncode == 0:
-            ours_best = min(ours_best, time.time() - t0)
-    return ours_best, ref_best
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"our barcoded run failed: {r.stderr[-500:]}"
+            )
+        return time.time() - t0
+
+    walls = {"ref": [], "auto": [], "off": []}
+    for rep in range(reps):
+        walls["ref"].append(run_ref(f"r{rep}"))
+        walls["auto"].append(run_ours(f"a{rep}", "auto"))
+        walls["off"].append(run_ours(f"o{rep}", "0"))
+
+    med = {k: float(np.median(v)) for k, v in walls.items()}
+    wedged = []
+    for rep, w in enumerate(list(walls["auto"])):
+        if w > 3.0 * med["off"]:
+            wedged.append((rep, w))
+            walls["auto"][rep] = run_ours(f"aw{rep}", "auto")
+    med["auto"] = float(np.median(walls["auto"]))
+
+    def fmt_row(k):
+        v = walls[k]
+        return f"{med[k]:.1f}s [{min(v):.1f}-{max(v):.1f}]"
+
+    print(
+        f"barcoded single-cell e2e -t{threads} ({reps} reps, median "
+        f"[spread]): ref {fmt_row('ref')}; ours[default] "
+        f"{fmt_row('auto')} ({med['ref'] / med['auto']:.2f}x); "
+        f"ours[device-off] {fmt_row('off')} "
+        f"({med['ref'] / med['off']:.2f}x)",
+        file=sys.stderr, flush=True,
+    )
+    for rep, w in wedged:
+        print(
+            f"barcoded WEDGE: shipping-default rep {rep} took {w:.0f}s "
+            f"(>3x device-off median {med['off']:.0f}s); rerun recorded "
+            f"{walls['auto'][rep]:.1f}s",
+            file=sys.stderr, flush=True,
+        )
+    return med, walls
 
 
 def bench_dp_device():
@@ -241,11 +290,7 @@ def main() -> None:
 
     if refdir:
         try:
-            ob, rb = bench_barcoded(refdir, nt)
-            print(
-                f"barcoded single-cell e2e -t{nt}: ours {ob:.2f}s vs ref "
-                f"{rb:.2f}s ({rb / ob:.2f}x)", file=sys.stderr,
-            )
+            bench_barcoded(refdir, nt)  # prints its own record rows
         except Exception as e:
             print(f"barcoded bench skipped: {e}", file=sys.stderr)
 

@@ -187,9 +187,18 @@ def test_gap_counts_dedup_scatter(monkeypatch):
             out[j] = align_native.global_alignment_counts(t, p)
         return out
 
-    monkeypatch.setattr(gap_oracle, "_get_tier_counts",
-                        lambda: _cpu_tier_counts)
-    monkeypatch.setattr(gap_oracle, "_prewarm_thread", None)
+    def _cpu_launch_inproc(launches):
+        out = []
+        for tier, tc, pc, tl, pl in launches:
+            s_cap, w_cap, _chunk = gap_oracle._TIERS[tier]
+            out.append(_cpu_tier_counts(tc, tl, pc, pl, w_cap, s_cap))
+        return out
+
+    # In-process debug path: exercises the dedup/scatter plumbing
+    # without the subprocess protocol (tests/test_gap_server.py covers
+    # that layer).
+    monkeypatch.setenv("TRUST4_TPU_GAP_INPROC", "1")
+    monkeypatch.setattr(gap_oracle, "_launch_inproc", _cpu_launch_inproc)
 
     counts = gap_oracle.gap_counts_on_device(
         _FakeNat(), reads, gap_jobs, seqs

@@ -700,3 +700,149 @@ def decode_dirs_counts(dirs, t_codes, t_lens, p_codes, p_lens, *, w, p_max):
     st = lax.fori_loop(0, steps, body, st)
     _, _, _, cm, cmm, cind = st
     return jnp.stack([cm, cmm, cind], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# XLA mirror of the dirs kernel (any backend)
+# ---------------------------------------------------------------------------
+#
+# Bit-for-bit the same (scores, dirs) as banded_affine_dirs_pallas, written
+# as a plain lax.scan over query rows with the batch in the leading axis.
+# Exists so the mesh-sharded gap stage (parallel/gap_mesh.py) runs on the
+# virtual CPU device mesh of the tests/driver dry run exactly as it does on
+# TPU shards, and as the compile-anywhere reference for the Pallas kernel.
+# Reference semantics: AlignAlgo.hpp:218-424 (GlobalAlignment) with the
+# traceback decision bits documented above _dp_dirs_kernel.
+
+
+@functools.partial(jax.jit, static_argnames=("band_width",))
+def banded_affine_dirs_xla(
+    t_codes: jnp.ndarray,  # (N, T) int8
+    t_lens: jnp.ndarray,
+    p_codes: jnp.ndarray,  # (N, P) int8
+    p_lens: jnp.ndarray,
+    band_width: int,
+):
+    """Returns (scores (N,), dirs (N, P, W) int8) == the Pallas kernel."""
+    import jax.lax as lax
+
+    n, t_max = t_codes.shape
+    p_max = p_codes.shape[1]
+    w = band_width
+    go = jnp.int32(SCORE_GAPOPEN)
+    ge = jnp.int32(SCORE_GAPEXTEND)
+    go_ge = go + ge
+    big_neg = jnp.int32(_BIG_NEG)
+
+    t_lens = t_lens.astype(jnp.int32)
+    p_lens = p_lens.astype(jnp.int32)
+    left = jnp.where(t_lens < p_lens, 5 + (p_lens - t_lens), 5).astype(
+        jnp.int32
+    )
+    right = jnp.where(t_lens > p_lens, 5 + (t_lens - p_lens), 5).astype(
+        jnp.int32
+    )
+    neg_inf = ((t_lens + 1) * (p_lens + 1) * go)[:, None]  # (N, 1)
+
+    # Pre-shifted template rows: ts[x] = t[x - left] (pad elsewhere), so
+    # row i's band window is the uniform slice ts[i-1 : i-1+w].
+    t_shift_len = t_max + w + 8
+    x = jnp.arange(t_shift_len, dtype=jnp.int32)[None, :]
+    src = x - left[:, None]
+    ts = jnp.where(
+        (src >= 0) & (src < t_max),
+        jnp.take_along_axis(
+            t_codes.astype(jnp.int32), jnp.clip(src, 0, t_max - 1), axis=1
+        ),
+        _CODE_PAD,
+    )
+    pci = p_codes.astype(jnp.int32)
+
+    k_col = jnp.arange(w, dtype=jnp.int32)[None, :]  # (1, W)
+    j0 = k_col - left[:, None]
+    in_t0 = (j0 >= 0) & (j0 <= t_lens[:, None])
+    m0 = jnp.where(j0 == 0, 0, jnp.where(j0 > 0, go + j0 * go, big_neg))
+    e0 = jnp.where(
+        j0 == 0, 0,
+        jnp.where(j0 > 0, go + (p_lens[:, None] + 1) * go, big_neg),
+    )
+    m_init = jnp.where(in_t0, m0, neg_inf).astype(jnp.int32)
+    e_init = jnp.where(in_t0, e0, neg_inf).astype(jnp.int32)
+
+    def shift_up(a):  # band neighbour k+1
+        return jnp.concatenate(
+            [a[:, 1:], jnp.full((n, 1), big_neg, jnp.int32)], axis=1
+        )
+
+    def row_body(carry, i):
+        m_prev, e_prev = carry
+        j_row = i - left[:, None] + k_col
+        in_band = (
+            (j_row >= 1)
+            & (j_row <= t_lens[:, None])
+            & (j_row <= i + right[:, None])
+        )
+        in_dp_row = i <= p_lens[:, None]
+
+        tj = lax.dynamic_slice_in_dim(ts, i - 1, w, axis=1)  # (N, W)
+        pi = lax.dynamic_slice_in_dim(pci, i - 1, 1, axis=1)  # (N, 1)
+        eq = (tj == pi) | (tj == _CODE_N) | (pi == _CODE_N)
+        sub = jnp.where(eq, SCORE_MATCH, SCORE_MISMATCH).astype(jnp.int32)
+
+        e_new = jnp.maximum(
+            shift_up(e_prev) + ge, shift_up(m_prev) + go + ge
+        )
+        diag = m_prev + sub
+
+        bound_m = (go + i * go).astype(jnp.int32)
+        base = jnp.maximum(diag, e_new)
+        base = jnp.where(j_row == 0, bound_m, base)
+        base = jnp.where(in_band | (j_row == 0), base, big_neg)
+
+        # horizontal-gap recurrence: exclusive running max over the band
+        t_val = jnp.where(j_row == 0, bound_m, base + go) + k_col * (-ge)
+        run = t_val
+        s = 1
+        while s < w:
+            shifted = jnp.concatenate(
+                [jnp.full((n, s), big_neg, jnp.int32), run[:, :-s]],
+                axis=1,
+            )
+            run = jnp.maximum(run, shifted)
+            s *= 2
+        f_new = (
+            jnp.concatenate(
+                [jnp.full((n, 1), big_neg, jnp.int32), run[:, :-1]],
+                axis=1,
+            )
+            - k_col * (-ge)
+        )
+
+        m_fin = jnp.maximum(base, f_new)
+        m_stored = jnp.where(in_band & in_dp_row, m_fin, neg_inf)
+        m_stored = jnp.where((j_row == 0) & in_dp_row, bound_m, m_stored)
+        e_stored = jnp.where(in_band & in_dp_row, e_new, neg_inf)
+
+        b0 = (f_new >= e_new).astype(jnp.int32)
+        b1 = (diag == m_fin).astype(jnp.int32)
+        b2 = (shift_up(m_prev) + go_ge == e_new).astype(jnp.int32)
+        fill = jnp.where(
+            (i - left[:, None]) == 1, bound_m, big_neg
+        )
+        m_left = jnp.concatenate([fill, m_stored[:, :-1]], axis=1)
+        b3 = (m_left + go_ge == f_new).astype(jnp.int32)
+        bits = (b0 | (b1 << 1) | (b2 << 2) | (b3 << 3)).astype(jnp.int8)
+
+        m_next = jnp.where(in_dp_row, m_stored, m_prev)
+        e_next = jnp.where(in_dp_row, e_stored, e_prev)
+        return (m_next, e_next), bits
+
+    (m_fin, _e_fin), bits_rows = lax.scan(
+        row_body, (m_init, e_init),
+        jnp.arange(1, p_max + 1, dtype=jnp.int32),
+    )
+    k_final = (t_lens - p_lens + left)[:, None]
+    scores = jnp.max(
+        jnp.where(k_col == k_final, m_fin, big_neg), axis=1
+    )
+    return scores, jnp.transpose(bits_rows, (1, 0, 2))

@@ -472,7 +472,7 @@ class Annotator:
                         jobs, gap_jobs, counts, *conf
                     )
                     log("Annotation gap DP ran on the TPU "
-                        f"({len(gap_jobs)} gap fills, 1 launch).")
+                        f"({len(gap_jobs)} gap fills).")
             except Exception as e:  # device flake -> CPU fallback
                 log(f"TPU gap-oracle pass unavailable ({e}); using CPU DP.")
                 results = None

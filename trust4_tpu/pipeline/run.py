@@ -160,12 +160,13 @@ def run_trust4(
         asm_reads = [prefix + "_toassemble.fq"]
         asm_mates = None
 
-    # Warm the device DP path (trace + cached-compile on a background
-    # thread) while the CPU-bound assembly runs, so stage 2's Pallas
-    # launches cost only transfers + kernel time (ops/gap_oracle.py).
-    # Auto mode only engages the device when the candidate-read count is
-    # large enough to amortize the fixed warmup; tiny inputs stay on the
-    # (faster-for-them) native CPU DP.
+    # Start the watchdogged device child (ops/gap_server.py) while the
+    # CPU-bound assembly runs: it attaches the backend, compiles every
+    # tier, and absorbs the tunnel's one-time first-transfer handshake
+    # off the critical path.  Whether a given batch actually RUNS on the
+    # device is the per-batch measured gate (gap_oracle._gate_decision);
+    # the read count here only skips spawning a child for runs too small
+    # for the device to ever be ready in time.
     if stage <= 2:
         from trust4_tpu.ops import gap_oracle
 
@@ -179,9 +180,9 @@ def run_trust4(
                         n_cand += sum(1 for _ in fh) // 4
                 except OSError:
                     pass
-                if n_cand >= gap_oracle.AUTO_MIN_READS:
+                if n_cand >= gap_oracle.SPAWN_MIN_READS:
                     break
-            if n_cand >= gap_oracle.AUTO_MIN_READS:
+            if n_cand >= gap_oracle.SPAWN_MIN_READS:
                 gap_oracle.prewarm()
 
     # Stage 1: assembly (run-trust4:506-508).
