@@ -455,13 +455,37 @@ class Annotator:
             ref_set.ref_seq_similarity, ref_set.repeat_similarity,
         )
         results = None
-        # Device path (default when a TPU backend is attached): ONE Pallas
-        # launch scores every gap-fill DP of the whole annotation batch and
-        # the traceback-bits walker supplies bit-identical counts to the
-        # engine (ops/gap_oracle.py).
+        # Mesh-sharded path (TRUST4_TPU_GAP_MESH=<n>): the phase-1 gap
+        # batch shards over a jax Mesh's dp axis, per-shard DP counts
+        # psum-merge, and phase 2 consumes them through the same oracle
+        # interface — byte-identical _cdr3.out for every mesh shape
+        # (parallel/gap_mesh.py; SURVEY.md §2.8).
+        mesh_n = int(_os.environ.get("TRUST4_TPU_GAP_MESH", "0") or 0)
+        if mesh_n > 0:
+            from trust4_tpu.parallel.gap_mesh import (
+                gap_counts_via_mesh,
+                make_mesh,
+            )
+
+            gap_jobs = nat.batch_collect_gaps(jobs, *conf)
+            counts = gap_counts_via_mesh(
+                make_mesh(mesh_n), nat, jobs, gap_jobs, ref_set.seqs,
+                n_threads=conf[0],
+            )
+            if counts is not None:
+                results = nat.query_scored_batch_oracle(
+                    jobs, gap_jobs, counts, *conf
+                )
+                log(f"Annotation gap DP ran on a {mesh_n}-device mesh "
+                    f"({len(gap_jobs)} gap fills).")
+        # Device path (default when a TPU backend is attached): batched
+        # Pallas launches through the watchdogged device child score every
+        # gap-fill DP of the whole annotation batch and the traceback-bits
+        # walker supplies bit-identical counts to the engine
+        # (ops/gap_oracle.py).
         from trust4_tpu.ops import gap_oracle
 
-        if gap_oracle.active():
+        if results is None and gap_oracle.active():
             try:
                 gap_jobs = nat.batch_collect_gaps(jobs, *conf)
                 counts = gap_oracle.gap_counts_on_device(
