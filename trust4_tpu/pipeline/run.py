@@ -86,6 +86,13 @@ def run_trust4(
     bam_umi_field: str = "",
     mate_id_suffix_len: int = -1,
 ) -> None:
+    # Large freed stage buffers must stay reusable: this VM's anonymous
+    # page faults are ~100MB/s and glibc munmaps every freed >128KB
+    # block by default (utils/memarena.py).
+    from trust4_tpu.utils.memarena import enable_arena_reuse
+
+    enable_arena_reuse()
+
     prefix = output_prefix
     paired = bool(read1_files)
     has_barcode = barcode_files is not None or (
