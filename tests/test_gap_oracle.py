@@ -85,6 +85,11 @@ def test_gap_oracle_in_pipeline_example(tmp_path):
     env = dict(os.environ)
     env["TRUST4_TPU_DEVICE"] = "1"
     env["TRUST4_TPU_DEVICE_CHECK"] = "1"
+    # The tunnel handshake is weather (24-200s healthy, unbounded when
+    # wedged); bound the forced-mode wait so a wedged-tunnel day degrades
+    # this test to the CPU path (outputs still golden) instead of
+    # timing out the suite.
+    env["TRUST4_TPU_DEVICE_READY_TIMEOUT_S"] = "240"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     example = "/root/reference/example"
     code = (

@@ -121,6 +121,72 @@ from trust4_tpu.engine import annotate as _annotate_mod
 from trust4_tpu.engine import scaffold as _scaffold_mod
 
 
+# ---------------------------------------------------------------------------
+# Parsed-reference disk cache (InputRefFa is deterministic in file bytes +
+# flags; every run pays it 2-3x and trust-smartseq once per cell).
+# TRUST4_TPU_REF_CACHE=0 disables; TRUST4_TPU_CACHE_DIR overrides the
+# location (default ~/.cache/trust4_tpu).
+# ---------------------------------------------------------------------------
+
+_REF_CACHE_VERSION = 1
+
+
+def _ref_fa_cache_path(filename, is_imgt, gap):
+    import hashlib
+    import os
+
+    if os.environ.get("TRUST4_TPU_REF_CACHE", "1") == "0":
+        return None
+    try:
+        st = os.stat(filename)
+    except OSError:
+        return None
+    key = "|".join(
+        [
+            str(_REF_CACHE_VERSION), os.path.realpath(filename),
+            str(st.st_mtime_ns), str(st.st_size), str(int(is_imgt)),
+            gap or "",
+        ]
+    )
+    h = hashlib.sha256(key.encode()).hexdigest()[:24]
+    d = os.environ.get(
+        "TRUST4_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "trust4_tpu"),
+    )
+    return os.path.join(d, f"ref_{h}.pkl")
+
+
+def _ref_fa_cache_get(filename, is_imgt, gap):
+    import pickle
+
+    path = _ref_fa_cache_path(filename, is_imgt, gap)
+    if path is None:
+        return None
+    try:
+        with open(path, "rb") as fp:
+            return pickle.load(fp)
+    except Exception:
+        return None
+
+
+def _ref_fa_cache_put(filename, is_imgt, gap, records) -> None:
+    import os
+    import pickle
+    import tempfile
+
+    path = _ref_fa_cache_path(filename, is_imgt, gap)
+    if path is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "wb") as fp:
+            pickle.dump(records, fp, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)  # atomic: concurrent runs see old or new
+    except Exception:
+        pass
+
+
 class SeqSet(
     _overlap_mod.OverlapMixin,
     _assemble_mod.AssembleMixin,
@@ -404,6 +470,46 @@ class SeqSet(
     # ------------------------------------------------------------------
 
     def input_ref_fa(
+        self,
+        filename: str,
+        is_imgt: bool = False,
+        imgt_additional_gap: Optional[str] = None,
+    ) -> None:
+        # The parse (gap stripping, CDR coordinate derivation, FGxG motif
+        # scan, species gap-shift voting) is deterministic in the file
+        # bytes and flags, and every pipeline run pays it 2-3 times (and
+        # smartseq once PER CELL) — serve it from a small disk cache and
+        # only rebuild the k-mer index (SeqSet.hpp:2673-2984 semantics
+        # are unchanged; the cache stores the post-shift results).
+        n_before = len(self.seqs)
+        if n_before == 0:  # gap-shift voting walks ALL seqs; cache only
+            # the whole-set case every pipeline entry point uses.
+            cached = _ref_fa_cache_get(
+                filename, is_imgt, imgt_additional_gap
+            )
+            if cached is not None:
+                for name, consensus, info in cached:
+                    sw = SeqWrapper(
+                        name=name, consensus=consensus, is_ref=True
+                    )
+                    sw.info = [list(t) for t in info]
+                    sid = len(self.seqs)
+                    self.seqs.append(sw)
+                    self.seq_index.build_from_read(
+                        sw.consensus, self.kmer_length, sid, -1
+                    )
+                return
+        self._input_ref_fa_uncached(filename, is_imgt, imgt_additional_gap)
+        if n_before == 0:
+            _ref_fa_cache_put(
+                filename, is_imgt, imgt_additional_gap,
+                [
+                    (sw.name, sw.consensus, [list(t) for t in sw.info])
+                    for sw in self.seqs
+                ],
+            )
+
+    def _input_ref_fa_uncached(
         self,
         filename: str,
         is_imgt: bool = False,

@@ -64,7 +64,7 @@ LAUNCH_TIMEOUT_S = float(
     os.environ.get("TRUST4_TPU_DEVICE_TIMEOUT_S", "120")
 )
 READY_TIMEOUT_S = float(
-    os.environ.get("TRUST4_TPU_DEVICE_READY_TIMEOUT_S", "900")
+    os.environ.get("TRUST4_TPU_DEVICE_READY_TIMEOUT_S", "300")
 )
 
 # The device must be predicted to beat the CPU path by this factor
@@ -144,12 +144,16 @@ def active() -> bool:
     # forced
     c = _start_client()
     if not c.poll_ready(timeout_s=READY_TIMEOUT_S):
+        # One bounded wait per RUN, not per call site: a child that
+        # missed its ready deadline is killed so every later active()
+        # probe fails fast instead of re-waiting the full timeout.
+        c.kill()
         if not _warned_fallback:
             _warned_fallback = True
             print(
                 "[trust4-tpu] TRUST4_TPU_DEVICE=1 but the device child "
                 f"did not become ready within {READY_TIMEOUT_S:.0f}s; "
-                "using the CPU DP.",
+                "using the CPU DP for this run.",
                 file=sys.stderr,
                 flush=True,
             )

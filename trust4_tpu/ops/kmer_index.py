@@ -38,6 +38,12 @@ class KmerIndex:
         self.consider_barcode = consider_barcode
         # key -> list of (seq_idx, offset)
         self._index: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+        # Deferred host builds: build_from_read queues here and the
+        # Python postings materialize on first host search/mutation
+        # (native-engine pipelines never host-search ref stores, so they
+        # never pay the per-window Python insertion at all).  Replay
+        # order == call order, so insertion-order determinism is intact.
+        self._pending: List[Tuple[str, int, int, int, int]] = []
         # Native twin (engine/overlap_native.py): receives every
         # string-level mutation so overlap queries can run in C++.
         self.native = None
@@ -57,6 +63,7 @@ class KmerIndex:
             self.native = None
 
     def set_consider_barcode(self, s: bool) -> None:
+        self._flush_pending()  # _key depends on the flag; keep eager keys
         self.consider_barcode = s
         if self.native is not None:
             self.native.set_consider_barcode(s)
@@ -67,11 +74,20 @@ class KmerIndex:
         return (code, (code % KINDEX_HASH_MAX))
 
     def clear(self) -> None:
+        self._pending.clear()
         self._index.clear()
         if self.native is not None:
             self.native.clear()
 
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        pend, self._pending = self._pending, []
+        for (s, kl, sid, barcode, shift) in pend:
+            self._host_build_from_read(s, kl, sid, barcode, shift)
+
     def insert(self, code: int, idx: int, offset: int, barcode: int) -> None:
+        self._flush_pending()
         self._index.setdefault(self._key(code, barcode), []).append((idx, offset))
 
     def search(self, code: int, barcode: int) -> List[Tuple[int, int]]:
@@ -79,9 +95,11 @@ class KmerIndex:
             "host search on a native-only index (enable the dict or query "
             "through the native engine)"
         )
+        self._flush_pending()
         return self._index.get(self._key(code, barcode), _EMPTY)
 
     def remove(self, code: int, idx: int, offset: int, barcode: int) -> None:
+        self._flush_pending()
         lst = self._index.get(self._key(code, barcode))
         if not lst:
             return
@@ -107,6 +125,13 @@ class KmerIndex:
         if self.native_only and self.native is not None:
             self.native.build_from_read(s, kl, sid, barcode, shift)
             return
+        self._pending.append((s, kl, sid, barcode, shift))
+        if self.native is not None:
+            self.native.build_from_read(s, kl, sid, barcode, shift)
+
+    def _host_build_from_read(
+        self, s: str, kl: int, sid: int, barcode: int, shift: int
+    ) -> None:
         codes, valid = self._windows(s, kl)
         n = len(codes)
         for w in range(n):
@@ -121,9 +146,9 @@ class KmerIndex:
                 prev = 0 if w == 0 else int(codes[w - 1])
                 if int(codes[w]) == prev:
                     continue
-            self.insert(int(codes[w]), sid, w + shift, barcode)
-        if self.native is not None:
-            self.native.build_from_read(s, kl, sid, barcode, shift)
+            self._index.setdefault(
+                self._key(int(codes[w]), barcode), []
+            ).append((sid, w + shift))
 
     def remove_from_read(
         self, s: str, kl: int, sid: int, barcode: int, offset: int = 0
@@ -131,6 +156,7 @@ class KmerIndex:
         if self.native_only and self.native is not None:
             self.native.remove_from_read(s, kl, sid, barcode, offset)
             return
+        self._flush_pending()
         codes, valid = self._windows(s, kl)
         for w in range(len(codes)):
             if valid[w]:
@@ -144,6 +170,7 @@ class KmerIndex:
         if self.native_only and self.native is not None:
             self.native.update_from_read(s, kl, barcode, shift, old_id, new_id)
             return
+        self._flush_pending()
         codes, valid = self._windows(s, kl)
         for w in range(len(codes)):
             if not valid[w]:
