@@ -217,35 +217,60 @@ def bench_barcoded(refdir: str, threads: int, reps: int = 3):
 
 
 def bench_dp_device():
-    """Device banded-DP cell-updates/s (Pallas kernel).  Runs in a
-    subprocess with a hard timeout: a wedged device tunnel hangs jax's
-    backend init forever (not an error), and that must not take the
-    whole benchmark down."""
+    """Device banded-DP cell-updates/s (Pallas kernel), truthfully timed.
+
+    Two regimes, both after one full host materialization — on this
+    tunneled fabric ``block_until_ready`` returns immediately until the
+    process's first device-to-host transfer has handshaked, so earlier
+    rounds' 18-74 G figures were DISPATCH time, not execution (see
+    VALIDATION.md "Pinning the Pallas DP number"):
+      * device-resident inputs, RTT amortized over 10 launches — the
+        kernel's sustained rate (the headline CELLS number);
+      * host numpy inputs at the shipping tier shape — what one real
+        oracle launch costs end to end (printed for the record).
+    Runs in a subprocess with a hard timeout: a wedged tunnel must not
+    take the whole benchmark down."""
     code = (
         "import sys, time; sys.path.insert(0, %r)\n"
         "import numpy as np\n"
+        "from trust4_tpu.utils.axonboot import ensure_registered\n"
+        "ensure_registered()\n"
+        "import jax\n"
         "from trust4_tpu.ops.dp_pallas import banded_affine_scores_pallas\n"
         "rng = np.random.default_rng(0)\n"
-        "N, L, W = 8192, 152, 32\n"
+        "N, L, W = 65536, 152, 32\n"
         "tc = rng.integers(0, 4, size=(N, L), dtype=np.int8)\n"
-        "pc = rng.integers(0, 4, size=(N, L), dtype=np.int8)\n"
         "tl = np.full(N, 150, dtype=np.int32)\n"
         "pl = np.full(N, 148, dtype=np.int32)\n"
-        "fn = lambda: banded_affine_scores_pallas(tc, tl, pc, pl, W)\n"
-        "fn().block_until_ready()\n"
+        "np.asarray(banded_affine_scores_pallas(tc, tl, tc, pl, W))\n"
+        "dtc, dtl, dpl = map(jax.device_put, (tc, tl, pl))\n"
+        "jax.block_until_ready([dtc, dtl, dpl])\n"
+        "cells = N * 150 * W\n"
         "best = float('inf')\n"
         "for _ in range(5):\n"
         "    t0 = time.perf_counter()\n"
         "    for _ in range(10):\n"
-        "        s = fn()\n"
+        "        s = banded_affine_scores_pallas(dtc, dtl, dtc, dpl, W)\n"
         "    s.block_until_ready()\n"
         "    best = min(best, (time.perf_counter() - t0) / 10)\n"
-        "print('CELLS', N * 150 * W / best)\n" % REPO
+        "bh = float('inf')\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter()\n"
+        "    s = banded_affine_scores_pallas(tc, tl, tc, pl, W)\n"
+        "    s.block_until_ready()\n"
+        "    bh = min(bh, time.perf_counter() - t0)\n"
+        "print('HOSTIN %%.1f ms/launch (%%.2f G cells/s incl transfers)'\n"
+        "      %% (bh * 1e3, cells / bh / 1e9), file=sys.stderr)\n"
+        "print('CELLS', cells / best)\n" % REPO
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=900,
     )
+    for line in out.stderr.splitlines():
+        if line.startswith("HOSTIN"):
+            print(f"device DP shipping-shape launch: {line[7:]}",
+                  file=sys.stderr)
     for line in out.stdout.splitlines():
         if line.startswith("CELLS"):
             return float(line.split()[1])
@@ -296,7 +321,10 @@ def main() -> None:
 
     try:
         dp = bench_dp_device()
-        print(f"device banded DP: {dp / 1e9:.1f} G cells/s", file=sys.stderr)
+        print(
+            f"device banded DP (sustained, device-resident, truthfully "
+            f"timed): {dp / 1e9:.1f} G cells/s", file=sys.stderr,
+        )
     except Exception as e:
         print(f"device DP bench skipped: {e}", file=sys.stderr)
 
