@@ -74,6 +74,10 @@ def _load():
         ctypes.c_void_p, c_char_p, c_int, c_int, ctypes.c_int64, c_int,
         c_int, c_int,
     ]
+    lib.t4o_resync_seq.argtypes = [
+        ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, c_int, c_int,
+        ctypes.c_int64,
+    ]
     lib.t4o_query.restype = c_int
     lib.t4o_query.argtypes = [
         ctypes.c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int,
@@ -457,6 +461,15 @@ class NativeOverlapEngine:
         b = s.encode("ascii")
         self._lib.t4o_remove_from_read(self._h, b, len(b), kl, sid, barcode,
                                        offset)
+
+    def resync_seq(self, old: str, new: str, kl: int, sid: int,
+                   barcode: int) -> None:
+        """Ordered index resync of one seq whose consensus changed
+        (t4o_resync_seq): bit-equivalent to a full sid-ordered rebuild."""
+        ob = old.encode("ascii")
+        nb = new.encode("ascii")
+        self._lib.t4o_resync_seq(self._h, ob, len(ob), nb, len(nb), kl,
+                                 sid, barcode)
 
     def update_from_read(self, s: str, kl: int, barcode: int, shift: int,
                          old_id: int, new_id: int) -> None:

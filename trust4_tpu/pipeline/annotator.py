@@ -156,6 +156,10 @@ class Annotator:
         self.barcode_str_to_int: Dict[str, int] = {}
         self.threads = threads
         self.annotations: List[Annotation] = []
+        # sid -> consensus AT INDEX-BUILD TIME for seqs rewritten since
+        # (impute / masked-leak); realign resyncs exactly these instead
+        # of rebuilding the whole contig index (see realign_and_write_cdr3).
+        self._changed_consensus: Dict[int, str] = {}
 
     # -- input ---------------------------------------------------------
 
@@ -203,23 +207,27 @@ class Annotator:
                     w[: len(row), k] = row
                 self.seq_set.input_novel_seq(name, seq, w, defer_index=True)
                 i += 6
-        # One batched index rebuild for all loaded contigs (no query ran
-        # during the deferred loads above).
+        # One batched index build for all loaded contigs, in its FINAL
+        # key space: barcodes + barcode hashing are applied first, so
+        # this sid-ordered build is already the exact index the realign
+        # stage queries (the reference's annotator Clean()-rebuild state)
+        # and realign only resyncs impute-rewritten seqs.
+        if self.has_barcode:
+            self._set_barcode_from_seq_name()
+            self.seq_set.set_consider_barcode_in_index_hash(True)
         ss = self.seq_set
         nat = ss.seq_index.native
         if ss.seq_index.native_only and nat is not None:
             nat.build_batch(
                 [sw.consensus for sw in ss.seqs], ss.kmer_length,
-                list(range(len(ss.seqs))), [-1] * len(ss.seqs),
+                list(range(len(ss.seqs))),
+                [sw.barcode for sw in ss.seqs],
             )
         else:
             for sid, sw in enumerate(ss.seqs):
                 ss.seq_index.build_from_read(
-                    sw.consensus, ss.kmer_length, sid, -1
+                    sw.consensus, ss.kmer_length, sid, sw.barcode
                 )
-        if self.has_barcode:
-            self._set_barcode_from_seq_name()
-            self.seq_set.set_consider_barcode_in_index_hash(True)
 
     def _set_barcode_from_seq_name(self) -> None:
         """Recover barcodes from '{barcode}_{idx}' seq names
@@ -267,6 +275,9 @@ class Annotator:
                 # Reference quirk: a failed anchor imputation can leave the
                 # consensus buffer M-masked in place (SeqSet.hpp:5510 with
                 # the 5564/5646 early returns skipping the restore).
+                self._changed_consensus.setdefault(
+                    i, seq_set.seqs[i].consensus
+                )
                 seq_set.seqs[i].consensus = ref_set._impute_masked_leak
                 seq_set.seqs[i].consensus_bytes_cache = None
                 seq_set.seqs[i].ptr_cache = None
@@ -408,6 +419,9 @@ class Annotator:
                     self._set_seq_consensus(i, new_consensus)
                 elif getattr(self.ref_set, "_impute_masked_leak", None) is not None:
                     # Reference quirk: see _annotate_one.
+                    self._changed_consensus.setdefault(
+                        i, self.seq_set.seqs[i].consensus
+                    )
                     self.seq_set.seqs[i].consensus = (
                         self.ref_set._impute_masked_leak
                     )
@@ -517,6 +531,7 @@ class Annotator:
         from trust4_tpu.engine.assemble import new_pos_weight_from_seq
 
         sw = self.seq_set.seqs[idx]
+        self._changed_consensus.setdefault(idx, sw.consensus)
         sw.consensus = nc
         sw.pos_weight = new_pos_weight_from_seq(nc)
 
@@ -965,13 +980,47 @@ class Annotator:
         self, assembled_reads_fa: str, out_path: str,
         read_assignment_path: Optional[str] = None,
     ) -> None:
+        import os as _os
+        import time as _time
+
+        _sub = _os.environ.get("TRUST4_TPU_STAGE_TIMES", "0") == "1"
+        _t0 = [_time.perf_counter()]
+
+        def _stamp(what: str) -> None:
+            now = _time.perf_counter()
+            if _sub:
+                log(f"[stage-time]     realign/{what}: {now - _t0[0]:.3f}s")
+            _t0[0] = now
+
         seq_set = self.seq_set
         annotations = self.annotations
         seq_cnt = seq_set.size()
         cdr3_infos: List[List[List]] = [[] for _ in range(seq_cnt)]  # [seq, count]
 
         log("Start to realign reads for CDR3 analysis.")
-        seq_set.clean(False)
+        nat = seq_set.seq_index.native
+        if (
+            not self.need_rc
+            and seq_set.seq_index.native_only
+            and nat is not None
+        ):
+            # The load-time index is already in the final key space and
+            # (sid, w)-sorted per posting list; resyncing the few
+            # impute-rewritten seqs with ordered inserts reproduces the
+            # full Clean() rebuild bit-for-bit (t4o_resync_seq) without
+            # tearing down and re-inserting the whole contig index.
+            for sid in sorted(self._changed_consensus):
+                sw = seq_set.seqs[sid]
+                nat.resync_seq(
+                    self._changed_consensus[sid], sw.consensus,
+                    seq_set.kmer_length, sid, sw.barcode,
+                )
+                seq_set._nat_dirty.add(sid)
+            self._changed_consensus.clear()
+            seq_set.set_prev_add_info(-1, -1, -1, -1, -1, 0)
+        else:
+            seq_set.clean(False)
+        _stamp("clean")
 
         assembled_reads: List[AssignedRead] = []
         with open(assembled_reads_fa) as fp:
@@ -1002,6 +1051,7 @@ class Annotator:
             nr.overlap.seq_idx = -1
             nr.overlap.strand = strand
             assembled_reads.append(nr)
+        _stamp("parse_fa")
 
         long_cnt = sum(1 for r in assembled_reads if len(r.read) >= 200)
         if long_cnt > len(assembled_reads) / 2:
@@ -1012,6 +1062,7 @@ class Annotator:
         assigned = self._assign_reads_batch(assembled_reads, fail)
         for r, a in zip(assembled_reads, assigned):
             r.overlap = a
+        _stamp("assign")
 
         del fail
         if read_assignment_path:
@@ -1068,6 +1119,7 @@ class Annotator:
                 else:
                     info.append([var, 1.0])
 
+        _stamp("collect")
         log("Compute CDR3 abundance.")
         for i in range(seq_cnt):
             cdr3 = annotations[i].cdr[2]
@@ -1154,8 +1206,10 @@ class Annotator:
             for l, entry in enumerate(info):
                 entry[1] = counts[l]
             i = j
+        _stamp("em")
 
         self._write_cdr3_out(out_path, cdr3_infos)
+        _stamp("write")
 
     def _write_cdr3_out(self, out_path: str, cdr3_infos) -> None:
         seq_set, ref_set = self.seq_set, self.ref_set
