@@ -129,6 +129,11 @@ def _load():
         c_char_p, ctypes.c_int64, ctypes.POINTER(c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, i32_p,
     ]
+    lib.t4_parse_assembled_fa.restype = ctypes.c_int64
+    lib.t4_parse_assembled_fa.argtypes = [
+        c_char_p, ctypes.c_int64, ctypes.POINTER(c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
     _LIB = lib
     return _LIB
 
@@ -419,6 +424,27 @@ def parse_final_out(data: bytes):
     if n < 0:
         return None
     return rec_meta[:n], row_cnt[:n], counts
+
+
+def parse_assembled_fa(data: bytes):
+    """Parse a whole _assembled_reads.fa in one native call
+    (t4_parse_assembled_fa).  Returns (rec (n,6) i64 {id_off, id_len,
+    seq_off, seq_len, bc_off, bc_len}, ivals (n,2) i32 {strand, umi})
+    or None (caller falls back to the Python tokenizer)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rec_cap = max(1, data.count(b">"))
+    rec = np.empty((rec_cap, 6), dtype=np.int64)
+    ivals = np.empty((rec_cap, 2), dtype=np.int32)
+    n = lib.t4_parse_assembled_fa(
+        data, len(data),
+        rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ivals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), rec_cap,
+    )
+    if n < 0:
+        return None
+    return rec[:n], ivals[:n]
 
 
 def parse_i32(line: str) -> Optional["np.ndarray"]:

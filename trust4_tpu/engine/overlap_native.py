@@ -118,6 +118,10 @@ def _load():
         ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, c_int, c_int, c_int,
         c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p, _f64p, _i32p,
     ]
+    lib.t4o_assign_batch_ol.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, _i32p, c_int, c_int, c_int,
+        c_int, c_int, c_int, c_dbl, c_dbl, c_dbl, _i32p, _f64p, _i32p,
+    ]
     lib.t4o_query_scored_batch.restype = c_int
     lib.t4o_query_scored_batch.argtypes = [
         ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, _i32p, _i32p, c_int,
@@ -1133,6 +1137,33 @@ class NativeOverlapEngine:
             cons_buf.raw[:cons_len].decode("ascii"),
             pw,
         )
+
+    def assign_batch_ol(self, blob: bytes, offs, lens, strands, barcodes,
+                        n_threads: int, radius: int, hit_len_required: int,
+                        is_long_seq_set: bool, nomatch_gap_limit: int,
+                        novel_sim: float, ref_sim: float, repeat_sim: float):
+        """assign_batch over reads at arbitrary (offset, length) positions
+        inside one backing blob (t4o_assign_batch_ol) — no repacking."""
+        n = len(offs)
+        offs = np.ascontiguousarray(offs, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        st = np.ascontiguousarray(strands, dtype=np.int32)
+        bc = np.ascontiguousarray(barcodes, dtype=np.int32)
+        out_i32 = np.zeros((n, 8), dtype=np.int32)
+        out_f64 = np.zeros(n, dtype=np.float64)
+        found = np.zeros(n, dtype=np.int32)
+        self._lib.t4o_assign_batch_ol(
+            self._h, blob, offs.ctypes.data_as(_i64p),
+            lens.ctypes.data_as(_i32p),
+            st.ctypes.data_as(_i32p), bc.ctypes.data_as(_i32p), n,
+            n_threads, radius, hit_len_required,
+            1 if is_long_seq_set else 0, nomatch_gap_limit,
+            novel_sim, ref_sim, repeat_sim,
+            out_i32.ctypes.data_as(_i32p),
+            out_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            found.ctypes.data_as(_i32p),
+        )
+        return found, out_i32, out_f64
 
     def assign_batch(self, reads, strands, barcodes, n_threads: int,
                      radius: int, hit_len_required: int,

@@ -1421,3 +1421,83 @@ extern "C" int64_t t4_parse_i32(const char* s, int64_t slen, int32_t* out,
   }
   return n;
 }
+
+// Whole-file _assembled_reads.fa parser (header format main.cpp:1995-2016:
+// ">id strand minCnt medianCnt [barcode:STR] [umi:INT]", then the read
+// line).  One call replaces the per-record Python tokenization in the
+// annotator's realign stage.  Outputs per record:
+//   rec   (n, 6) int64: id_off, id_len, seq_off, seq_len, bc_off, bc_len
+//         (bc_off = -1 when no barcode: token)
+//   ivals (n, 2) int32: strand, umi (-1 when absent)
+// Returns the record count, or -1 on cap overflow / malformed layout.
+extern "C" int64_t t4_parse_assembled_fa(const char* s, int64_t slen,
+                                         int64_t* rec, int32_t* ivals,
+                                         int64_t rec_cap) {
+  int64_t n = 0;
+  const char* p = s;
+  const char* end = s + slen;
+  while (p < end) {
+    if (*p != '>') return -1;
+    const char* he = (const char*)memchr(p, '\n', end - p);
+    if (!he) he = end;
+    if (n >= rec_cap) return -1;
+    int64_t* R = rec + 6 * n;
+    int32_t* V = ivals + 2 * n;
+    const char* q = p + 1;
+    const char* id0 = q;
+    while (q < he && *q != ' ') q++;
+    R[0] = id0 - s;
+    R[1] = q - id0;
+    while (q < he && *q == ' ') q++;
+    const char* t0 = q;
+    while (q < he && *q != ' ') q++;
+    {
+      bool neg = false;
+      const char* r = t0;
+      if (r < q && *r == '-') {
+        neg = true;
+        r++;
+      }
+      long v = 0;
+      while (r < q && *r >= '0' && *r <= '9') {
+        v = v * 10 + (*r - '0');
+        r++;
+      }
+      V[0] = neg ? -(int32_t)v : (int32_t)v;
+    }
+    V[1] = -1;
+    R[4] = -1;
+    R[5] = 0;
+    while (q < he) {
+      while (q < he && *q == ' ') q++;
+      const char* u0 = q;
+      while (q < he && *q != ' ') q++;
+      if (q - u0 > 8 && memcmp(u0, "barcode:", 8) == 0) {
+        R[4] = (u0 + 8) - s;
+        R[5] = q - (u0 + 8);
+      } else if (q - u0 > 4 && memcmp(u0, "umi:", 4) == 0) {
+        bool neg = false;
+        const char* r = u0 + 4;
+        if (r < q && *r == '-') {
+          neg = true;
+          r++;
+        }
+        long v = 0;
+        while (r < q && *r >= '0' && *r <= '9') {
+          v = v * 10 + (*r - '0');
+          r++;
+        }
+        V[1] = neg ? -(int32_t)v : (int32_t)v;
+      }
+    }
+    p = he < end ? he + 1 : end;
+    const char* se = (const char*)memchr(p, '\n', end - p);
+    if (!se) se = end;
+    R[2] = p - s;
+    R[3] = se - p;
+    p = se < end ? se + 1 : end;
+    while (p < end && (*p == '\n' || *p == '\r')) p++;
+    n++;
+  }
+  return n;
+}

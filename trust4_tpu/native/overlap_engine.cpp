@@ -2777,6 +2777,42 @@ void t4o_assign_batch(void* h, const char* blob, const int64_t* offs,
             [&](int, int lo, int hi) { work(lo, hi); });
 }
 
+// Offsets+lengths variant of t4o_assign_batch: reads live at arbitrary
+// positions inside one backing blob (e.g. the raw _assembled_reads.fa
+// bytes), so callers can fancy-index record subsets without repacking
+// 30MB of sequence.  Assignment per read is pure (the consecutive-dedup
+// of the serial path is only a cache), so results are independent of
+// the packing.
+void t4o_assign_batch_ol(void* h, const char* blob, const int64_t* offs,
+                         const int32_t* lens, const int32_t* strands,
+                         const int32_t* barcodes, int n_reads, int n_threads,
+                         int radius, int hit_len_required, int is_long_seq_set,
+                         int nomatch_gap_limit, double novel_sim,
+                         double ref_sim, double repeat_sim, int32_t* out_i32,
+                         double* out_f64, int32_t* out_found) {
+  Engine* E = (Engine*)h;
+  engine_ensure_csr(E);  // frozen index for this batch
+  Engine2& R = registry_for(h);
+  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
+          novel_sim, ref_sim, repeat_sim};
+  auto work = [&](int lo, int hi) {
+    SOv out;
+    for (int i = lo; i < hi; i++) {
+      int rc = assign_read_core(E, R, C, blob + offs[i], lens[i], strands[i],
+                                barcodes[i], &out);
+      out_found[i] = rc;
+      if (rc == 1)
+        write_g8(out, out_i32 + 8 * (int64_t)i, out_f64 + i);
+    }
+  };
+  if (n_threads <= 1 || n_reads < 64) {
+    work(0, n_reads);
+    return;
+  }
+  steal_for(n_reads, n_threads, 32,
+            [&](int, int lo, int hi) { work(lo, hi); });
+}
+
 }  // extern "C"
 
 // ===========================================================================

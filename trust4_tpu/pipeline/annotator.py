@@ -976,6 +976,162 @@ class Annotator:
             out.append(assign)
         return out
 
+    def _realign_collect_fast(self, assembled_reads_fa, read_assignment_path,
+                              cdr3_infos, stamp):
+        """Array realign path: native .fa parse (t4_parse_assembled_fa),
+        native assign over (offset, length) record views
+        (t4o_assign_batch_ol), and vectorized CDR3-window masks; Python
+        objects are built only for the EM subset.  Produces exactly the
+        serial path's cdr3_reads/cdr3_infos (same per-read decisions, same
+        order).  Returns the cdr3_reads list, or None for the object
+        fallback (native unavailable / a read needs host assign)."""
+        import os as _os
+
+        seq_set = self.seq_set
+        if _os.environ.get("TRUST4_TPU_SCORED", "1") == "0" or _os.environ.get(
+            "TRUST4_TPU_SCORED_CHECK", "0"
+        ) == "1":
+            return None
+        nat = seq_set._native_sync()
+        if nat is None:
+            return None
+        with open(assembled_reads_fa, "rb") as fp:
+            data = fp.read()
+        parsed = align_native.parse_assembled_fa(data)
+        if parsed is None:
+            return None
+        rec, ivals = parsed
+        n = len(rec)
+        stamp("parse_fa")
+        if n == 0:
+            return []
+
+        # Barcode resolution (reads whose barcode produced no contig are
+        # dropped; Annotator.cpp:770-786).  Reads arrive barcode-grouped,
+        # so a last-token cache makes this near-free.
+        bo = rec[:, 4]
+        if bool((bo >= 0).any()):
+            b2i = {
+                k.encode("ascii"): v
+                for k, v in self.barcode_str_to_int.items()
+            }
+            bo_l = bo.tolist()
+            bl_l = rec[:, 5].tolist()
+            bc_ids = np.full(n, -1, dtype=np.int32)
+            keep = np.ones(n, dtype=bool)
+            last_tok = None
+            last_val = -2
+            for i in range(n):
+                o = bo_l[i]
+                if o < 0:
+                    continue
+                tok = data[o : o + bl_l[i]]
+                if tok != last_tok:
+                    last_tok = tok
+                    last_val = b2i.get(tok, -2)
+                if last_val == -2:
+                    keep[i] = False
+                else:
+                    bc_ids[i] = last_val
+            kept = np.nonzero(keep)[0]
+        else:
+            bc_ids = np.full(n, -1, dtype=np.int32)
+            kept = np.arange(n)
+
+        lens_k = rec[kept, 3]
+        if int((lens_k >= 200).sum()) > len(kept) / 2:
+            seq_set.set_is_long_seq_set(True)
+
+        from trust4_tpu.utils.parallel import internal_threads
+
+        found, rows, sims = nat.assign_batch_ol(
+            data, rec[kept, 2], lens_k, ivals[kept, 0], bc_ids[kept],
+            internal_threads(self.threads), *seq_set._sconf(),
+        )
+        if bool((found == -3).any()):
+            return None  # host-assign case: object fallback
+        stamp("assign")
+
+        if read_assignment_path:
+            # --readAssignment dump (Annotator.cpp:856-866).
+            with open(read_assignment_path, "w") as fp:
+                for j in np.nonzero(found == 1)[0].tolist():
+                    gi = int(kept[j])
+                    rid = data[
+                        rec[gi, 0] : rec[gi, 0] + rec[gi, 1]
+                    ].decode("ascii")
+                    fp.write(
+                        f"{rid}\t"
+                        f"{seq_set.seqs[int(rows[j, 0])].name}\n"
+                    )
+
+        annotations = self.annotations
+        seq_cnt = seq_set.size()
+        cs = np.full(seq_cnt, 0, dtype=np.int64)
+        ce = np.full(seq_cnt, 0, dtype=np.int64)
+        has = np.zeros(seq_cnt, dtype=bool)
+        for i, ann in enumerate(annotations):
+            c = ann.cdr[2]
+            if c.seq_idx != -1:
+                has[i] = True
+                cs[i] = c.read_start
+                ce[i] = c.read_end
+        ok = found == 1
+        sidx = np.where(ok, rows[:, 0], 0)
+        sstart = rows[:, 4].astype(np.int64)
+        send = rows[:, 5].astype(np.int64)
+        valid = ok & has[sidx]
+        m_cdr3 = valid & (send > cs[sidx] + 3) & (sstart < ce[sidx] - 3)
+
+        cdr3_reads: List[AssignedRead] = []
+        rows_l = rows.tolist()
+        sims_l = sims.tolist()
+        for j in np.nonzero(m_cdr3)[0].tolist():
+            gi = int(kept[j])
+            rid = data[rec[gi, 0] : rec[gi, 0] + rec[gi, 1]].decode("ascii")
+            read = data[rec[gi, 2] : rec[gi, 2] + rec[gi, 3]].decode("ascii")
+            r8 = rows_l[j]
+            ov = Overlap(
+                seq_idx=r8[0], read_start=r8[1], read_end=r8[2],
+                strand=r8[3], seq_start=r8[4], seq_end=r8[5],
+                match_cnt=r8[6], indel_cnt=r8[7], similarity=sims_l[j],
+            )
+            nr = AssignedRead(
+                id=rid, read=read, umi=int(ivals[gi, 1]), overlap=ov,
+            )
+            if ov.strand == -1:
+                nr.read = revcomp(read)
+                nr.overlap.strand = 1
+            cdr3_reads.append(nr)
+
+        if not self.has_barcode:
+            m_var = valid & (sstart <= cs[sidx]) & (send >= ce[sidx])
+            for j in np.nonzero(m_var)[0].tolist():
+                gi = int(kept[j])
+                r8 = rows_l[j]
+                si = r8[0]
+                cdr3_len = int(ce[si] - cs[si] + 1)
+                seq = data[
+                    rec[gi, 2] : rec[gi, 2] + rec[gi, 3]
+                ].decode("ascii")
+                offset = r8[1] + int(cs[si]) - r8[4]
+                if r8[3] == 1:
+                    var = seq[offset : offset + cdr3_len]
+                elif r8[3] == -1:
+                    start = (len(seq) - 1 - offset) - cdr3_len + 1
+                    var = revcomp(seq[start : start + cdr3_len])
+                else:
+                    continue
+                info = cdr3_infos[si]
+                for entry in info:
+                    if entry[0] == var:
+                        entry[1] += 1
+                        break
+                else:
+                    info.append([var, 1.0])
+        stamp("collect")
+        return cdr3_reads
+
     def realign_and_write_cdr3(
         self, assembled_reads_fa: str, out_path: str,
         read_assignment_path: Optional[str] = None,
@@ -1022,104 +1178,109 @@ class Annotator:
             seq_set.clean(False)
         _stamp("clean")
 
-        assembled_reads: List[AssignedRead] = []
-        with open(assembled_reads_fa) as fp:
-            lines = fp.read().splitlines()
-        for i in range(0, len(lines) - 1, 2):
-            header = lines[i]
-            toks = header.split(" ")
-            strand = int(toks[1])
-            nr = AssignedRead(id=toks[0][1:], read=lines[i + 1])
-            umi = -1
-            barcode = -1
-            for t in toks:
-                if t.startswith("umi:"):
-                    umi = int(t[4:])
-                if t.startswith("barcode:"):
-                    # Skip reads whose barcode produced no contig
-                    # (Annotator.cpp:770-786).
-                    key = t[8:]
-                    if key not in self.barcode_str_to_int:
-                        barcode = None
-                        break
-                    barcode = self.barcode_str_to_int[key]
-            if barcode is None:
-                continue
-            nr.umi = umi
-            nr.barcode = barcode
-            nr.overlap = Overlap()
-            nr.overlap.seq_idx = -1
-            nr.overlap.strand = strand
-            assembled_reads.append(nr)
-        _stamp("parse_fa")
+        cdr3_reads = self._realign_collect_fast(
+            assembled_reads_fa, read_assignment_path, cdr3_infos, _stamp
+        )
+        if cdr3_reads is None:  # object fallback (no native / host assign)
 
-        long_cnt = sum(1 for r in assembled_reads if len(r.read) >= 200)
-        if long_cnt > len(assembled_reads) / 2:
-            seq_set.set_is_long_seq_set(True)
-
-        fail = Overlap()
-        fail.seq_idx = -1
-        assigned = self._assign_reads_batch(assembled_reads, fail)
-        for r, a in zip(assembled_reads, assigned):
-            r.overlap = a
-        _stamp("assign")
-
-        del fail
-        if read_assignment_path:
-            # --readAssignment dump (Annotator.cpp:856-866).
-            with open(read_assignment_path, "w") as fp:
-                for r in assembled_reads:
-                    if r.overlap.seq_idx == -1:
-                        continue
-                    fp.write(
-                        f"{r.id}\t{seq_set.seqs[r.overlap.seq_idx].name}\n"
-                    )
-
-        cdr3_reads: List[AssignedRead] = []
-        for r in assembled_reads:
-            assign = r.overlap
-            if assign.seq_idx == -1:
-                continue
-            ann = annotations[assign.seq_idx]
-            cdr3 = ann.cdr[2]
-            cdr3_len = cdr3.read_end - cdr3.read_start + 1
-            if (
-                cdr3.seq_idx != -1
-                and assign.seq_end > cdr3.read_start + 3
-                and assign.seq_start < cdr3.read_end - 3
-            ):
-                nr = AssignedRead(
-                    id=r.id, read=r.read, umi=r.umi,
-                    overlap=Overlap(**assign.__dict__),
-                )
-                if assign.strand == -1:
-                    nr.read = revcomp(r.read)
-                    nr.overlap.strand = 1
-                cdr3_reads.append(nr)
-            if (
-                not self.has_barcode
-                and cdr3.seq_idx != -1
-                and assign.seq_start <= cdr3.read_start
-                and assign.seq_end >= cdr3.read_end
-            ):
-                seq = r.read
-                offset = assign.read_start + cdr3.read_start - assign.seq_start
-                if assign.strand == 1:
-                    var = seq[offset : offset + cdr3_len]
-                elif assign.strand == -1:
-                    start = (len(seq) - 1 - offset) - cdr3_len + 1
-                    var = revcomp(seq[start : start + cdr3_len])
-                else:
+            assembled_reads: List[AssignedRead] = []
+            with open(assembled_reads_fa) as fp:
+                lines = fp.read().splitlines()
+            for i in range(0, len(lines) - 1, 2):
+                header = lines[i]
+                toks = header.split(" ")
+                strand = int(toks[1])
+                nr = AssignedRead(id=toks[0][1:], read=lines[i + 1])
+                umi = -1
+                barcode = -1
+                for t in toks:
+                    if t.startswith("umi:"):
+                        umi = int(t[4:])
+                    if t.startswith("barcode:"):
+                        # Skip reads whose barcode produced no contig
+                        # (Annotator.cpp:770-786).
+                        key = t[8:]
+                        if key not in self.barcode_str_to_int:
+                            barcode = None
+                            break
+                        barcode = self.barcode_str_to_int[key]
+                if barcode is None:
                     continue
-                info = cdr3_infos[assign.seq_idx]
-                for entry in info:
-                    if entry[0] == var:
-                        entry[1] += 1
-                        break
-                else:
-                    info.append([var, 1.0])
+                nr.umi = umi
+                nr.barcode = barcode
+                nr.overlap = Overlap()
+                nr.overlap.seq_idx = -1
+                nr.overlap.strand = strand
+                assembled_reads.append(nr)
+            _stamp("parse_fa")
 
-        _stamp("collect")
+            long_cnt = sum(1 for r in assembled_reads if len(r.read) >= 200)
+            if long_cnt > len(assembled_reads) / 2:
+                seq_set.set_is_long_seq_set(True)
+
+            fail = Overlap()
+            fail.seq_idx = -1
+            assigned = self._assign_reads_batch(assembled_reads, fail)
+            for r, a in zip(assembled_reads, assigned):
+                r.overlap = a
+            _stamp("assign")
+
+            del fail
+            if read_assignment_path:
+                # --readAssignment dump (Annotator.cpp:856-866).
+                with open(read_assignment_path, "w") as fp:
+                    for r in assembled_reads:
+                        if r.overlap.seq_idx == -1:
+                            continue
+                        fp.write(
+                            f"{r.id}\t{seq_set.seqs[r.overlap.seq_idx].name}\n"
+                        )
+
+            cdr3_reads: List[AssignedRead] = []
+            for r in assembled_reads:
+                assign = r.overlap
+                if assign.seq_idx == -1:
+                    continue
+                ann = annotations[assign.seq_idx]
+                cdr3 = ann.cdr[2]
+                cdr3_len = cdr3.read_end - cdr3.read_start + 1
+                if (
+                    cdr3.seq_idx != -1
+                    and assign.seq_end > cdr3.read_start + 3
+                    and assign.seq_start < cdr3.read_end - 3
+                ):
+                    nr = AssignedRead(
+                        id=r.id, read=r.read, umi=r.umi,
+                        overlap=Overlap(**assign.__dict__),
+                    )
+                    if assign.strand == -1:
+                        nr.read = revcomp(r.read)
+                        nr.overlap.strand = 1
+                    cdr3_reads.append(nr)
+                if (
+                    not self.has_barcode
+                    and cdr3.seq_idx != -1
+                    and assign.seq_start <= cdr3.read_start
+                    and assign.seq_end >= cdr3.read_end
+                ):
+                    seq = r.read
+                    offset = assign.read_start + cdr3.read_start - assign.seq_start
+                    if assign.strand == 1:
+                        var = seq[offset : offset + cdr3_len]
+                    elif assign.strand == -1:
+                        start = (len(seq) - 1 - offset) - cdr3_len + 1
+                        var = revcomp(seq[start : start + cdr3_len])
+                    else:
+                        continue
+                    info = cdr3_infos[assign.seq_idx]
+                    for entry in info:
+                        if entry[0] == var:
+                            entry[1] += 1
+                            break
+                    else:
+                        info.append([var, 1.0])
+
+            _stamp("collect")
         log("Compute CDR3 abundance.")
         for i in range(seq_cnt):
             cdr3 = annotations[i].cdr[2]
