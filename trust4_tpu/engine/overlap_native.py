@@ -278,12 +278,15 @@ def prof_dump() -> "dict | None":
     lib = _load()
     if lib is None:
         return None
-    out = np.zeros(8, dtype=np.float64)
-    lib.t4o_prof_dump7(None, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    out = np.zeros(10, dtype=np.float64)
+    lib.t4o_prof_dump10(
+        None, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    )
     return {
         "hits_s": out[0], "chain_s": out[1], "score_s": out[2],
         "sort_s": out[3], "score_dp_s": out[4], "n_hits": int(out[5]),
         "n_overlaps": int(out[6]), "lis_s": out[7],
+        "gsort_s": out[8], "gfin_s": out[9],
     }
 
 

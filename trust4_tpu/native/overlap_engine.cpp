@@ -276,6 +276,7 @@ struct RC {
 // T4_PROF=1 phase counters (seconds in ns ticks + volumes), dumped by
 // t4o_prof_dump / t4o_prof_dump7.
 std::atomic<int64_t> g_t_hits{0}, g_t_chain{0}, g_t_score{0}, g_t_rest{0};
+std::atomic<int64_t> g_t_gsort{0}, g_t_gfin{0};  // chain sub-buckets
 std::atomic<int64_t> g_t_ssort{0}, g_t_sdp{0}, g_c_hits{0}, g_c_ovl{0};
 inline int64_t now_ns() {
   return std::chrono::duration_cast<std::chrono::nanoseconds>(
@@ -614,6 +615,8 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
       }
     }
 
+    bool gprof = prof_on();
+    int64_t tg0 = gprof ? now_ns() : 0;
     keys.clear();
     hcd.clear();
     bool packed = true;
@@ -643,6 +646,7 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
         return x.read_off < y.read_off;
       });
     }
+    if (gprof) g_t_gsort += now_ns() - tg0;
     int group_n = j - i;
     int adjust_radius = M.is_ref[seq_idx] ? C.radius : 0;
 
@@ -745,6 +749,7 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
         }
       }
 
+      int64_t tf0 = gprof ? now_ns() : 0;
       std::vector<RC> final_chain(lis.begin() + lis_start,
                                   lis.begin() + lis_end + 1);
       // (final_chain is moved into the overlap below; keep it local)
@@ -773,6 +778,7 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
       }
       no.coords = std::move(final_chain);
       overlaps.push_back(std::move(no));
+      if (gprof) g_t_gfin += now_ns() - tf0;
       s = e;
     }
     i = j;
@@ -2724,6 +2730,14 @@ void t4o_prof_dump7(void* h, double* out7) {
   out7[5] = (double)g_c_hits.exchange(0);
   out7[6] = (double)g_c_ovl.exchange(0);
   out7[7] = g_t_rest.exchange(0) / 1e9;  // LIS time (caller passes 8 slots)
+}
+
+// dump7 plus the chain sub-buckets (group key-build+sort; overlap
+// finalization: final_chain copy + Ov push).
+void t4o_prof_dump10(void* h, double* out10) {
+  t4o_prof_dump7(h, out10);
+  out10[8] = g_t_gsort.exchange(0) / 1e9;
+  out10[9] = g_t_gfin.exchange(0) / 1e9;
 }
 
 // Single AssignRead.  Returns 1 (assigned; out filled), 0 (no), -3 (a hit

@@ -371,6 +371,17 @@ class Assembler:
     def prepare(self, sorted_reads: List[SortRead]) -> List[SortRead]:
         """Stats/trim, mate re-link, sorting, quick annotation
         (main.cpp:919-1221)."""
+        import time as _time
+
+        _pt = [_time.perf_counter()]
+        _sub = _os.environ.get("TRUST4_TPU_STAGE_TIMES", "0") == "1"
+
+        def _pstamp(what: str) -> None:
+            now = _time.perf_counter()
+            if _sub:
+                log(f"[stage-time]     prep/{what}: {now - _pt[0]:.3f}s")
+            _pt[0] = now
+
         max_read_len = 0
         for r in sorted_reads:
             r.len = len(r.read)
@@ -435,6 +446,7 @@ class Assembler:
         for r in kept:
             r.len = len(r.read)
         sorted_reads = kept
+        _pstamp("stats_trim")
         log(f"Found {len(sorted_reads)} reads.")
         if _dbg():
             print("Finish put in the read kmer count.")
@@ -451,6 +463,7 @@ class Assembler:
             i += 1
 
         sorted_reads.sort(key=lambda r: r.sort_key())
+        _pstamp("sort")
 
         # Quick annotation with consecutive-duplicate reuse
         # (main.cpp:1084-1093).
@@ -541,8 +554,10 @@ class Assembler:
                     prev_read = r.read
                 r.gene_overlap = [Overlap(**o.__dict__) for o in prev_overlap]
 
+        _pstamp("annotate0")
         if self.has_barcode:
             self._barcode_kmer_pass(sorted_reads, max_read_len)
+            _pstamp("bc_kmer")
 
         # Reconnect mate indices after the sort (main.cpp:1209-1221).
         origin_to_sorted = [0] * len(sorted_reads)
@@ -562,6 +577,7 @@ class Assembler:
 
         self._trim_before_v(sorted_reads)
         self._trim_after_c(sorted_reads)
+        _pstamp("germ_trim")
 
         if self.first_read_len > 200:
             for r in sorted_reads:

@@ -41,7 +41,9 @@ def _stamp(name: str) -> None:
             if p is not None:
                 log(
                     f"[t4-prof] {name}: hits={p['hits_s']:.2f}s"
-                    f" chain={p['chain_s']:.2f}s lis={p['lis_s']:.2f}s"
+                    f" chain={p['chain_s']:.2f}s"
+                    f" (gsort={p['gsort_s']:.2f}s lis={p['lis_s']:.2f}s"
+                    f" fin={p['gfin_s']:.2f}s)"
                     f" score={p['score_s']:.2f}s (sort={p['sort_s']:.2f}s"
                     f" dp={p['score_dp_s']:.2f}s)"
                     f" n_hits={p['n_hits']} n_ovl={p['n_overlaps']}"
