@@ -250,7 +250,9 @@ class GapDeviceClient:
                     self.backend = str(info.get("backend", ""))
                     self._ready = True
                     return True
-        except GapServerError:
+        except GapServerError as e:
+            print(f"[trust4-tpu] device child not ready: {e}",
+                  file=sys.stderr, flush=True)
             self.kill()
             return False
 
@@ -383,7 +385,17 @@ def _serve_device(proto_in: int, out, tiers) -> None:
     ensure_registered()
     import jax
 
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        # JAX_PLATFORMS can demand a platform whose plugin never
+        # registered in THIS process (e.g. a parent that clobbered the
+        # PYTHONPATH entry carrying the plugin's sitecustomize while the
+        # platform env var survived).  Let jax pick from what actually
+        # registered; if that is only cpu we report below and the run
+        # stays on the CPU DP.
+        jax.config.update("jax_platforms", "")
+        backend = jax.default_backend()
     if backend not in ("tpu", "axon"):
         _child_write(
             out, MSG_ERROR, f"no device backend (got {backend})".encode()
@@ -520,6 +532,9 @@ def main() -> None:
     except BrokenPipeError:
         pass
     except Exception as e:  # noqa: BLE001 - report, then die
+        import traceback
+
+        traceback.print_exc()  # child stderr is the run's stderr
         try:
             _child_write(
                 proto_out, MSG_ERROR, f"{type(e).__name__}: {e}".encode()
