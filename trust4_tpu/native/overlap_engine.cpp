@@ -987,7 +987,11 @@ void t4o_build_batch(void *h, const char *blob, const int64_t *offs,
   Engine *E = (Engine *)h;
   int64_t total = 0;
   for (int i = 0; i < n; i++) total += offs[i + 1] - offs[i];
-  E->index.reserve(E->index.size() + (size_t)total / 2);
+  // Barcode-salted keys are near-unique (one cell's windows rarely
+  // collide with another's), so reserve the full window count there —
+  // an underestimate rehashes a multi-10M-node table mid-build.
+  size_t est = (size_t)total / (E->consider_barcode ? 1 : 2);
+  E->index.reserve(E->index.size() + est);
   for (int i = 0; i < n; i++)
     t4o_build_from_read(h, blob + offs[i], (int)(offs[i + 1] - offs[i]), kl,
                         sids[i], barcodes[i], 0);
