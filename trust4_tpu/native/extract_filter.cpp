@@ -1045,6 +1045,235 @@ int64_t t4x_extract_stream(void *h, const char *paths1, const char *paths2,
 
 }  // extern "C"
 
+// ---- Barcoded extraction stream (FastqExtractor.cpp:407-545 flow) --------
+//
+// The common single-cell case (sequence-sourced --readFormat segments, no
+// whitelist/translate) runs fully native; pipeline/extract.py keeps the
+// Python loop for comment-sourced formats and correction.  Segments
+// arrive flattened as (cat, start, end, strand) int32 rows; extraction
+// reproduces ReadFormatter.extract exactly (negative offsets from the
+// end, clamp, concat, whole-buffer reverse(+complement for sequence)
+// when any segment is minus-strand).
+
+namespace {
+
+struct FmtSeg {
+  int start, end, strand;
+};
+
+struct Fmt {
+  std::vector<FmtSeg> segs[4];
+  bool need(int cat) const {
+    const auto &v = segs[cat];
+    if (v.empty()) return false;
+    if (v.size() == 1 && v[0].start == 0 && v[0].end == -1 &&
+        v[0].strand == 1)
+      return false;
+    return true;
+  }
+  // ReadFormatter.hpp:288-405 (sequence-sourced only).
+  void extract(const std::string &seq, int cat, bool need_complement,
+               std::string &out) const {
+    if (!need(cat)) {
+      out = seq;
+      return;
+    }
+    out.clear();
+    int len = (int)seq.size();
+    int strand = 1;
+    for (const FmtSeg &g : segs[cat]) {
+      int start = g.start, end = g.end;
+      if (start < 0) start = len + start;
+      if (end >= len)
+        end = len - 1;
+      else if (end < 0)
+        end = len + end;
+      if (end >= start && start >= 0)
+        out.append(seq, start, end - start + 1);
+      if (g.strand == -1) strand = -1;
+    }
+    if (strand == -1) {
+      std::reverse(out.begin(), out.end());
+      if (need_complement)
+        for (char &c : out) {
+          switch (c) {
+            case 'A': c = 'T'; break;
+            case 'C': c = 'G'; break;
+            case 'G': c = 'C'; break;
+            case 'T': c = 'A'; break;
+            default: c = 'N';
+          }
+        }
+    }
+  }
+};
+
+void write_formatted(FILE *out, const std::string &id, const Rec &r,
+                     const Fmt &F, int cat, std::string &sbuf,
+                     std::string &qbuf) {
+  F.extract(r.seq, cat, true, sbuf);
+  if (r.has_qual) {
+    F.extract(r.qual, cat, false, qbuf);
+    fputc('@', out);
+    fwrite(id.data(), 1, id.size(), out);
+    fputc('\n', out);
+    fwrite(sbuf.data(), 1, sbuf.size(), out);
+    fwrite("\n+\n", 1, 3, out);
+    fwrite(qbuf.data(), 1, qbuf.size(), out);
+    fputc('\n', out);
+  } else {
+    fputc('>', out);
+    fwrite(id.data(), 1, id.size(), out);
+    fputc('\n', out);
+    fwrite(sbuf.data(), 1, sbuf.size(), out);
+    fputc('\n', out);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the candidate count, or -1 on I/O failure.  umi_alias != 0
+// means the UMI record IS the barcode record (same file, different
+// format slice); fmt_rows = (n_segs, 4) int32 {cat, start, end, strand}.
+int64_t t4x_extract_stream_bc(void *h, const char *paths1,
+                              const char *paths2, const char *bc_paths,
+                              const char *umi_paths, int umi_alias,
+                              const char *out1, const char *out2,
+                              const char *out_bc, const char *out_umi,
+                              const int32_t *fmt_rows, int n_segs,
+                              int threads) {
+  Filter *F = (Filter *)h;
+  finalize_index(*F);
+  Fmt fmt;
+  for (int i = 0; i < n_segs; i++) {
+    const int32_t *r = fmt_rows + 4 * i;
+    if (r[0] < 0 || r[0] > 3) return -1;
+    fmt.segs[r[0]].push_back({r[1], r[2], r[3]});
+  }
+  RecStream s1(paths1);
+  RecStream *s2 = paths2 && paths2[0] ? new RecStream(paths2) : nullptr;
+  RecStream *sb = bc_paths && bc_paths[0] ? new RecStream(bc_paths) : nullptr;
+  RecStream *su = (!umi_alias && umi_paths && umi_paths[0])
+                      ? new RecStream(umi_paths)
+                      : nullptr;
+  bool want_umi = umi_alias || su;
+  auto cleanup = [&]() {
+    delete s2;
+    delete sb;
+    delete su;
+  };
+  if (!s1.open_ok || (s2 && !s2->open_ok) || (sb && !sb->open_ok) ||
+      (su && !su->open_ok)) {
+    cleanup();
+    return -1;
+  }
+  FILE *o1 = fopen(out1, "w");
+  FILE *o2 = s2 ? fopen(out2, "w") : nullptr;
+  FILE *ob = sb ? fopen(out_bc, "w") : nullptr;
+  FILE *ou = want_umi ? fopen(out_umi, "w") : nullptr;
+  if (!o1 || (s2 && !o2) || (sb && !ob) || (want_umi && !ou)) {
+    if (o1) fclose(o1);
+    if (o2) fclose(o2);
+    if (ob) fclose(ob);
+    if (ou) fclose(ou);
+    cleanup();
+    return -1;
+  }
+
+  const int BATCH = 16384;
+  std::vector<Rec> b1(BATCH), b2(s2 ? BATCH : 0), bb(sb ? BATCH : 0),
+      bu(su ? BATCH : 0);
+  std::vector<int8_t> good(BATCH);
+  int64_t kept = 0;
+  std::string sbuf, qbuf, bcbuf;
+
+  for (;;) {
+    int n = 0;
+    while (n < BATCH && s1.next(b1[n])) {
+      if (s2 && !s2->next(b2[n])) break;  // stop at shortest, like zip()
+      if (sb && !sb->next(bb[n])) break;
+      if (su && !su->next(bu[n])) break;
+      n++;
+    }
+    if (n == 0) break;
+
+    auto work = [&](int lo, int hi) {
+      std::vector<Hit> buf;
+      for (int i = lo; i < hi; i++) {
+        const Rec &r = b1[i];
+        int8_t g = 0;
+        if (!is_low_complexity(r.seq.data(), (int)r.seq.size()))
+          g = (int8_t)has_hit_in_set(*F, r.seq.data(), (int)r.seq.size(),
+                                     buf);
+        if (!g && s2) {
+          const Rec &m = b2[i];
+          if (!is_low_complexity(m.seq.data(), (int)m.seq.size()))
+            g = (int8_t)has_hit_in_set(*F, m.seq.data(),
+                                       (int)m.seq.size(), buf);
+        }
+        if (g && sb) {
+          // Barcode==read artifact guard (FastqExtractor.cpp:520-526).
+          const Rec &rb = bb[i];
+          if ((rb.seq == r.seq || (s2 && rb.seq == b2[i].seq)) &&
+              is_low_complexity(rb.seq.data(), (int)rb.seq.size()))
+            g = 0;
+        }
+        good[i] = g;
+      }
+    };
+    if (threads <= 1 || n < 64) {
+      work(0, n);
+    } else {
+      steal_for(n, threads, 256, [&](int lo, int hi) { work(lo, hi); });
+    }
+
+    for (int i = 0; i < n; i++) {
+      if (!good[i]) continue;
+      const std::string &id = b1[i].id;
+      if (sb) {
+        const Rec &rb = bb[i];
+        fputc('>', ob);
+        fwrite(id.data(), 1, id.size(), ob);
+        fputc('\n', ob);
+        if (!rb.seq.empty()) {
+          fmt.extract(rb.seq, 2, true, bcbuf);
+          fwrite(bcbuf.data(), 1, bcbuf.size(), ob);
+        } else {
+          fwrite("missing_barcode", 1, 15, ob);
+        }
+        fputc('\n', ob);
+      }
+      write_formatted(o1, id, b1[i], fmt, 0, sbuf, qbuf);
+      if (s2) write_formatted(o2, id, b2[i], fmt, 1, sbuf, qbuf);
+      if (want_umi) {
+        const Rec &ru = umi_alias ? bb[i] : bu[i];
+        fputc('>', ou);
+        fwrite(id.data(), 1, id.size(), ou);
+        fputc('\n', ou);
+        if (!ru.seq.empty()) {
+          fmt.extract(ru.seq, 3, true, bcbuf);
+          fwrite(bcbuf.data(), 1, bcbuf.size(), ou);
+        } else {
+          fwrite("missing_barcode", 1, 15, ou);
+        }
+        fputc('\n', ou);
+      }
+      kept++;
+    }
+  }
+
+  fclose(o1);
+  if (o2) fclose(o2);
+  if (ob) fclose(ob);
+  if (ou) fclose(ou);
+  cleanup();
+  return kept;
+}
+
+}  // extern "C"
+
 // ===========================================================================
 // Assembler ingest, single-end (+barcode/+umi) case (pipeline/assembler.py
 // ingest + process_read's no-mate path): parse up to three FASTQs in

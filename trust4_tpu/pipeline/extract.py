@@ -301,6 +301,54 @@ def run_barcoded_extractor(
     has_mate = read2 is not None
     has_barcode = barcode_files is not None
     has_umi = umi_files is not None
+
+    # Fully-native streaming loop for the common single-cell case
+    # (sequence-sourced --readFormat segments, no whitelist correction or
+    # translation): parse, filter, format, and write in C++, bit-identical
+    # to the Python loop below (which remains the comment-sourced /
+    # corrected / differential path).
+    def _paths_l(p):
+        if p is None:
+            return None
+        if isinstance(p, (str, os.PathLike)):
+            return [str(p)]
+        return [str(x) for x in p]
+
+    if (
+        _xn.available()
+        and not use_tpu_prefilter
+        and corrector is None
+        and not translator.is_set()
+        and not skip_barcode_error_read
+        and not any(
+            seg.in_comment for cat in formatter.segs for seg in cat
+        )
+    ):
+        import numpy as _np
+
+        rows = [
+            (cat, seg.start, seg.end, seg.strand)
+            for cat in range(4)
+            for seg in formatter.segs[cat]
+        ]
+        fmt_rows = _np.asarray(rows, dtype=_np.int32).reshape(-1, 4)
+        native = _xn.NativeCandidateFilter(
+            [sw.consensus for sw in ref_set.seqs], kmer_length,
+            ref_set.radius, hit_len,
+        )
+        p1l, p2l = _paths_l(read1), _paths_l(read2)
+        bcl, uml = _paths_l(barcode_files), _paths_l(umi_files)
+        umi_alias = has_umi and has_barcode and uml == bcl
+        native.extract_stream_bc(
+            p1l, p2l, bcl, None if umi_alias else uml, umi_alias,
+            f"{out_prefix}_1.fq" if has_mate else f"{out_prefix}.fq",
+            f"{out_prefix}_2.fq" if has_mate else None,
+            f"{out_prefix}_bc.fa" if has_barcode else None,
+            f"{out_prefix}_umi.fa" if has_umi else None,
+            fmt_rows, threads=os.cpu_count() or 1,
+        )
+        return
+
     fp1 = open(
         f"{out_prefix}_1.fq" if has_mate else f"{out_prefix}.fq", "w"
     )

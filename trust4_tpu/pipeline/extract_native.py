@@ -69,6 +69,13 @@ def _load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_char_p, ctypes.c_int,
     ]
+    lib.t4x_extract_stream_bc.restype = ctypes.c_int64
+    lib.t4x_extract_stream_bc.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+    ]
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.t4x_ingest_single.restype = ctypes.c_int64
@@ -130,6 +137,27 @@ class NativeCandidateFilter:
         )
         if n < 0:
             raise OSError(f"native extract failed reading {paths1}")
+        return int(n)
+
+    def extract_stream_bc(self, paths1, paths2, bc_paths, umi_paths,
+                          umi_alias: bool, out1, out2, out_bc, out_umi,
+                          fmt_rows: np.ndarray, threads: int = 1) -> int:
+        """Barcoded extraction loop in native code (t4x_extract_stream_bc).
+        fmt_rows: (n, 4) int32 {cat, start, end, strand} sequence-sourced
+        --readFormat segments.  Returns the candidate count or raises."""
+        j = lambda ps: "\n".join(ps).encode() if ps else None
+        fr = np.ascontiguousarray(fmt_rows, dtype=np.int32)
+        n = self._lib.t4x_extract_stream_bc(
+            self._h, j(paths1), j(paths2), j(bc_paths), j(umi_paths),
+            1 if umi_alias else 0,
+            out1.encode(), out2.encode() if out2 else None,
+            out_bc.encode() if out_bc else None,
+            out_umi.encode() if out_umi else None,
+            fr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(fr),
+            threads,
+        )
+        if n < 0:
+            raise OSError(f"native barcoded extract failed for {paths1}")
         return int(n)
 
     def filter_batch(self, reads: List[str], threads: int = 1) -> np.ndarray:
