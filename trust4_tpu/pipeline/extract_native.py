@@ -79,13 +79,14 @@ def _load():
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.t4x_ingest_single.restype = ctypes.c_int64
+    u8p_ = ctypes.POINTER(ctypes.c_uint8)
     lib.t4x_ingest_single.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_int, ctypes.c_int,
-        ctypes.c_char_p, ctypes.c_int64, i64p,
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i64p,
+        u8p_, ctypes.c_int64, i64p,
+        u8p_, u8p_, ctypes.c_int64, i64p,
         i32p, i32p, ctypes.c_int64,
-        ctypes.c_char_p, ctypes.c_int64, i64p, ctypes.c_int64,
+        u8p_, ctypes.c_int64, i64p, ctypes.c_int64,
         i64p, i64p,
     ]
     _LIB = lib
@@ -211,14 +212,18 @@ def ingest_single(read_files, barcode_files, umi_files,
     n_cap = r_size // 4 + 16
     bct_cap = b_size + 16
     bct_n_cap = b_size // 4 + 16
-    reads_blob = ctypes.create_string_buffer(reads_cap)
-    quals_blob = ctypes.create_string_buffer(reads_cap)
-    ids_blob = ctypes.create_string_buffer(reads_cap)
+    # numpy-backed blobs: no create_string_buffer zero-fill (first-touch
+    # page faults on this VM run ~100MB/s) and no whole-buffer .raw copy
+    # afterward — decode slices straight off memoryviews.
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    reads_blob = np.empty(reads_cap, dtype=np.uint8)
+    quals_blob = np.empty(reads_cap, dtype=np.uint8)
+    ids_blob = np.empty(reads_cap, dtype=np.uint8)
     read_offs = np.zeros(n_cap + 1, dtype=np.int64)
     id_offs = np.zeros(n_cap + 1, dtype=np.int64)
     bc_ids = np.zeros(n_cap, dtype=np.int32)
     umi_ids = np.zeros(n_cap, dtype=np.int32)
-    bct_blob = ctypes.create_string_buffer(max(bct_cap, 1))
+    bct_blob = np.empty(max(bct_cap, 1), dtype=np.uint8)
     bct_offs = np.zeros(bct_n_cap + 1, dtype=np.int64)
     bc_totals = np.zeros(max(bct_n_cap, 1), dtype=np.int64)
     out_meta = np.zeros(3, dtype=np.int64)
@@ -227,31 +232,40 @@ def ingest_single(read_files, barcode_files, umi_files,
         "\n".join(barcode_files).encode() if barcode_files else None,
         "\n".join(umi_files).encode() if umi_files else None,
         1 if keep_missing_barcode else 0, 1 if want_bc_totals else 0,
-        reads_blob, reads_cap, read_offs.ctypes.data_as(i64p),
-        quals_blob, ids_blob, reads_cap, id_offs.ctypes.data_as(i64p),
+        reads_blob.ctypes.data_as(u8p), reads_cap,
+        read_offs.ctypes.data_as(i64p),
+        quals_blob.ctypes.data_as(u8p), ids_blob.ctypes.data_as(u8p),
+        reads_cap, id_offs.ctypes.data_as(i64p),
         bc_ids.ctypes.data_as(i32p), umi_ids.ctypes.data_as(i32p), n_cap,
-        bct_blob, bct_cap, bct_offs.ctypes.data_as(i64p), bct_n_cap,
+        bct_blob.ctypes.data_as(u8p), bct_cap,
+        bct_offs.ctypes.data_as(i64p), bct_n_cap,
         bc_totals.ctypes.data_as(i64p), out_meta.ctypes.data_as(i64p),
     )
     if n < 0:
         return None
     n = int(n)
-    rb = reads_blob.raw
-    qb = quals_blob.raw
-    ib = ids_blob.raw
+    rb = memoryview(reads_blob).cast("B")
+    qb = memoryview(quals_blob).cast("B")
+    ib = memoryview(ids_blob).cast("B")
     ro = read_offs[: n + 1].tolist()
     io_ = id_offs[: n + 1].tolist()
     n_bc = int(out_meta[1])
     bo = bct_offs[: n_bc + 1].tolist()
-    bt = bct_blob.raw
+    bt = memoryview(bct_blob).cast("B")
     return {
-        "reads": [rb[ro[i]: ro[i + 1]].decode("ascii") for i in range(n)],
-        "quals": [qb[ro[i]: ro[i + 1]].decode("ascii") for i in range(n)],
-        "ids": [ib[io_[i]: io_[i + 1]].decode("ascii") for i in range(n)],
+        "reads": [
+            str(rb[ro[i]: ro[i + 1]], "ascii") for i in range(n)
+        ],
+        "quals": [
+            str(qb[ro[i]: ro[i + 1]], "ascii") for i in range(n)
+        ],
+        "ids": [
+            str(ib[io_[i]: io_[i + 1]], "ascii") for i in range(n)
+        ],
         "bc_ids": bc_ids[:n].tolist(),
         "umi_ids": umi_ids[:n].tolist(),
         "barcode_table": [
-            bt[bo[i]: bo[i + 1]].decode("ascii") for i in range(n_bc)
+            str(bt[bo[i]: bo[i + 1]], "ascii") for i in range(n_bc)
         ],
         "bc_totals": bc_totals[:n_bc].tolist(),
         "first_read_len": int(out_meta[0]),
