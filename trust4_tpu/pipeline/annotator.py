@@ -345,8 +345,14 @@ class Annotator:
         ]
         piece_jobs = []
         piece_off = [0]
-        for cons in contigs:
-            for (a, b) in ref_set.get_contig_intervals(cons):
+        cached_iv = getattr(self, "_piece_intervals", None)
+        use_cache = cached_iv is not None and len(cached_iv) == len(contigs)
+        for ci, cons in enumerate(contigs):
+            iv = (
+                cached_iv[ci] if use_cache
+                else ref_set.get_contig_intervals(cons)
+            )
+            for (a, b) in iv:
                 piece_jobs.append(job_index[(cons[a : b + 1], 0, -1, 1, False)])
             piece_off.append(len(piece_jobs))
         (ret, gene_i32, gene_f64, cdr_i32, cdr_f64, sec_i32, sec_f64,
@@ -452,9 +458,15 @@ class Annotator:
 
         jobs = []
         seen = set()
+        # The N-split intervals are reused verbatim by the detail-2 batch
+        # (same consensus strings — impute rewrites happen later), so
+        # compute them once here.
+        self._piece_intervals = []
         for i in range(self.seq_set.size()):
             cons = self.seq_set.seqs[i].consensus
-            for (a, b) in ref_set.get_contig_intervals(cons):
+            iv = ref_set.get_contig_intervals(cons)
+            self._piece_intervals.append(iv)
+            for (a, b) in iv:
                 sub = cons[a : b + 1]
                 key = (sub, 0, -1, 1, False)
                 if key not in seen:
