@@ -67,6 +67,9 @@ def _load():
     lib.t4o_build_from_read.argtypes = [
         ctypes.c_void_p, c_char_p, c_int, c_int, c_int, ctypes.c_int64, c_int,
     ]
+    lib.t4o_build_batch_mt.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i64p, c_int, c_int, c_int,
+    ]
     lib.t4o_remove_from_read.argtypes = [
         ctypes.c_void_p, c_char_p, c_int, c_int, c_int, ctypes.c_int64, c_int,
     ]
@@ -449,18 +452,19 @@ class NativeOverlapEngine:
         self._lib.t4o_build_from_read(self._h, b, len(b), kl, sid, barcode,
                                       shift)
 
-    def build_batch(self, seqs, kl: int, sids, barcodes) -> None:
-        """Full-rebuild batch (t4o_build_batch): one FFI call + reserved
-        postings map for all seqs."""
+    def build_batch(self, seqs, kl: int, sids, barcodes,
+                    threads: int = 1) -> None:
+        """Full-rebuild batch (t4o_build_batch_mt): one FFI call with the
+        reserved sharded postings map; shards build in parallel."""
         blobs = [s.encode("ascii") for s in seqs]
         offs = np.zeros(len(blobs) + 1, dtype=np.int64)
         np.cumsum([len(b) for b in blobs], out=offs[1:])
         sid_arr = np.ascontiguousarray(sids, dtype=np.int32)
         bc_arr = np.ascontiguousarray(barcodes, dtype=np.int64)
-        self._lib.t4o_build_batch(
+        self._lib.t4o_build_batch_mt(
             self._h, b"".join(blobs), offs.ctypes.data_as(_i64p),
             sid_arr.ctypes.data_as(_i32p), bc_arr.ctypes.data_as(_i64p),
-            len(blobs), kl,
+            len(blobs), kl, max(1, threads),
         )
 
     def remove_from_read(self, s: str, kl: int, sid: int, barcode: int,

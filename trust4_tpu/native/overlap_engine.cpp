@@ -96,10 +96,42 @@ struct PostVec {
   }
 };
 
+// Hash-sharded postings index: 8 independent maps keyed by the high
+// bits of the key hash (the maps use the low bits for bucketing).  The
+// shard of a key is deterministic, per-key postings order is unchanged,
+// and bulk builds fan shards out across threads — the 50M-insert
+// barcoded annotator load was bound by serial unordered_map insertion.
+struct ShardedIndex {
+  static constexpr int NS = 8;
+  using Map = std::unordered_map<Key, PostVec, KeyHash>;
+  Map shards[NS];
+  static inline int shard_of(const Key &k) {
+    return (int)((KeyHash()(k) >> 24) & (NS - 1));
+  }
+  PostVec *find(const Key &k) {
+    Map &m = shards[shard_of(k)];
+    auto it = m.find(k);
+    return it == m.end() ? nullptr : &it->second;
+  }
+  PostVec &operator[](const Key &k) { return shards[shard_of(k)][k]; }
+  void erase(const Key &k) { shards[shard_of(k)].erase(k); }
+  void clear() {
+    for (Map &m : shards) m.clear();
+  }
+  size_t size() const {
+    size_t t = 0;
+    for (const Map &m : shards) t += m.size();
+    return t;
+  }
+  void reserve(size_t n) {
+    for (Map &m : shards) m.reserve(n / NS + 1);
+  }
+};
+
 struct Engine {
   int kmer_len = 9;
   bool consider_barcode = false;
-  std::unordered_map<Key, PostVec, KeyHash> index;
+  ShardedIndex index;
   // Direct-addressed CSR snapshot of the postings (code -> pairs), built
   // lazily at batch-query entry when the index is frozen for the batch
   // (annotator/quick-annotation sweeps): one array lookup replaces the
@@ -129,26 +161,28 @@ inline void engine_ensure_csr(Engine *E) {
   size_t slots = (size_t)1 << (2 * E->kmer_len);
   E->csr_off.assign(slots + 1, 0);
   size_t total = 0;
-  for (const auto &kv : E->index) {
-    // Mirror find(make_key(code, ·)) in non-barcode mode exactly: keys
-    // inserted under barcode hashing (different second) are unreachable
-    // in this mode and are skipped.
-    if (kv.first.code >= slots) return;  // stale longer-k key: bail
-    if (kv.first.h !=
-        (int64_t)(kv.first.code % (uint64_t)KINDEX_HASH_MAX))
-      continue;
-    E->csr_off[kv.first.code + 1] = (int32_t)kv.second.size();
-    total += kv.second.size();
-  }
+  for (const auto &m : E->index.shards)
+    for (const auto &kv : m) {
+      // Mirror find(make_key(code, ·)) in non-barcode mode exactly: keys
+      // inserted under barcode hashing (different second) are unreachable
+      // in this mode and are skipped.
+      if (kv.first.code >= slots) return;  // stale longer-k key: bail
+      if (kv.first.h !=
+          (int64_t)(kv.first.code % (uint64_t)KINDEX_HASH_MAX))
+        continue;
+      E->csr_off[kv.first.code + 1] = (int32_t)kv.second.size();
+      total += kv.second.size();
+    }
   for (size_t i = 1; i <= slots; i++) E->csr_off[i] += E->csr_off[i - 1];
   E->csr_post.resize(total);
-  for (const auto &kv : E->index) {
-    if (kv.first.h !=
-        (int64_t)(kv.first.code % (uint64_t)KINDEX_HASH_MAX))
-      continue;
-    std::copy(kv.second.begin(), kv.second.end(),
-              E->csr_post.begin() + E->csr_off[kv.first.code]);
-  }
+  for (const auto &m : E->index.shards)
+    for (const auto &kv : m) {
+      if (kv.first.h !=
+          (int64_t)(kv.first.code % (uint64_t)KINDEX_HASH_MAX))
+        continue;
+      std::copy(kv.second.begin(), kv.second.end(),
+                E->csr_post.begin() + E->csr_off[kv.first.code]);
+    }
   E->csr_kl = E->kmer_len;
   E->csr_valid = true;
 }
@@ -861,10 +895,11 @@ void get_hits_from_read(const Engine &E, const Conf &C, const Meta &M,
             size = E.csr_off[code + 1] - a;
             pdata = E.csr_post.data() + a;
           } else {
-            auto it = E.index.find(make_key(E, code, barcode));
-            if (it != E.index.end()) {
-              pdata = it->second.data();
-              size = (int)it->second.size();
+            const PostVec *pv =
+                const_cast<Engine &>(E).index.find(make_key(E, code, barcode));
+            if (pv != nullptr) {
+              pdata = pv->data();
+              size = pv->size();
             }
           }
         }
@@ -981,10 +1016,26 @@ void t4o_build_from_read(void *h, const char *s, int len, int kl, int sid,
 // Batched build for full rebuilds (SeqSet clean / annotator load): one
 // FFI call for all seqs, with the postings map reserved up front so the
 // 5M+ inserts of a 10k-contig rebuild don't rehash repeatedly.
+void t4o_build_batch_mt(void *h, const char *blob, const int64_t *offs,
+                        const int32_t *sids, const int64_t *barcodes, int n,
+                        int kl, int threads);
+
 void t4o_build_batch(void *h, const char *blob, const int64_t *offs,
                      const int32_t *sids, const int64_t *barcodes, int n,
                      int kl) {
+  t4o_build_batch_mt(h, blob, offs, sids, barcodes, n, kl, 1);
+}
+
+// Threaded bulk build: shards are independent maps, so worker t owns a
+// contiguous range of shard ids, scans every read's windows (the rolling
+// codes are cheap to recompute), and inserts only its shards' keys — in
+// global read order, so per-key postings sequences are exactly the
+// serial build's.
+void t4o_build_batch_mt(void *h, const char *blob, const int64_t *offs,
+                        const int32_t *sids, const int64_t *barcodes, int n,
+                        int kl, int threads) {
   Engine *E = (Engine *)h;
+  invalidate_csr(E);
   int64_t total = 0;
   for (int i = 0; i < n; i++) total += offs[i + 1] - offs[i];
   // Barcode-salted keys are near-unique (one cell's windows rarely
@@ -992,9 +1043,47 @@ void t4o_build_batch(void *h, const char *blob, const int64_t *offs,
   // an underestimate rehashes a multi-10M-node table mid-build.
   size_t est = (size_t)total / (E->consider_barcode ? 1 : 2);
   E->index.reserve(E->index.size() + est);
-  for (int i = 0; i < n; i++)
-    t4o_build_from_read(h, blob + offs[i], (int)(offs[i + 1] - offs[i]), kl,
-                        sids[i], barcodes[i], 0);
+  int nw = threads;
+  if (nw > ShardedIndex::NS) nw = ShardedIndex::NS;
+  if (nw < 1) nw = 1;
+  if (nw == 1 || total < (int64_t)1 << 20) {
+    for (int i = 0; i < n; i++)
+      t4o_build_from_read(h, blob + offs[i], (int)(offs[i + 1] - offs[i]),
+                          kl, sids[i], barcodes[i], 0);
+    return;
+  }
+  auto work = [&](int shard_lo, int shard_hi) {
+    std::vector<uint64_t> codes;
+    std::vector<uint8_t> valid;
+    for (int i = 0; i < n; i++) {
+      const char *s = blob + offs[i];
+      int len = (int)(offs[i + 1] - offs[i]);
+      window_codes(s, len, kl, codes, valid);
+      int wn = (int)codes.size();
+      for (int w = 0; w < wn; w++) {
+        if (!valid[w]) continue;
+        if (w != 1) {
+          uint64_t prev = (w == 0) ? 0 : codes[w - 1];
+          if (codes[w] == prev) continue;
+        }
+        Key key = make_key(*E, codes[w], barcodes[i]);
+        int sh = ShardedIndex::shard_of(key);
+        if (sh < shard_lo || sh >= shard_hi) continue;
+        spec_note_mutation(h, key);
+        E->index.shards[sh][key].push_back({sids[i], w});
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  int per = (ShardedIndex::NS + nw - 1) / nw;
+  for (int t = 0; t < nw; t++) {
+    int lo = t * per;
+    int hi = lo + per;
+    if (hi > ShardedIndex::NS) hi = ShardedIndex::NS;
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto &th : ts) th.join();
 }
 
 // Ordered single-seq index resync: remove the old consensus's postings
@@ -1021,11 +1110,11 @@ void t4o_remove_from_read(void *h, const char *s, int len, int kl, int sid,
   for (int w = 0; w < n; w++) {
     if (!valid[w]) continue;
     Key key = make_key(*E, codes[w], barcode);
-    auto it = E->index.find(key);
-    if (it == E->index.end()) continue;
+    PostVec *pv = E->index.find(key);
+    if (pv == nullptr) continue;
     spec_note_mutation(h, key);
-    auto &lst = it->second;
-    for (size_t i = 0; i < lst.size(); i++) {
+    PostVec &lst = *pv;
+    for (int i = 0; i < lst.size(); i++) {
       if (lst[i].first == sid && lst[i].second == w + offset) {
         lst.erase(lst.begin() + i);
         if (lst.empty()) E->index.erase(key);
@@ -1071,10 +1160,10 @@ void t4o_update_from_read(void *h, const char *s, int len, int kl,
   for (int w = 0; w < n; w++) {
     if (!valid[w]) continue;
     Key key = make_key(*E, codes[w], barcode);
-    auto it = E->index.find(key);
-    if (it == E->index.end()) continue;
+    PostVec *pv = E->index.find(key);
+    if (pv == nullptr) continue;
     spec_note_mutation(h, key);
-    for (auto &p : it->second) {
+    for (auto &p : *pv) {
       if (p.first == old_id && p.second == w) {
         p.first = new_id;
         p.second = w + shift;
@@ -1159,7 +1248,8 @@ void t4o_stats(void *h, int64_t *out) {
   Engine *E = (Engine *)h;
   out[0] = (int64_t)E->index.size();
   int64_t tot = 0;
-  for (const auto &kv : E->index) tot += (int64_t)kv.second.size();
+  for (const auto &m : E->index.shards)
+    for (const auto &kv : m) tot += (int64_t)kv.second.size();
   out[1] = tot;
 }
 
@@ -4280,8 +4370,9 @@ void t4s_substring_relation(void* h, int32_t* out2) {
       if (w == 1 || code != prev_code) {
         const PostVec* postings = &kEmpty;
         if (valid[w]) {
-          auto it = E->index.find(make_key(*E, code, sw.barcode));
-          if (it != E->index.end()) postings = &it->second;
+          const PostVec *pv2 =
+              E->index.find(make_key(*E, code, sw.barcode));
+          if (pv2 != nullptr) postings = pv2;
         }
         int size = (int)postings->size();
         if (size >= 100 && skip_cnt < skip_limit) {

@@ -218,10 +218,13 @@ class Annotator:
         ss = self.seq_set
         nat = ss.seq_index.native
         if ss.seq_index.native_only and nat is not None:
+            from trust4_tpu.utils.parallel import internal_threads
+
             nat.build_batch(
                 [sw.consensus for sw in ss.seqs], ss.kmer_length,
                 list(range(len(ss.seqs))),
                 [sw.barcode for sw in ss.seqs],
+                threads=internal_threads(self.threads),
             )
         else:
             for sid, sw in enumerate(ss.seqs):
