@@ -890,44 +890,61 @@ class Assembler:
         _t0 = _time.perf_counter()
         seq_set = self.seq_set
         n = len(sorted_reads)
-        meta = np.empty((n, 6), dtype=np.int32)
+        # List-building then one bulk conversion: per-row numpy scalar
+        # assignment cost ~4x more than list appends at this volume.
+        meta_l = []
         plan_sim = np.zeros(n, dtype=np.float64)
         plan_name4 = np.zeros(n, dtype=np.int32)
-        g8 = np.empty((n, 4, 8), dtype=np.int32)
-        gsim = np.empty((n, 4), dtype=np.float64)
-        io_strand = np.empty(n, dtype=np.int32)
-        io_info = np.empty(n, dtype=np.int32)
+        g8_l = []
+        gsim_l = []
+        io_strand_l = []
+        io_info_l = []
         io_good = np.zeros(n, dtype=np.uint8)
+        prev_read = None
+        prev_bc = None
+        params = self._add_read_params
         for i, r in enumerate(sorted_reads):
-            is_rep = (
-                i > 0
-                and r.read == sorted_reads[i - 1].read
-                and r.barcode == sorted_reads[i - 1].barcode
-            )
-            p = None if is_rep else self._add_read_params(r)
+            is_rep = r.read == prev_read and r.barcode == prev_bc
+            prev_read = r.read
+            prev_bc = r.barcode
+            p = None if is_rep else params(r)
             if p is None:
-                meta[i] = (r.barcode, r.mate_idx, r.min_cnt, 0, 0, 0)
+                meta_l.append((r.barcode, r.mate_idx, r.min_cnt, 0, 0, 0))
             else:
                 name, strand, min_kmer_cnt, sim = p
                 nb = name.encode("ascii")[:4]
                 packed = 0
                 for k, byte in enumerate(nb):
                     packed |= byte << (8 * k)
-                meta[i] = (
-                    r.barcode, r.mate_idx, r.min_cnt, 1, strand, min_kmer_cnt,
+                meta_l.append(
+                    (r.barcode, r.mate_idx, r.min_cnt, 1, strand,
+                     min_kmer_cnt)
                 )
                 plan_sim[i] = sim
                 plan_name4[i] = packed
-            io_strand[i] = r.strand
-            io_info[i] = r.info
+            io_strand_l.append(r.strand)
+            io_info_l.append(r.info)
             go = r.gene_overlap
-            for g in range(4):
-                o = go[g]
-                g8[i, g] = (
-                    o.seq_idx, o.read_start, o.read_end, o.strand,
-                    o.seq_start, o.seq_end, o.match_cnt, o.indel_cnt,
-                )
-                gsim[i, g] = o.similarity
+            o0, o1, o2, o3 = go[0], go[1], go[2], go[3]
+            g8_l.append((
+                o0.seq_idx, o0.read_start, o0.read_end, o0.strand,
+                o0.seq_start, o0.seq_end, o0.match_cnt, o0.indel_cnt,
+                o1.seq_idx, o1.read_start, o1.read_end, o1.strand,
+                o1.seq_start, o1.seq_end, o1.match_cnt, o1.indel_cnt,
+                o2.seq_idx, o2.read_start, o2.read_end, o2.strand,
+                o2.seq_start, o2.seq_end, o2.match_cnt, o2.indel_cnt,
+                o3.seq_idx, o3.read_start, o3.read_end, o3.strand,
+                o3.seq_start, o3.seq_end, o3.match_cnt, o3.indel_cnt,
+            ))
+            gsim_l.append(
+                (o0.similarity, o1.similarity, o2.similarity, o3.similarity)
+            )
+        meta = np.array(meta_l, dtype=np.int32).reshape(n, 6)
+        g8 = np.array(g8_l, dtype=np.int32).reshape(n, 4, 8)
+        gsim = np.array(gsim_l, dtype=np.float64).reshape(n, 4)
+        io_strand = np.array(io_strand_l, dtype=np.int32)
+        io_info = np.array(io_info_l, dtype=np.int32)
+        del meta_l, g8_l, gsim_l, io_strand_l, io_info_l
         ref_lens = np.array(
             [s.consensus_len for s in self.ref_set.seqs], dtype=np.int32
         )
