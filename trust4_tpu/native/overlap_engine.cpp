@@ -287,13 +287,29 @@ void revcomp(const char *s, int len, std::string &out) {
 inline long iabs(long x) { return x < 0 ? -x : x; }
 inline double fabs_(double x) { return x < 0 ? -x : x; }
 
+// 12-byte hit: (strand, seq) pack into one comparable int32 bucket,
+// and `repeats` — only ever consumed as `repeats <= 10000` — becomes a
+// flag bit on the read offset.  435M+ hits flow through append, bucket
+// sort, and three scan passes per annotation batch; the 20 -> 12 byte
+// cut is pure memory-traffic savings with identical ordering semantics
+// ((strand, seq) major order == signed bucket order; read offsets are
+// window indices < 2^21).
 struct Hit {
-  int strand_key;  // 0 for strand -1, 1 for +1
-  int seq_idx;
-  int read_off;
-  int seq_off;
-  int repeats;
+  int32_t bucket;   // strand_key << 30 | seq_idx
+  int32_t ro_flag;  // read_off | (rep_ok << 30)
+  int32_t seq_off;
+  inline int sk() const { return (int)((uint32_t)bucket >> 30); }
+  inline int sq() const { return bucket & ((1 << 30) - 1); }
+  inline int ro() const { return ro_flag & ((1 << 30) - 1); }
+  inline bool rep_ok() const { return (ro_flag & (1 << 30)) != 0; }
 };
+
+inline Hit make_hit(int strand_key, int seq_idx, int read_off, int seq_off,
+                    bool rep_ok) {
+  return Hit{(int32_t)((strand_key << 30) | seq_idx),
+             (int32_t)(read_off | ((rep_ok ? 1 : 0) << 30)),
+             (int32_t)seq_off};
+}
 
 struct Coord {
   int read_off;
@@ -567,19 +583,19 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
     int longest_hits[2] = {0, 0};
     int i = 0;
     while (i < hit_size) {
-      int st = hits[i].strand_key;
+      int st = hits[i].sk();
+      int bucket = hits[i].bucket;
       int j = i + 1;
-      while (j < hit_size && hits[j].strand_key == st &&
-             hits[j].seq_idx == hits[i].seq_idx)
+      while (j < hit_size && hits[j].bucket == bucket)
         j++;
-      if (!M.is_ref[hits[i].seq_idx]) {
+      if (!M.is_ref[hits[i].sq()]) {
         if (j - i > novel_min_hit[st]) possible_overlap_cnt[st] += 1;
         if (j - i > longest_hits[st]) longest_hits[st] = j - i;
       }
       if (!remove_only_repeats[st]) {
         int cnt = 0;
         for (int k = i; k < j; k++)
-          if (hits[k].repeats <= 10000) cnt++;
+          if (hits[k].rep_ok()) cnt++;
         if (cnt >= novel_min_hit[st]) remove_only_repeats[st] = true;
       }
       // Reference quirk (SeqSet.hpp:811 `i = j` inside a `++i` for-loop):
@@ -623,11 +639,11 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
 
   int i = 0;
   while (i < hit_size) {
-    int st = hits[i].strand_key;
-    int seq_idx = hits[i].seq_idx;
+    int st = hits[i].sk();
+    int seq_idx = hits[i].sq();
+    int bucket = hits[i].bucket;
     int j = i + 1;
-    while (j < hit_size && hits[j].strand_key == st &&
-           hits[j].seq_idx == seq_idx)
+    while (j < hit_size && hits[j].bucket == bucket)
       j++;
 
     int min_hit_required =
@@ -639,7 +655,7 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
     if (remove_only_repeats[st]) {
       bool has_unique = false;
       for (int k = i; k < j; k++)
-        if (hits[k].repeats <= 10000) {
+        if (hits[k].rep_ok()) {
           has_unique = true;
           break;
         }
@@ -655,7 +671,7 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
     hcd.clear();
     bool packed = true;
     for (int k = i; k < j; k++)
-      if ((unsigned)hits[k].read_off >= (1u << 21) ||
+      if ((unsigned)hits[k].ro() >= (1u << 21) ||
           (unsigned)hits[k].seq_off >= (1u << 21)) {
         packed = false;
         break;
@@ -663,17 +679,17 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
     if (packed) {
       keys.reserve(j - i);
       for (int k = i; k < j; k++) {
-        int64_t diff = (int64_t)hits[k].read_off - hits[k].seq_off;
+        int64_t diff = (int64_t)hits[k].ro() - hits[k].seq_off;
         keys.push_back(((uint64_t)(diff + (1 << 21)) << 42) |
                        ((uint64_t)hits[k].seq_off << 21) |
-                       (uint64_t)hits[k].read_off);
+                       (uint64_t)hits[k].ro());
       }
       std::sort(keys.begin(), keys.end());
     } else {
       hcd.reserve(j - i);
       for (int k = i; k < j; k++)
-        hcd.push_back({hits[k].read_off, hits[k].seq_off,
-                       hits[k].read_off - hits[k].seq_off});
+        hcd.push_back({hits[k].ro(), hits[k].seq_off,
+                       hits[k].ro() - hits[k].seq_off});
       std::sort(hcd.begin(), hcd.end(), [](const Coord &x, const Coord &y) {
         if (x.diff != y.diff) return x.diff < y.diff;
         if (x.seq_off != y.seq_off) return x.seq_off < y.seq_off;
@@ -713,7 +729,7 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
         bool has_unique = false;
         int hi = e < hit_size ? e : hit_size;
         for (int k = s; k < hi; k++)
-          if (hits[k].repeats <= 10000) {
+          if (hits[k].rep_ok()) {
             has_unique = true;
             break;
           }
@@ -827,9 +843,10 @@ int get_vj_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
                               std::vector<Ov> &overlaps) {
   std::vector<Hit> vj_hits;
   for (const Hit &h : hits) {
-    if (!M.is_ref[h.seq_idx]) continue;
-    const uint8_t *n4 = M.name4 + 4 * h.seq_idx;
-    if (n4[3] == 'V' && h.seq_off >= M.seq_len[h.seq_idx] - 31)
+    int sq = h.sq();
+    if (!M.is_ref[sq]) continue;
+    const uint8_t *n4 = M.name4 + 4 * sq;
+    if (n4[3] == 'V' && h.seq_off >= M.seq_len[sq] - 31)
       vj_hits.push_back(h);
     else if (n4[3] == 'J' && h.seq_off < 31)
       vj_hits.push_back(h);
@@ -923,7 +940,8 @@ void get_hits_from_read(const Engine &E, const Conf &C, const Meta &M,
           const std::pair<int, int> &p = pdata[pi];
           if (puse != nullptr && !puse[p.first]) continue;
           if (barcode != -1 && M.barcode[p.first] != barcode) continue;
-          hits.push_back({st == 1 ? 1 : 0, p.first, w, p.second, repeats});
+          hits.push_back(make_hit(st == 1 ? 1 : 0, p.first, w, p.second,
+                                  repeats <= 10000));
         }
       }
       prev_code = code;
@@ -945,19 +963,19 @@ void sort_hits(std::vector<Hit> &hits, int n_seqs) {
     static thread_local std::vector<int> cnt;
     static thread_local std::vector<Hit> out;
     cnt.assign(2 * n_seqs + 1, 0);
-    for (const Hit &hh : hits) cnt[hh.strand_key * n_seqs + hh.seq_idx + 1]++;
+    for (const Hit &hh : hits) cnt[hh.sk() * n_seqs + hh.sq() + 1]++;
     for (int i = 1; i <= 2 * n_seqs; i++) cnt[i] += cnt[i - 1];
     out.resize(hits.size());
     for (const Hit &hh : hits)
-      out[cnt[hh.strand_key * n_seqs + hh.seq_idx]++] = hh;
+      out[cnt[hh.sk() * n_seqs + hh.sq()]++] = hh;
     hits.swap(out);
   } else {
     // Python's sorted() is stable; (strand, idx, read_off, seq_off) keys
-    // are unique in practice but stable_sort removes any doubt.
+    // are unique in practice but stable_sort removes any doubt.  The
+    // signed bucket compares as (strand, seq) lexicographic.
     std::stable_sort(hits.begin(), hits.end(), [](const Hit &x, const Hit &y) {
-      if (x.strand_key != y.strand_key) return x.strand_key < y.strand_key;
-      if (x.seq_idx != y.seq_idx) return x.seq_idx < y.seq_idx;
-      if (x.read_off != y.read_off) return x.read_off < y.read_off;
+      if (x.bucket != y.bucket) return x.bucket < y.bucket;
+      if (x.ro() != y.ro()) return x.ro() < y.ro();
       return x.seq_off < y.seq_off;
     });
   }
@@ -2197,7 +2215,7 @@ int query_scored_core(Engine* E, Engine2& R, const SConf& C, const char* read,
   int overlap_cnt = 0;
   auto collect_sids = [&](const std::vector<Hit>& hh) {
     if (hit_sids == nullptr) return;
-    for (const Hit& x : hh) hit_sids->push_back(x.seq_idx);
+    for (const Hit& x : hh) hit_sids->push_back(x.sq());
   };
   if (skip_repeats && puse == nullptr) {
     get_hits_from_read(*E, C0, M, read, len, strand, barcode, true, nullptr,
