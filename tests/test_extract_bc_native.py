@@ -97,3 +97,43 @@ def test_native_vs_python_barcoded_stream(corpus, tmp_path, monkeypatch,
         with open(nat + suf, "rb") as a, open(py + suf, "rb") as b:
             assert a.read() == b.read(), (fmt, suf)
         assert os.path.getsize(nat + suf) > 0, (fmt, suf)
+
+
+@pytest.mark.skipif(not extract_native.available(),
+                    reason="native extract unavailable")
+@pytest.mark.parametrize("skip_err", [False, True])
+def test_native_vs_python_whitelist_correction(corpus, tmp_path,
+                                               monkeypatch, skip_err):
+    """Whitelist correction (exact hit / single-substitution ranked by
+    background frequency then lowest quality / missing_barcode or
+    read-skip): native trie vs the Python corrector, byte-for-byte."""
+    d = corpus
+    # Whitelist = every 3rd observed barcode -> plenty of corrections and
+    # uncorrectable cases.
+    wl = tmp_path / "wl.txt"
+    seen = []
+    with open(d / "bc.fq") as fp:
+        for i, line in enumerate(fp):
+            if i % 4 == 1:
+                seen.append(line.strip()[:16])
+    wl.write_text("\n".join(sorted(set(seen))[::3]) + "\n")
+    args = dict(
+        barcode_files=[str(d / "bc.fq")],
+        umi_files=[str(d / "bc.fq")],
+        read_format="bc:0:15,um:16:25",
+        barcode_whitelist=str(wl),
+        skip_barcode_error_read=skip_err,
+    )
+    ref_fa = os.path.join(
+        os.environ.get("TRUST4_REF_DIR", "/root/reference"),
+        "hg38_bcrtcr.fa",
+    )
+    r1 = [str(d / "r1.fq")]
+    nat = str(tmp_path / "natw")
+    run_barcoded_extractor(ref_fa, r1, None, nat, **args)
+    py = str(tmp_path / "pyw")
+    monkeypatch.setenv("TRUST4_TPU_NATIVE", "0")
+    run_barcoded_extractor(ref_fa, r1, None, py, **args)
+    for suf in ("_bc.fa", "_umi.fa", ".fq"):
+        with open(nat + suf, "rb") as a, open(py + suf, "rb") as b:
+            assert a.read() == b.read(), (skip_err, suf)

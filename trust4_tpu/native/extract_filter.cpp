@@ -1130,9 +1130,150 @@ void write_formatted(FILE *out, const std::string &id, const Rec &r,
   }
 }
 
+// 4-ary whitelist trie with single-substitution correction
+// (BarcodeCorrector.hpp; pipeline/barcode.py BarcodeCorrector is the
+// oracle — including its quirks: the quality tiebreak indexes the RAW
+// barcode-record quality with the EXTRACTED barcode's position, ties
+// without quality keep the first candidate).
+struct BcTrie {
+  struct Node {
+    int32_t next[4] = {-1, -1, -1, -1};
+    int64_t count = 0;
+    bool end = false;
+  };
+  std::vector<Node> nodes;
+  BcTrie() { nodes.emplace_back(); }
+  static inline int tag(char c) {
+    switch (c) {
+      case 'A': return 0;
+      case 'C': return 1;
+      case 'G': return 2;
+      case 'T': return 3;
+    }
+    return -1;
+  }
+  void insert(const char *s, int len, int weight) {
+    for (int i = 0; i < len; i++)
+      if (tag(s[i]) < 0) return;
+    int p = 0;
+    for (int i = 0; i < len; i++) {
+      int t = tag(s[i]);
+      if (nodes[p].next[t] < 0) {
+        nodes[p].next[t] = (int32_t)nodes.size();
+        nodes.emplace_back();
+      }
+      p = nodes[p].next[t];
+    }
+    nodes[p].end = true;
+    nodes[p].count += weight;
+  }
+  // -1 when absent, else the (possibly updated) count.
+  int64_t search_update(const char *s, int len, int weight) {
+    int p = 0;
+    for (int i = 0; i < len; i++) {
+      int t = tag(s[i]);
+      if (t < 0 || nodes[p].next[t] < 0) return -1;
+      p = nodes[p].next[t];
+    }
+    nodes[p].count += weight;
+    return nodes[p].count;
+  }
+  // pipeline/barcode.py BarcodeCorrector.correct: returns -1/0/1 and
+  // writes the corrected barcode into bc in place.
+  int correct(std::string &bc, const std::string &qual, bool has_qual) {
+    if (search_update(bc.data(), (int)bc.size(), 0) != -1) return 0;
+    int best_i = -1, best_j = -1;
+    int64_t best_cnt = -1;
+    int best_low_qual = 255;
+    static const char *ACGT = "ACGT";
+    std::string test = bc;
+    for (int i = 0; i < (int)bc.size(); i++) {
+      char orig = bc[i];
+      for (int j = 0; j < 4; j++) {
+        if (ACGT[j] == orig) continue;
+        test[i] = ACGT[j];
+        int64_t cnt = search_update(test.data(), (int)test.size(), 0);
+        if (cnt != -1) {
+          if (cnt > best_cnt) {
+            best_cnt = cnt;
+            best_i = i;
+            best_j = j;
+            if (has_qual && i < (int)qual.size())
+              best_low_qual = (unsigned char)qual[i];
+          } else if (cnt == best_cnt && has_qual && i < (int)qual.size() &&
+                     (unsigned char)qual[i] < best_low_qual) {
+            best_low_qual = (unsigned char)qual[i];
+            best_i = i;
+            best_j = j;
+          }
+        }
+      }
+      test[i] = orig;
+    }
+    if (best_i < 0) return -1;
+    bc[best_i] = ACGT[best_j];
+    return 1;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void *t4x_bc_create() { return new BcTrie(); }
+void t4x_bc_destroy(void *h) { delete (BcTrie *)h; }
+
+// Load whitelist entries (newline-joined blob; caller handles gzip).
+void t4x_bc_load(void *h, const char *blob, int64_t blen) {
+  BcTrie *T = (BcTrie *)h;
+  const char *p = blob;
+  const char *end = blob + blen;
+  while (p < end) {
+    const char *nl = (const char *)memchr(p, '\n', end - p);
+    const char *e = nl ? nl : end;
+    while (e > p && (e[-1] == '\r' || e[-1] == ' ')) e--;
+    if (e > p) T->insert(p, (int)(e - p), 1);
+    p = nl ? nl + 1 : end;
+  }
+}
+
+// First case_cnt observed (extracted) barcodes feed the frequency
+// counts (BarcodeCorrector.hpp:134-147).  fmt_rows as in
+// t4x_extract_stream_bc.  Returns records consumed or -1 on I/O error.
+int64_t t4x_bc_collect_background(void *h, const char *bc_paths,
+                                  const int32_t *fmt_rows, int n_segs,
+                                  int64_t case_cnt) {
+  BcTrie *T = (BcTrie *)h;
+  Fmt fmt;
+  for (int i = 0; i < n_segs; i++) {
+    const int32_t *r = fmt_rows + 4 * i;
+    if (r[0] < 0 || r[0] > 3) return -1;
+    fmt.segs[r[0]].push_back({r[1], r[2], r[3]});
+  }
+  RecStream sb(bc_paths);
+  if (!sb.open_ok) return -1;
+  Rec r;
+  std::string bcbuf;
+  int64_t n = 0;
+  while (n < case_cnt && sb.next(r)) {
+    fmt.extract(r.seq, 2, true, bcbuf);
+    T->search_update(bcbuf.data(), (int)bcbuf.size(), 1);
+    n++;
+  }
+  return n;
+}
+
+// Whitelist-corrected variant of t4x_extract_stream_bc: corr is a
+// BcTrie handle (may be NULL = no correction).  Uncorrectable barcodes
+// write "missing_barcode" (skip_err != 0 drops the read instead),
+// exactly as pipeline/extract.py output_barcode.
+int64_t t4x_extract_stream_bc2(void *h, const char *paths1,
+                               const char *paths2, const char *bc_paths,
+                               const char *umi_paths, int umi_alias,
+                               const char *out1, const char *out2,
+                               const char *out_bc, const char *out_umi,
+                               const int32_t *fmt_rows, int n_segs,
+                               int threads, void *corr, int skip_err);
 
 // Returns the candidate count, or -1 on I/O failure.  umi_alias != 0
 // means the UMI record IS the barcode record (same file, different
@@ -1144,7 +1285,20 @@ int64_t t4x_extract_stream_bc(void *h, const char *paths1,
                               const char *out_bc, const char *out_umi,
                               const int32_t *fmt_rows, int n_segs,
                               int threads) {
+  return t4x_extract_stream_bc2(h, paths1, paths2, bc_paths, umi_paths,
+                                umi_alias, out1, out2, out_bc, out_umi,
+                                fmt_rows, n_segs, threads, nullptr, 0);
+}
+
+int64_t t4x_extract_stream_bc2(void *h, const char *paths1,
+                               const char *paths2, const char *bc_paths,
+                               const char *umi_paths, int umi_alias,
+                               const char *out1, const char *out2,
+                               const char *out_bc, const char *out_umi,
+                               const int32_t *fmt_rows, int n_segs,
+                               int threads, void *corr, int skip_err) {
   Filter *F = (Filter *)h;
+  BcTrie *C = (BcTrie *)corr;
   finalize_index(*F);
   Fmt fmt;
   for (int i = 0; i < n_segs; i++) {
@@ -1233,12 +1387,23 @@ int64_t t4x_extract_stream_bc(void *h, const char *paths1,
       if (!good[i]) continue;
       const std::string &id = b1[i].id;
       if (sb) {
+        // Decide the barcode line BEFORE any writes: a skipped read
+        // (skip_err with missing/uncorrectable barcode) must leave no
+        // trace in ANY output (pipeline/extract.py output_barcode).
         const Rec &rb = bb[i];
+        bool missing = rb.seq.empty();
+        if (!missing) {
+          fmt.extract(rb.seq, 2, true, bcbuf);
+          if (C != nullptr) {
+            int result = C->correct(bcbuf, rb.qual, rb.has_qual);
+            if (result < 0) missing = true;
+          }
+        }
+        if (missing && skip_err) continue;
         fputc('>', ob);
         fwrite(id.data(), 1, id.size(), ob);
         fputc('\n', ob);
-        if (!rb.seq.empty()) {
-          fmt.extract(rb.seq, 2, true, bcbuf);
+        if (!missing) {
           fwrite(bcbuf.data(), 1, bcbuf.size(), ob);
         } else {
           fwrite("missing_barcode", 1, 15, ob);

@@ -266,18 +266,21 @@ def run_barcoded_extractor(
     formatter = ReadFormatter()
     if read_format:
         formatter.init(read_format)
-    corrector = None
-    if barcode_whitelist:
-        corrector = BarcodeCorrector()
-        corrector.set_whitelist(barcode_whitelist)
+    translator = BarcodeTranslator()
+    if barcode_translate:
+        translator.set_translate_table(barcode_translate)
+
+    def _build_py_corrector():
+        c = BarcodeCorrector()
+        c.set_whitelist(barcode_whitelist)
         src = (
             rec.comment if formatter.is_in_comment(FORMAT_BARCODE) else rec.seq
             for rec in read_fastx(barcode_files)
         )
-        corrector.collect_background(src, formatter)
-    translator = BarcodeTranslator()
-    if barcode_translate:
-        translator.set_translate_table(barcode_translate)
+        c.collect_background(src, formatter)
+        return c
+
+    corrector = None
 
     from trust4_tpu.pipeline import extract_native as _xn
 
@@ -317,9 +320,7 @@ def run_barcoded_extractor(
     if (
         _xn.available()
         and not use_tpu_prefilter
-        and corrector is None
         and not translator.is_set()
-        and not skip_barcode_error_read
         and not any(
             seg.in_comment for cat in formatter.segs for seg in cat
         )
@@ -339,6 +340,14 @@ def run_barcoded_extractor(
         p1l, p2l = _paths_l(read1), _paths_l(read2)
         bcl, uml = _paths_l(barcode_files), _paths_l(umi_files)
         umi_alias = has_umi and has_barcode and uml == bcl
+        nat_corr = None
+        if barcode_whitelist:
+            # Native trie: reload the whitelist and re-collect the
+            # background counts in C (semantics mirror the Python
+            # corrector, which stays as the comment-sourced path and the
+            # differential oracle).
+            nat_corr = _xn.NativeBarcodeCorrector(barcode_whitelist)
+            nat_corr.collect_background(bcl, fmt_rows)
         native.extract_stream_bc(
             p1l, p2l, bcl, None if umi_alias else uml, umi_alias,
             f"{out_prefix}_1.fq" if has_mate else f"{out_prefix}.fq",
@@ -346,9 +355,12 @@ def run_barcoded_extractor(
             f"{out_prefix}_bc.fa" if has_barcode else None,
             f"{out_prefix}_umi.fa" if has_umi else None,
             fmt_rows, threads=os.cpu_count() or 1,
+            corrector=nat_corr, skip_err=skip_barcode_error_read,
         )
         return
 
+    if barcode_whitelist:
+        corrector = _build_py_corrector()
     fp1 = open(
         f"{out_prefix}_1.fq" if has_mate else f"{out_prefix}.fq", "w"
     )

@@ -76,6 +76,25 @@ def _load():
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
     ]
+    lib.t4x_extract_stream_bc2.restype = ctypes.c_int64
+    lib.t4x_extract_stream_bc2.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.t4x_bc_create.restype = ctypes.c_void_p
+    lib.t4x_bc_create.argtypes = []
+    lib.t4x_bc_destroy.argtypes = [ctypes.c_void_p]
+    lib.t4x_bc_load.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.t4x_bc_collect_background.restype = ctypes.c_int64
+    lib.t4x_bc_collect_background.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int64,
+    ]
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.t4x_ingest_single.restype = ctypes.c_int64
@@ -142,13 +161,16 @@ class NativeCandidateFilter:
 
     def extract_stream_bc(self, paths1, paths2, bc_paths, umi_paths,
                           umi_alias: bool, out1, out2, out_bc, out_umi,
-                          fmt_rows: np.ndarray, threads: int = 1) -> int:
-        """Barcoded extraction loop in native code (t4x_extract_stream_bc).
-        fmt_rows: (n, 4) int32 {cat, start, end, strand} sequence-sourced
-        --readFormat segments.  Returns the candidate count or raises."""
+                          fmt_rows: np.ndarray, threads: int = 1,
+                          corrector=None, skip_err: bool = False) -> int:
+        """Barcoded extraction loop in native code
+        (t4x_extract_stream_bc2).  fmt_rows: (n, 4) int32 {cat, start,
+        end, strand} sequence-sourced --readFormat segments; corrector:
+        NativeBarcodeCorrector or None.  Returns the candidate count or
+        raises."""
         j = lambda ps: "\n".join(ps).encode() if ps else None
         fr = np.ascontiguousarray(fmt_rows, dtype=np.int32)
-        n = self._lib.t4x_extract_stream_bc(
+        n = self._lib.t4x_extract_stream_bc2(
             self._h, j(paths1), j(paths2), j(bc_paths), j(umi_paths),
             1 if umi_alias else 0,
             out1.encode(), out2.encode() if out2 else None,
@@ -156,10 +178,13 @@ class NativeCandidateFilter:
             out_umi.encode() if out_umi else None,
             fr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(fr),
             threads,
+            corrector._h if corrector is not None else None,
+            1 if skip_err else 0,
         )
         if n < 0:
             raise OSError(f"native barcoded extract failed for {paths1}")
         return int(n)
+
 
     def filter_batch(self, reads: List[str], threads: int = 1) -> np.ndarray:
         """Per-read candidate code: 0 = reject, else HasHitInSet strand."""
@@ -177,6 +202,45 @@ class NativeCandidateFilter:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         )
         return out
+
+
+class NativeBarcodeCorrector:
+    """Native whitelist trie (t4x_bc_*); semantics mirror
+    pipeline/barcode.py BarcodeCorrector exactly (oracle in tests)."""
+
+    def __init__(self, whitelist_path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native extract filter unavailable")
+        self._lib = lib
+        self._h = lib.t4x_bc_create()
+        import gzip
+
+        opener = gzip.open if whitelist_path.endswith(".gz") else open
+        with opener(whitelist_path, "rb") as fp:
+            blob = fp.read()
+        lib.t4x_bc_load(self._h, blob, len(blob))
+
+    def collect_background(self, bc_paths, fmt_rows: np.ndarray,
+                           case_cnt: int = 2_000_000) -> int:
+        fr = np.ascontiguousarray(fmt_rows, dtype=np.int32)
+        n = self._lib.t4x_bc_collect_background(
+            self._h, "\n".join(bc_paths).encode(),
+            fr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(fr),
+            case_cnt,
+        )
+        if n < 0:
+            raise OSError("native background collection failed")
+        return int(n)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.t4x_bc_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
 
 
 def ingest_single(read_files, barcode_files, umi_files,
