@@ -57,3 +57,87 @@ def test_pallas_matches_host_oracle():
     for i, (t, p) in enumerate(pairs):
         want, _ = align_host.global_alignment_py(t, p)
         assert got[i] == want, (i, t, p)
+
+
+# ---------------------------------------------------------------------------
+# Forward counts kernel (round 5): scores + traceback (match, mismatch,
+# indel) in one gather-free pass — the shipping tier kernel of
+# ops/gap_oracle and the per-shard kernel of parallel/gap_mesh.
+# ---------------------------------------------------------------------------
+
+
+def _rand_gap_jobs(rng, n, cap, w):
+    """Tier-shaped jobs: mutated copies (the real gap-fill distribution)
+    plus random pairs, indels included, a few zero-length rows."""
+    from trust4_tpu.ops.dp_batch import _CODE_PAD
+
+    code = {c: i for i, c in enumerate("ACGTN")}
+    maxd = w - 11
+    ts, ps = [], []
+    for _ in range(n):
+        lt = int(rng.integers(1, cap + 1))
+        t = "".join(rng.choice(list("ACGT"), lt))
+        p = list(t)
+        for _ in range(int(rng.integers(0, 5))):
+            r = rng.random()
+            i = int(rng.integers(0, max(1, len(p))))
+            if r < 0.6 and p:
+                p[i] = str(rng.choice(list("ACGTN")))
+            elif r < 0.8 and len(p) > 1:
+                del p[i]
+            else:
+                p.insert(i, str(rng.choice(list("ACGT"))))
+        p = "".join(p)[:cap] or "A"
+        if abs(len(p) - len(t)) > maxd:
+            p = p[: len(t) + maxd] if len(p) > len(t) else p
+            t = t[: len(p) + maxd]
+        ts.append(t)
+        ps.append(p)
+    tc = np.full((n, cap), _CODE_PAD, np.int8)
+    pc = np.full((n, cap), _CODE_PAD, np.int8)
+    tl = np.zeros(n, np.int32)
+    pl_ = np.zeros(n, np.int32)
+    for i, (t, p) in enumerate(zip(ts, ps)):
+        tc[i, : len(t)] = [code[c] for c in t]
+        pc[i, : len(p)] = [code[c] for c in p]
+        tl[i], pl_[i] = len(t), len(p)
+    for i in rng.choice(n, max(1, n // 30), replace=False):
+        if rng.random() < 0.5:
+            tl[i] = 0
+        else:
+            pl_[i] = 0
+    return ts, ps, tc, tl, pc, pl_
+
+
+@pytest.mark.parametrize("cap,w", [(16, 16), (48, 24), (144, 48)])
+def test_counts_xla_matches_native(cap, w):
+    from trust4_tpu.ops.dp_pallas import banded_affine_counts_xla
+    import trust4_tpu.align.native as an
+
+    rng = np.random.default_rng(cap * 7 + w)
+    ts, ps, tc, tl, pc, pl_ = _rand_gap_jobs(rng, 160, cap, w)
+    _s, counts = banded_affine_counts_xla(tc, tl, pc, pl_, w)
+    counts = np.asarray(counts)
+    for i in range(len(ts)):
+        if tl[i] == 0 or pl_[i] == 0:
+            want = (0, 0, 0)
+        else:
+            want = an.global_alignment_counts(ts[i][: tl[i]], ps[i][: pl_[i]])
+        assert tuple(int(v) for v in counts[i]) == want, (
+            i, ts[i][: tl[i]], ps[i][: pl_[i]])
+
+
+def test_counts_pallas_matches_xla():
+    from trust4_tpu.ops.dp_pallas import (
+        banded_affine_counts_pallas,
+        banded_affine_counts_xla,
+    )
+
+    cap, w = (48, 24)
+    rng = np.random.default_rng(11)
+    n = 256 if _ON_DEVICE else 48
+    _ts, _ps, tc, tl, pc, pl_ = _rand_gap_jobs(rng, n, cap, w)
+    sx, cx = banded_affine_counts_xla(tc, tl, pc, pl_, w)
+    sp, cp = banded_affine_counts_pallas(tc, tl, pc, pl_, w)
+    np.testing.assert_array_equal(np.asarray(sx), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))

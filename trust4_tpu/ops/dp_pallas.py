@@ -200,6 +200,43 @@ import jax.experimental.pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
+def _shift_hi_bucket(left_max: int) -> int:
+    """Static bound for the select-over-shifts prep, bucketed so the jit
+    cache sees at most a handful of variants per tier."""
+    for b in (5, 9, 17, 33, 49, 81, 129):
+        if left_max <= b:
+            return b
+    return left_max
+
+
+def _build_ts_selshift(t_codes_i32_T, left_p, t_max, t_shift_len, shift_hi):
+    """Pre-shifted text rows WITHOUT a gather: ts_T[x, n] =
+    t_codes[n, x - left[n]] (pad elsewhere), built as one static-slice
+    select per candidate shift.  The take_along_axis gather this replaces
+    was 156.7 ms/launch at the bench shape vs 4.7 ms for this form
+    (tools/dp_kernel_lab.py, 2026-08-20) — it was the entire kernel-side
+    bottleneck pinned in VALIDATION round 4.
+
+    t_codes_i32_T: (t_max, n_pad) int32 (already transposed); left_p:
+    (n_pad,) int32 with 5 <= left <= shift_hi; returns (t_shift_len,
+    n_pad) int32."""
+    ttT_pad = jnp.pad(
+        t_codes_i32_T,
+        ((shift_hi, max(0, t_shift_len - t_max)), (0, 0)),
+        constant_values=_CODE_PAD,
+    )
+    out = jnp.full(
+        (t_shift_len, t_codes_i32_T.shape[1]), _CODE_PAD, jnp.int32
+    )
+    lrow = left_p[None, :]
+    for s in range(5, shift_hi + 1):
+        seg = jax.lax.slice_in_dim(
+            ttT_pad, shift_hi - s, shift_hi - s + t_shift_len, axis=0
+        )
+        out = jnp.where(lrow == s, seg, out)
+    return out
+
+
 def banded_affine_scores_pallas(
     t_codes: jnp.ndarray,  # (N, T) int8
     t_lens: jnp.ndarray,
@@ -218,6 +255,7 @@ def banded_affine_scores_pallas(
         return _scores_pallas_jit(
             t_codes, t_lens, p_codes, p_lens, band_width,
             band_width, False, (p_max + 7) // 8,
+            _shift_hi_bucket(max(5, band_width - 6)),
         )
     tl = np.asarray(t_lens)
     pl_ = np.asarray(p_lens)
@@ -232,17 +270,18 @@ def banded_affine_scores_pallas(
     uniform_p = bool(tl.size) and bool((pl_ == p_max).all())
     return _scores_pallas_jit(
         t_codes, t_lens, p_codes, p_lens, band_width,
-        scan_span, uniform_p, jz_blocks,
+        scan_span, uniform_p, jz_blocks, _shift_hi_bucket(left_max),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("band_width", "scan_span", "uniform_p", "jz_blocks"),
+    static_argnames=("band_width", "scan_span", "uniform_p", "jz_blocks",
+                     "shift_hi"),
 )
 def _scores_pallas_jit(
     t_codes, t_lens, p_codes, p_lens, band_width,
-    scan_span, uniform_p, jz_blocks,
+    scan_span, uniform_p, jz_blocks, shift_hi,
 ):
     n, t_max = t_codes.shape
     p_max = p_codes.shape[1]
@@ -276,20 +315,12 @@ def _scores_pallas_jit(
                       constant_values=_CODE_PAD)
 
     # Shift each text row right by its left_band so the kernel's band
-    # window is the uniform slice ts[i-1 : i-1+W].
+    # window is the uniform slice ts[i-1 : i-1+W].  Gather-free: built
+    # from the transposed codes with one static-slice select per shift.
     t_shift_len = max(t_max, p_max_pad) + w + 8
-    x = jnp.arange(t_shift_len, dtype=jnp.int32)[None, :]
-    src = x - left_p[:, None]
-    valid = (src >= 0) & (src < t_max)
-    ts = jnp.where(
-        valid,
-        jnp.take_along_axis(
-            t_codes.astype(jnp.int32), jnp.clip(src, 0, t_max - 1), axis=1
-        ),
-        _CODE_PAD,
-    )
-
-    ts_T = ts.T  # (T_shift, n_pad)
+    ts_T = _build_ts_selshift(
+        t_codes.astype(jnp.int32).T, left_p, t_max, t_shift_len, shift_hi
+    )  # (T_shift, n_pad)
     ps_T = p_codes.astype(jnp.int32).T  # (P, n_pad)
     meta = jnp.stack(
         [
@@ -492,18 +523,10 @@ def banded_affine_dirs_pallas(
     right_p = padb(right, 5)
 
     t_shift_len = t_max + w + 8
-    x = jnp.arange(t_shift_len, dtype=jnp.int32)[None, :]
-    src = x - left_p[:, None]
-    valid = (src >= 0) & (src < t_max)
-    ts = jnp.where(
-        valid,
-        jnp.take_along_axis(
-            t_codes.astype(jnp.int32), jnp.clip(src, 0, t_max - 1), axis=1
-        ),
-        _CODE_PAD,
+    ts_T = _build_ts_selshift(
+        t_codes.astype(jnp.int32).T, left_p, t_max, t_shift_len,
+        _shift_hi_bucket(max(5, w - 6)),
     )
-
-    ts_T = ts.T
     ps_T = p_codes.astype(jnp.int32).T
     meta = jnp.stack(
         [t_lens_p, p_lens_p, left_p, right_p,
@@ -703,6 +726,325 @@ def decode_dirs_counts(dirs, t_codes, t_lens, p_codes, p_lens, *, w, p_max):
 
 
 # ---------------------------------------------------------------------------
+# Forward counts kernel: scores + (match, mismatch, indel) in ONE pass
+# ---------------------------------------------------------------------------
+#
+# TPU-native replacement for the dirs-tensor + DFA-decode pair: instead of
+# materializing (N, P, W) decision bits and replaying the traceback with
+# per-job gathers (decode_dirs_counts' take_along_axis steps cost 170-360
+# ms per tier launch on this chip — tools/dp_kernel_lab.py round 5), the
+# kernel carries the traceback RESULT forward through the DP: per band
+# cell and per walker state s in {M, E/insert-run, F/delete-run}, the
+# packed (match<<20 | mismatch<<10 | indel) counts the traceback walker
+# (native/align_kernels.cpp affine_traceback, delete_vs e;
+# AlignAlgo.hpp:174-203) would emit walking from that cell in that state
+# to the origin.  The recurrences mirror the walker transition-for-
+# transition:
+#
+#   CM(i,j) = b1 ? CM(i-1,j-1)+inc : (b0 ? CF(i,j) : CE(i,j))
+#   CE(i,j) = indel + (b2 ? CM(i-1,j) : CE(i-1,j))
+#   CF(i,j) = indel + (b3 ? CM(i,j-1) : CF(i,j-1))
+#
+# with b0..b3 the same decision bits the dirs kernel emits.  The in-row
+# CM<->CF dependency (a row can bounce M->F-run->M->F-run) is resolved
+# with a log-doubling scan over the band that composes per-column
+# transfer maps — each map is "copy component M/F of the predecessor and
+# add a constant, or reset to a constant", a family closed under
+# composition (4 registers: source selector + packed offset per
+# component).  Boundary cells (row 0, column 0, out-of-band) hold the
+# walker's analytic continuation counts, derived from the quirky seeds:
+# row 0 never closes a delete run (j*GO == (j-1)*GE has no integer
+# solution), column 0 never closes an insert run, and every out-of-band
+# cell in every state walks to the origin emitting exactly i+j+1 indels.
+# Bit-identical to the CPU kernels (cross-checked in
+# tests/test_dp_pallas.py against t4_global_alignment_counts).
+
+_PK_MATCH = 1 << 20
+_PK_MISMATCH = 1 << 10
+_PK_INDEL = 1
+_PK_FIELD = (1 << 10) - 1
+
+
+def _dp_counts_kernel(ts_ref, ps_ref, meta_ref, out_ref, cnt_ref, m_ref,
+                      e_ref, cm_ref, ce_ref, *, w, p_max):
+    import jax.lax as lax
+
+    t_len = meta_ref[0, :]
+    p_len = meta_ref[1, :]
+    left = meta_ref[2, :]
+    right = meta_ref[3, :]
+
+    k_col = lax.broadcasted_iota(jnp.int32, (w, _LANES), 0)
+    neg_inf = ((t_len + 1) * (p_len + 1) * SCORE_GAPOPEN).astype(jnp.int32)
+    neg_inf = neg_inf[None, :]
+    big_neg = jnp.int32(_BIG_NEG)
+    go = jnp.int32(SCORE_GAPOPEN)
+    ge = jnp.int32(SCORE_GAPEXTEND)
+    go_ge = go + ge
+    pk_i = jnp.int32(_PK_INDEL)
+
+    j0 = k_col - left[None, :]
+    in_t0 = (j0 >= 0) & (j0 <= t_len[None, :])
+    m0 = jnp.where(j0 == 0, 0, jnp.where(j0 > 0, go + j0 * go, big_neg))
+    e0 = jnp.where(
+        j0 == 0, 0,
+        jnp.where(j0 > 0, go + (p_len[None, :] + 1) * go, big_neg),
+    )
+    m_ref[:] = jnp.where(in_t0, m0, neg_inf).astype(jnp.int32)
+    e_ref[:] = jnp.where(in_t0, e0, neg_inf).astype(jnp.int32)
+    # Row-0 counts: CM(0,j) = CF(0,j) = j indels (delete run to origin,
+    # never closing), CE(0,j) = j+1 indels (the walker emits one insert
+    # at ti==0 before switching to the delete run); position j<0 is
+    # never read.
+    cm_ref[:] = jnp.where(j0 >= 0, j0 * pk_i, 0).astype(jnp.int32)
+    ce_ref[:] = jnp.where(
+        j0 > 0, (j0 + 1) * pk_i, 0
+    ).astype(jnp.int32)
+
+    def shift_up(x, fill):
+        return jnp.concatenate([x[1:, :], fill], axis=0)
+
+    bn_fill = jnp.full((1, _LANES), big_neg, jnp.int32)
+
+    def row_body(i, _):
+        m_prev = m_ref[:]
+        e_prev = e_ref[:]
+        cm_prev = cm_ref[:]
+        ce_prev = ce_ref[:]
+        j_row = i - left[None, :] + k_col
+        in_band = (
+            (j_row >= 1)
+            & (j_row <= t_len[None, :])
+            & (j_row <= i + right[None, :])
+        )
+        in_dp_row = i <= p_len[None, :]
+
+        tj = ts_ref[pl.ds(i - 1, w), :]
+        pi = ps_ref[pl.ds(i - 1, 1), :]
+        eq = (tj == pi) | (tj == _CODE_N) | (pi == _CODE_N)
+        sub = jnp.where(eq, SCORE_MATCH, SCORE_MISMATCH).astype(jnp.int32)
+
+        e_new = jnp.maximum(
+            shift_up(e_prev, bn_fill) + ge, shift_up(m_prev, bn_fill) + go_ge
+        )
+        diag = m_prev + sub
+
+        bound_m = (go + i * go).astype(jnp.int32)
+        base = jnp.maximum(diag, e_new)
+        base = jnp.where(j_row == 0, bound_m, base)
+        base = jnp.where(in_band | (j_row == 0), base, big_neg)
+
+        t_val = jnp.where(j_row == 0, bound_m, base + go) + k_col * (-ge)
+        run = t_val
+        s = 1
+        while s < w:
+            shifted = jnp.concatenate(
+                [jnp.full((s, _LANES), big_neg, jnp.int32), run[:-s, :]],
+                axis=0,
+            )
+            run = jnp.maximum(run, shifted)
+            s *= 2
+        f_new = (
+            jnp.concatenate(
+                [jnp.full((1, _LANES), big_neg, jnp.int32), run[:-1, :]],
+                axis=0,
+            )
+            - k_col * (-ge)
+        )
+
+        m_fin = jnp.maximum(base, f_new)
+        m_stored = jnp.where(in_band & in_dp_row, m_fin, neg_inf)
+        m_stored = jnp.where((j_row == 0) & in_dp_row, bound_m, m_stored)
+        e_stored = jnp.where(in_band & in_dp_row, e_new, neg_inf)
+
+        b0 = f_new >= e_new
+        b1 = diag == m_fin
+        b2 = shift_up(m_prev, bn_fill) + go_ge == e_new
+        fill = jnp.where((i - left[None, :]) == 1, bound_m, big_neg)
+        m_left = jnp.concatenate([fill, m_stored[:-1, :]], axis=0)
+        b3 = m_left + go_ge == f_new
+
+        # ---- counts ----
+        # CE: insert-run step up.  The k = w-1 read of row i-1 is the
+        # analytic value at (i-1, j_up): row 0 if i == 1, else out of
+        # band (i-1 + j_up + 1 indels).
+        j_up = ((i - 1) - left + w)[None, :]
+        cm_fill = jnp.where(i == 1, j_up, (i - 1) + j_up + 1) * pk_i
+        ce_fill = jnp.where(i == 1, j_up + 1, (i - 1) + j_up + 1) * pk_i
+        cm_up = shift_up(cm_prev, cm_fill)
+        ce_up = shift_up(ce_prev, ce_fill)
+        ce_row = pk_i + jnp.where(b2, cm_up, ce_up)
+
+        inc = jnp.where(eq, _PK_MATCH, _PK_MISMATCH).astype(jnp.int32)
+        cm_diag = cm_prev + inc
+
+        # Per-column transfer maps for the in-row (CM, CF) recurrence.
+        # src: 0 = predecessor's M, 1 = predecessor's F, 2 = constant.
+        c0 = b1 | jnp.logical_not(b0)
+        reset_val = jnp.where(b1, cm_diag, ce_row)
+        src_m = jnp.where(c0, 2, jnp.where(b3, 0, 1)).astype(jnp.int32)
+        val_m = jnp.where(c0, reset_val, pk_i)
+        src_f = jnp.where(b3, 0, 1).astype(jnp.int32)
+        val_f = jnp.full((w, _LANES), _PK_INDEL, jnp.int32)
+
+        # Boundary overrides: column 0 and out-of-band cells are resets
+        # to the walker's analytic continuation.
+        is_col0 = j_row == 0
+        col0_m = (i * pk_i).astype(jnp.int32)
+        col0_f = ((i + 1) * pk_i).astype(jnp.int32)
+        oob = (i + j_row + 1) * pk_i
+        outb = jnp.logical_not(in_band) & jnp.logical_not(is_col0)
+        src_m = jnp.where(is_col0 | outb, 2, src_m)
+        val_m = jnp.where(is_col0, col0_m, jnp.where(outb, oob, val_m))
+        src_f = jnp.where(is_col0 | outb, 2, src_f)
+        val_f = jnp.where(is_col0, col0_f, jnp.where(outb, oob, val_f))
+
+        # Log-doubling composition (inclusive over k; identity fill).
+        s = 1
+        while s < w:
+            zf = jnp.zeros((s, _LANES), jnp.int32)
+            sm_s = jnp.concatenate([zf, src_m[:-s, :]], axis=0)
+            vm_s = jnp.concatenate([zf, val_m[:-s, :]], axis=0)
+            sf_s = jnp.concatenate([zf + 1, src_f[:-s, :]], axis=0)
+            vf_s = jnp.concatenate([zf, val_f[:-s, :]], axis=0)
+            pick_m = jnp.where(src_m == 0, sm_s, sf_s)
+            pickv_m = jnp.where(src_m == 0, vm_s, vf_s)
+            pick_f = jnp.where(src_f == 0, sm_s, sf_s)
+            pickv_f = jnp.where(src_f == 0, vm_s, vf_s)
+            n_src_m = jnp.where(src_m == 2, 2, pick_m)
+            n_val_m = jnp.where(src_m == 2, val_m, pickv_m + val_m)
+            n_src_f = jnp.where(src_f == 2, 2, pick_f)
+            n_val_f = jnp.where(src_f == 2, val_f, pickv_f + val_f)
+            src_m, val_m, src_f, val_f = n_src_m, n_val_m, n_src_f, n_val_f
+            s *= 2
+
+        # Evaluate at the k = -1 initial state: column j_init = i-left-1
+        # (column 0 or out of band; j_init < 0 is never consumed).
+        j_init = (i - left - 1)[None, :]
+        cm_init = jnp.where(j_init == 0, i * pk_i,
+                            jnp.maximum(i + j_init + 1, 0) * pk_i)
+        cf_init = jnp.where(j_init == 0, (i + 1) * pk_i,
+                            jnp.maximum(i + j_init + 1, 0) * pk_i)
+        cm_scan = jnp.where(
+            src_m == 2, val_m,
+            jnp.where(src_m == 0, cm_init, cf_init) + val_m,
+        )
+
+        cm_store = jnp.where(in_band, cm_scan, (i + j_row + 1) * pk_i)
+        cm_store = jnp.where(is_col0, col0_m, cm_store)
+        ce_store = jnp.where(in_band, ce_row, (i + j_row + 1) * pk_i)
+        ce_store = jnp.where(is_col0, col0_m, ce_store)
+
+        m_ref[:] = jnp.where(in_dp_row, m_stored, m_prev)
+        e_ref[:] = jnp.where(in_dp_row, e_stored, e_prev)
+        cm_ref[:] = jnp.where(in_dp_row, cm_store, cm_prev)
+        ce_ref[:] = jnp.where(in_dp_row, ce_store, ce_prev)
+        return 0
+
+    lax.fori_loop(1, p_max + 1, row_body, 0)
+
+    k_final = (t_len - p_len + left)[None, :]
+    m_fin = m_ref[:]
+    out_ref[:] = jnp.max(
+        jnp.where(k_col == k_final, m_fin, jnp.int32(_BIG_NEG)),
+        axis=0, keepdims=True,
+    )
+    packed = jnp.max(
+        jnp.where(k_col == k_final, cm_ref[:], jnp.int32(-1)),
+        axis=0, keepdims=True,
+    )
+    # Zero-length jobs produce empty edit scripts (the CPU kernels
+    # return out_len 0).
+    empty = ((t_len == 0) | (p_len == 0))[None, :]
+    packed = jnp.where(empty, 0, packed)
+    cnt_ref[0:1, :] = (packed >> 20) & _PK_FIELD
+    cnt_ref[1:2, :] = (packed >> 10) & _PK_FIELD
+    cnt_ref[2:3, :] = packed & _PK_FIELD
+
+
+@functools.partial(jax.jit, static_argnames=("band_width",))
+def banded_affine_counts_pallas(
+    t_codes: jnp.ndarray,  # (N, T) int8
+    t_lens: jnp.ndarray,
+    p_codes: jnp.ndarray,  # (N, P) int8
+    p_lens: jnp.ndarray,
+    band_width: int,
+):
+    """Returns (scores (N,), counts (N, 3) int32) — the traceback's
+    (match, mismatch, indel) totals, computed forward in one pass.
+    Packed-field bound: requires t_max + p_max + 2 < 1024."""
+    n, t_max = t_codes.shape
+    p_max = p_codes.shape[1]
+    w = band_width
+    assert t_max + p_max + 2 < (1 << 10), "packed count fields overflow"
+
+    t_lens = t_lens.astype(jnp.int32)
+    p_lens = p_lens.astype(jnp.int32)
+    left = jnp.where(t_lens < p_lens, 5 + (p_lens - t_lens), 5).astype(jnp.int32)
+    right = jnp.where(t_lens > p_lens, 5 + (t_lens - p_lens), 5).astype(jnp.int32)
+
+    n_pad = ((n + _LANES - 1) // _LANES) * _LANES
+    pad = n_pad - n
+
+    def padb(x, fill=0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    t_codes = padb(t_codes, _CODE_PAD)
+    p_codes = padb(p_codes, _CODE_PAD)
+    t_lens_p = padb(t_lens)
+    p_lens_p = padb(p_lens)
+    left_p = padb(left, 5)
+    right_p = padb(right, 5)
+
+    t_shift_len = t_max + w + 8
+    ts_T = _build_ts_selshift(
+        t_codes.astype(jnp.int32).T, left_p, t_max, t_shift_len,
+        _shift_hi_bucket(max(5, w - 6)),
+    )
+    ps_T = p_codes.astype(jnp.int32).T
+    meta = jnp.stack(
+        [t_lens_p, p_lens_p, left_p, right_p,
+         jnp.zeros_like(t_lens_p), jnp.zeros_like(t_lens_p),
+         jnp.zeros_like(t_lens_p), jnp.zeros_like(t_lens_p)],
+        axis=0,
+    )
+
+    grid = (n_pad // _LANES,)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    scores, counts = pl.pallas_call(
+        functools.partial(_dp_counts_kernel, w=w, p_max=p_max),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_shift_len, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_max, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w, _LANES), jnp.int32),
+            pltpu.VMEM((w, _LANES), jnp.int32),
+            pltpu.VMEM((w, _LANES), jnp.int32),
+            pltpu.VMEM((w, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ts_T, ps_T, meta)
+    return scores[0, :n], counts[:, :n].T
+
+
+# ---------------------------------------------------------------------------
 # XLA mirror of the dirs kernel (any backend)
 # ---------------------------------------------------------------------------
 #
@@ -746,16 +1088,12 @@ def banded_affine_dirs_xla(
 
     # Pre-shifted template rows: ts[x] = t[x - left] (pad elsewhere), so
     # row i's band window is the uniform slice ts[i-1 : i-1+w].
+    # Gather-free (same construction as the Pallas shims).
     t_shift_len = t_max + w + 8
-    x = jnp.arange(t_shift_len, dtype=jnp.int32)[None, :]
-    src = x - left[:, None]
-    ts = jnp.where(
-        (src >= 0) & (src < t_max),
-        jnp.take_along_axis(
-            t_codes.astype(jnp.int32), jnp.clip(src, 0, t_max - 1), axis=1
-        ),
-        _CODE_PAD,
-    )
+    ts = _build_ts_selshift(
+        t_codes.astype(jnp.int32).T, left, t_max, t_shift_len,
+        _shift_hi_bucket(max(5, w - 6)),
+    ).T
     pci = p_codes.astype(jnp.int32)
 
     k_col = jnp.arange(w, dtype=jnp.int32)[None, :]  # (1, W)
@@ -846,3 +1184,211 @@ def banded_affine_dirs_xla(
         jnp.where(k_col == k_final, m_fin, big_neg), axis=1
     )
     return scores, jnp.transpose(bits_rows, (1, 0, 2))
+
+
+# ---------------------------------------------------------------------------
+# XLA mirror of the forward counts kernel (any backend)
+# ---------------------------------------------------------------------------
+#
+# Bit-for-bit the same (scores, counts) as banded_affine_counts_pallas,
+# written as a lax.scan over query rows with the batch leading, so the
+# mesh-sharded gap stage runs identically on virtual CPU shards and TPU
+# chips, and tests cross-check the Pallas kernel on any backend.
+
+
+@functools.partial(jax.jit, static_argnames=("band_width",))
+def banded_affine_counts_xla(
+    t_codes: jnp.ndarray,  # (N, T) int8
+    t_lens: jnp.ndarray,
+    p_codes: jnp.ndarray,  # (N, P) int8
+    p_lens: jnp.ndarray,
+    band_width: int,
+):
+    """Returns (scores (N,), counts (N, 3) int32) == the Pallas kernel."""
+    import jax.lax as lax
+
+    n, t_max = t_codes.shape
+    p_max = p_codes.shape[1]
+    w = band_width
+    go = jnp.int32(SCORE_GAPOPEN)
+    ge = jnp.int32(SCORE_GAPEXTEND)
+    go_ge = go + ge
+    big_neg = jnp.int32(_BIG_NEG)
+    pk_i = jnp.int32(_PK_INDEL)
+
+    t_lens = t_lens.astype(jnp.int32)
+    p_lens = p_lens.astype(jnp.int32)
+    left = jnp.where(t_lens < p_lens, 5 + (p_lens - t_lens), 5).astype(
+        jnp.int32
+    )
+    right = jnp.where(t_lens > p_lens, 5 + (t_lens - p_lens), 5).astype(
+        jnp.int32
+    )
+    neg_inf = ((t_lens + 1) * (p_lens + 1) * go)[:, None]  # (N, 1)
+
+    t_shift_len = t_max + w + 8
+    ts = _build_ts_selshift(
+        t_codes.astype(jnp.int32).T, left, t_max, t_shift_len,
+        _shift_hi_bucket(max(5, w - 6)),
+    ).T
+    pci = p_codes.astype(jnp.int32)
+
+    k_col = jnp.arange(w, dtype=jnp.int32)[None, :]  # (1, W)
+    j0 = k_col - left[:, None]
+    in_t0 = (j0 >= 0) & (j0 <= t_lens[:, None])
+    m0 = jnp.where(j0 == 0, 0, jnp.where(j0 > 0, go + j0 * go, big_neg))
+    e0 = jnp.where(
+        j0 == 0, 0,
+        jnp.where(j0 > 0, go + (p_lens[:, None] + 1) * go, big_neg),
+    )
+    m_init = jnp.where(in_t0, m0, neg_inf).astype(jnp.int32)
+    e_init = jnp.where(in_t0, e0, neg_inf).astype(jnp.int32)
+    cm_init0 = jnp.where(j0 >= 0, j0 * pk_i, 0).astype(jnp.int32)
+    ce_init0 = jnp.where(j0 > 0, (j0 + 1) * pk_i, 0).astype(jnp.int32)
+
+    def shift_up(a, fill):  # band neighbour k+1
+        return jnp.concatenate([a[:, 1:], fill], axis=1)
+
+    bn_fill = jnp.full((n, 1), big_neg, jnp.int32)
+
+    def row_body(carry, i):
+        m_prev, e_prev, cm_prev, ce_prev = carry
+        j_row = i - left[:, None] + k_col
+        in_band = (
+            (j_row >= 1)
+            & (j_row <= t_lens[:, None])
+            & (j_row <= i + right[:, None])
+        )
+        in_dp_row = i <= p_lens[:, None]
+
+        tj = lax.dynamic_slice_in_dim(ts, i - 1, w, axis=1)  # (N, W)
+        pi = lax.dynamic_slice_in_dim(pci, i - 1, 1, axis=1)  # (N, 1)
+        eq = (tj == pi) | (tj == _CODE_N) | (pi == _CODE_N)
+        sub = jnp.where(eq, SCORE_MATCH, SCORE_MISMATCH).astype(jnp.int32)
+
+        e_new = jnp.maximum(
+            shift_up(e_prev, bn_fill) + ge, shift_up(m_prev, bn_fill) + go_ge
+        )
+        diag = m_prev + sub
+
+        bound_m = (go + i * go).astype(jnp.int32)
+        base = jnp.maximum(diag, e_new)
+        base = jnp.where(j_row == 0, bound_m, base)
+        base = jnp.where(in_band | (j_row == 0), base, big_neg)
+
+        t_val = jnp.where(j_row == 0, bound_m, base + go) + k_col * (-ge)
+        run = t_val
+        s = 1
+        while s < w:
+            shifted = jnp.concatenate(
+                [jnp.full((n, s), big_neg, jnp.int32), run[:, :-s]],
+                axis=1,
+            )
+            run = jnp.maximum(run, shifted)
+            s *= 2
+        f_new = (
+            jnp.concatenate(
+                [jnp.full((n, 1), big_neg, jnp.int32), run[:, :-1]],
+                axis=1,
+            )
+            - k_col * (-ge)
+        )
+
+        m_fin = jnp.maximum(base, f_new)
+        m_stored = jnp.where(in_band & in_dp_row, m_fin, neg_inf)
+        m_stored = jnp.where((j_row == 0) & in_dp_row, bound_m, m_stored)
+        e_stored = jnp.where(in_band & in_dp_row, e_new, neg_inf)
+
+        b0 = f_new >= e_new
+        b1 = diag == m_fin
+        b2 = shift_up(m_prev, bn_fill) + go_ge == e_new
+        fill = jnp.where((i - left[:, None]) == 1, bound_m, big_neg)
+        m_left = jnp.concatenate([fill, m_stored[:, :-1]], axis=1)
+        b3 = m_left + go_ge == f_new
+
+        # ---- counts (see _dp_counts_kernel) ----
+        j_up = ((i - 1) - left + w)[:, None]
+        cm_fill = jnp.where(i == 1, j_up, (i - 1) + j_up + 1) * pk_i
+        ce_fill = jnp.where(i == 1, j_up + 1, (i - 1) + j_up + 1) * pk_i
+        cm_up = shift_up(cm_prev, cm_fill)
+        ce_up = shift_up(ce_prev, ce_fill)
+        ce_row = pk_i + jnp.where(b2, cm_up, ce_up)
+
+        inc = jnp.where(eq, _PK_MATCH, _PK_MISMATCH).astype(jnp.int32)
+        cm_diag = cm_prev + inc
+
+        c0 = b1 | jnp.logical_not(b0)
+        reset_val = jnp.where(b1, cm_diag, ce_row)
+        src_m = jnp.where(c0, 2, jnp.where(b3, 0, 1)).astype(jnp.int32)
+        val_m = jnp.where(c0, reset_val, pk_i)
+        src_f = jnp.where(b3, 0, 1).astype(jnp.int32)
+        val_f = jnp.full((n, w), _PK_INDEL, jnp.int32)
+
+        is_col0 = j_row == 0
+        col0_m = (i * pk_i).astype(jnp.int32)
+        col0_f = ((i + 1) * pk_i).astype(jnp.int32)
+        oob = (i + j_row + 1) * pk_i
+        outb = jnp.logical_not(in_band) & jnp.logical_not(is_col0)
+        src_m = jnp.where(is_col0 | outb, 2, src_m)
+        val_m = jnp.where(is_col0, col0_m, jnp.where(outb, oob, val_m))
+        src_f = jnp.where(is_col0 | outb, 2, src_f)
+        val_f = jnp.where(is_col0, col0_f, jnp.where(outb, oob, val_f))
+
+        s = 1
+        while s < w:
+            zf = jnp.zeros((n, s), jnp.int32)
+            sm_s = jnp.concatenate([zf, src_m[:, :-s]], axis=1)
+            vm_s = jnp.concatenate([zf, val_m[:, :-s]], axis=1)
+            sf_s = jnp.concatenate([zf + 1, src_f[:, :-s]], axis=1)
+            vf_s = jnp.concatenate([zf, val_f[:, :-s]], axis=1)
+            pick_m = jnp.where(src_m == 0, sm_s, sf_s)
+            pickv_m = jnp.where(src_m == 0, vm_s, vf_s)
+            pick_f = jnp.where(src_f == 0, sm_s, sf_s)
+            pickv_f = jnp.where(src_f == 0, vm_s, vf_s)
+            n_src_m = jnp.where(src_m == 2, 2, pick_m)
+            n_val_m = jnp.where(src_m == 2, val_m, pickv_m + val_m)
+            n_src_f = jnp.where(src_f == 2, 2, pick_f)
+            n_val_f = jnp.where(src_f == 2, val_f, pickv_f + val_f)
+            src_m, val_m, src_f, val_f = n_src_m, n_val_m, n_src_f, n_val_f
+            s *= 2
+
+        j_init = (i - left - 1)[:, None]
+        cm_i = jnp.where(j_init == 0, i * pk_i,
+                         jnp.maximum(i + j_init + 1, 0) * pk_i)
+        cf_i = jnp.where(j_init == 0, (i + 1) * pk_i,
+                         jnp.maximum(i + j_init + 1, 0) * pk_i)
+        cm_scan = jnp.where(
+            src_m == 2, val_m,
+            jnp.where(src_m == 0, cm_i, cf_i) + val_m,
+        )
+
+        cm_store = jnp.where(in_band, cm_scan, (i + j_row + 1) * pk_i)
+        cm_store = jnp.where(is_col0, col0_m, cm_store)
+        ce_store = jnp.where(in_band, ce_row, (i + j_row + 1) * pk_i)
+        ce_store = jnp.where(is_col0, col0_m, ce_store)
+
+        m_next = jnp.where(in_dp_row, m_stored, m_prev)
+        e_next = jnp.where(in_dp_row, e_stored, e_prev)
+        cm_next = jnp.where(in_dp_row, cm_store, cm_prev)
+        ce_next = jnp.where(in_dp_row, ce_store, ce_prev)
+        return (m_next, e_next, cm_next, ce_next), 0
+
+    (m_fin2, _e, cm_fin, _ce), _ = lax.scan(
+        row_body, (m_init, e_init, cm_init0, ce_init0),
+        jnp.arange(1, p_max + 1, dtype=jnp.int32),
+    )
+    k_final = (t_lens - p_lens + left)[:, None]
+    scores = jnp.max(
+        jnp.where(k_col == k_final, m_fin2, big_neg), axis=1
+    )
+    packed = jnp.max(
+        jnp.where(k_col == k_final, cm_fin, jnp.int32(-1)), axis=1
+    )
+    empty = (t_lens == 0) | (p_lens == 0)
+    packed = jnp.where(empty, 0, packed)
+    counts = jnp.stack(
+        [(packed >> 20) & _PK_FIELD, (packed >> 10) & _PK_FIELD,
+         packed & _PK_FIELD],
+        axis=1,
+    )
+    return scores, counts

@@ -184,22 +184,22 @@ def device_available() -> bool:
 
 
 def _tier_counts_fn():
-    """One fused jitted program per tier: Pallas DP emitting decision
-    bits + the on-device DFA walker, one dispatch, only (chunk, 3) counts
-    leave the device."""
+    """One jitted program per tier: the forward counts kernel — scores
+    and (match, mismatch, indel) in a single gather-free pass; only the
+    (chunk, 3) counts leave the device.  (Replaced the dirs-bits +
+    on-device DFA decode pair in round 5: the decode's per-step gathers
+    cost 170-360 ms per tier launch vs 25-29 ms for the forward kernel,
+    measured in tools/dp_kernel_lab.py.)"""
     import functools
 
     import jax
 
-    from trust4_tpu.ops.dp_pallas import (
-        banded_affine_dirs_pallas,
-        decode_dirs_counts,
-    )
+    from trust4_tpu.ops.dp_pallas import banded_affine_counts_pallas
 
     @functools.partial(jax.jit, static_argnames=("w", "p_max"))
     def tier_counts(tc, tcl, pc, pcl, *, w, p_max):
-        _scores, dirs = banded_affine_dirs_pallas(tc, tcl, pc, pcl, w)
-        return decode_dirs_counts(dirs, tc, tcl, pc, pcl, w=w, p_max=p_max)
+        _scores, counts = banded_affine_counts_pallas(tc, tcl, pc, pcl, w)
+        return counts
 
     return tier_counts
 

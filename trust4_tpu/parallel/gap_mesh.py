@@ -72,9 +72,8 @@ def mesh_tier_counts(mesh, t_codes, p_codes, t_lens, p_lens, *,
         from jax.experimental.shard_map import shard_map
 
     from trust4_tpu.ops.dp_pallas import (
-        banded_affine_dirs_pallas,
-        banded_affine_dirs_xla,
-        decode_dirs_counts,
+        banded_affine_counts_pallas,
+        banded_affine_counts_xla,
     )
 
     n, cap = t_codes.shape
@@ -95,13 +94,15 @@ def mesh_tier_counts(mesh, t_codes, p_codes, t_lens, p_lens, *,
     # (interpret-mode Pallas is too slow for CPU shards).  Decided by the
     # MESH's devices, not the process default backend: under the axon
     # plugin the default is tpu even when the mesh is the virtual CPU
-    # device set.
+    # device set.  Each shard runs the forward counts kernel (round 5:
+    # replaced the dirs-bits + decode pair — see ops/gap_oracle.py).
     on_tpu = mesh.devices.flat[0].platform in ("tpu", "axon")
-    dirs_fn = banded_affine_dirs_pallas if on_tpu else banded_affine_dirs_xla
+    counts_fn = (
+        banded_affine_counts_pallas if on_tpu else banded_affine_counts_xla
+    )
 
     def shard_body(tc, pc, tl, pl):
-        _scores, dirs = dirs_fn(tc, tl, pc, pl, w)
-        local = decode_dirs_counts(dirs, tc, tl, pc, pl, w=w, p_max=cap)
+        _scores, local = counts_fn(tc, tl, pc, pl, w)
         contrib = jnp.zeros((n_pad, 3), jnp.int32)
         at = lax.axis_index("dp") * (n_pad // n_dp)
         contrib = lax.dynamic_update_slice(contrib, local, (at, 0))
