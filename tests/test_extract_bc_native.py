@@ -101,6 +101,47 @@ def test_native_vs_python_barcoded_stream(corpus, tmp_path, monkeypatch,
 
 @pytest.mark.skipif(not extract_native.available(),
                     reason="native extract unavailable")
+def test_short_read_negative_offset(tmp_path, monkeypatch, reference_dir):
+    """Reads shorter than a negative --readFormat offset: the adjusted
+    segment start/end can stay negative.  The reference reads out of
+    bounds there; our contract is the Python oracle's slice semantics
+    (one more negative wrap, then clamp) — native must match it
+    byte-for-byte (ADVICE r4)."""
+    d = tmp_path
+    rng = random.Random(3)
+    reads, bcs = [], []
+    for i in range(60):
+        # Lengths straddling the format offsets, incl. very short reads.
+        ln = rng.choice([3, 5, 8, 12, 20, 40, 100])
+        reads.append((f"s{i}", "".join(rng.choice("ACGT")
+                                       for _ in range(ln))))
+        bln = rng.choice([2, 4, 10, 26])
+        bcs.append((f"s{i}", "".join(rng.choice("ACGT")
+                                     for _ in range(bln))))
+    _write_fq(str(d / "r1.fq"), reads)
+    _write_fq(str(d / "bc.fq"), bcs)
+    ref_fa = os.path.join(
+        os.environ.get("TRUST4_REF_DIR", "/root/reference"),
+        "hg38_bcrtcr.fa",
+    )
+    # Negative offsets larger than the short reads/barcodes.
+    args = dict(
+        barcode_files=[str(d / "bc.fq")],
+        umi_files=[str(d / "bc.fq")],
+        read_format="bc:-30:-20,um:0:5,r1:-15:-1",
+    )
+    nat = str(d / "nat")
+    run_barcoded_extractor(ref_fa, [str(d / "r1.fq")], None, nat, **args)
+    py = str(d / "py")
+    monkeypatch.setenv("TRUST4_TPU_NATIVE", "0")
+    run_barcoded_extractor(ref_fa, [str(d / "r1.fq")], None, py, **args)
+    for suf in ("_bc.fa", "_umi.fa", ".fq"):
+        with open(nat + suf, "rb") as a, open(py + suf, "rb") as b:
+            assert a.read() == b.read(), suf
+
+
+@pytest.mark.skipif(not extract_native.available(),
+                    reason="native extract unavailable")
 @pytest.mark.parametrize("skip_err", [False, True])
 def test_native_vs_python_whitelist_correction(corpus, tmp_path,
                                                monkeypatch, skip_err):

@@ -238,6 +238,9 @@ class SeqSet(
             # (int32 seq_idx + int32 offset) in the native engine.
             ret += int(n_codes) * 72 + int(postings) * 8
         if not self.seq_index.native_only:
+            # Deferred host-build inserts park in _pending until the next
+            # query; flush so their postings are counted (ADVICE r4).
+            self.seq_index._flush_pending()
             for key, lst in self.seq_index._index.items():
                 ret += 120 + 16 * len(lst)
         for sw in self.seqs:

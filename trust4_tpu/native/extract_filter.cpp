@@ -1088,8 +1088,18 @@ struct Fmt {
         end = len - 1;
       else if (end < 0)
         end = len + end;
-      if (end >= start && start >= 0)
-        out.append(seq, start, end - start + 1);
+      // Reads shorter than a negative --readFormat offset can leave
+      // start/end negative even after the one adjustment above.  The
+      // reference reads out of bounds there; our contract is the Python
+      // oracle's slice semantics seq[start:end+1] — one more negative
+      // wrap, then clamp to the read (ADVICE r4;
+      // tests/test_extract_bc_native.py short-read cases).
+      long s = start, e = (long)end + 1;
+      if (s < 0) { s += len; if (s < 0) s = 0; }
+      if (e < 0) { e += len; if (e < 0) e = 0; }
+      if (e > len) e = len;
+      if (e > s)
+        out.append(seq, (size_t)s, (size_t)(e - s));
       if (g.strand == -1) strand = -1;
     }
     if (strand == -1) {

@@ -1064,7 +1064,12 @@ void t4o_build_batch_mt(void *h, const char *blob, const int64_t *offs,
   int nw = threads;
   if (nw > ShardedIndex::NS) nw = ShardedIndex::NS;
   if (nw < 1) nw = 1;
-  if (nw == 1 || total < (int64_t)1 << 20) {
+  // SPEC instrumentation marks are not thread-safe; when it is active on
+  // this handle, take the serial path (which notes mutations) instead of
+  // racing SpecState.mark from the shard workers (ADVICE r4).
+  auto spec_it = g_spec.find(h);
+  bool spec_on = spec_it != g_spec.end() && spec_it->second.active;
+  if (nw == 1 || spec_on || total < (int64_t)1 << 20) {
     for (int i = 0; i < n; i++)
       t4o_build_from_read(h, blob + offs[i], (int)(offs[i + 1] - offs[i]),
                           kl, sids[i], barcodes[i], 0);
@@ -1087,7 +1092,6 @@ void t4o_build_batch_mt(void *h, const char *blob, const int64_t *offs,
         Key key = make_key(*E, codes[w], barcodes[i]);
         int sh = ShardedIndex::shard_of(key);
         if (sh < shard_lo || sh >= shard_hi) continue;
-        spec_note_mutation(h, key);
         E->index.shards[sh][key].push_back({sids[i], w});
       }
     }

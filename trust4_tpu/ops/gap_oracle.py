@@ -204,6 +204,42 @@ def _tier_counts_fn():
     return tier_counts
 
 
+def pack_codes_host(codes: np.ndarray) -> np.ndarray:
+    """4-bit pack two DP codes per byte (codes are 0..5, pad 5), host
+    side.  Halves the bytes crossing the device tunnel per launch."""
+    c = codes.astype(np.uint8)
+    return (c[:, ::2] | (c[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _tier_counts_packed_fn():
+    """Tier kernel taking 4-bit packed code rows; unpacks on device.
+    The tunnel's host->device bandwidth (~27 MB/s measured) dominates
+    warm launch cost, so halving the payload roughly halves it."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from trust4_tpu.ops.dp_pallas import banded_affine_counts_pallas
+
+    @functools.partial(jax.jit, static_argnames=("w", "p_max"))
+    def tier_counts_packed(tcp, tcl, pcp, pcl, *, w, p_max):
+        def unpack(p):
+            u = p.astype(jnp.int32)
+            lo = u & 15
+            hi = (u >> 4) & 15
+            return jnp.stack([lo, hi], axis=-1).reshape(
+                p.shape[0], p_max
+            ).astype(jnp.int8)
+
+        _scores, counts = banded_affine_counts_pallas(
+            unpack(tcp), tcl, unpack(pcp), pcl, w
+        )
+        return counts
+
+    return tier_counts_packed
+
+
 _tier_counts = None
 
 
@@ -318,32 +354,51 @@ def _cpu_rate() -> float:
     return _cpu_cells_per_s
 
 
-def _gate_decision(nat, query_jobs, gap_jobs, tier_of, size, band,
-                   n_threads, warm_s, prof) -> bool:
-    """Measured-win gate: True = engage the device for this batch.
+def _launches_cost(uniq_by_tier, warm_s) -> float:
+    out = 0.0
+    for ti, (_s, _w, chunk) in enumerate(_TIERS):
+        if uniq_by_tier[ti] > 0:
+            out += np.ceil(uniq_by_tier[ti] / chunk) * warm_s[ti]
+    return float(out)
 
-    CPU price: unique DP cells (estimated from a 1/16 sampled native
-    dedup — duplicates dominate real batches) over the calibrated native
-    cell rate times the thread pool.  Device price: full-dedup wall plus
-    per-tier launch counts times the child's measured warm launch
-    seconds.  The device engages only when it wins by >= _CPU_FAVOR."""
+
+def _gate_decision(nat, query_jobs, gap_jobs, tier_of, size, band,
+                   n_threads, warm_s, prof):
+    """Measured-win gate, two stages.  Returns None (CPU path) or the
+    (uniq_local, inverse, sel_or_None) full-dedup result to REUSE for
+    the engaged device batch.
+
+    Stage 1 (cheap screen, <= 1/16 sampled native dedup): the sample's
+    unique count is a LOWER bound on the global unique count, so
+    dedup_est + launches(sample_uniq) is a floor on the device price,
+    and cells(est_uniq)/rate an optimistic ceiling on the CPU price
+    (within-sample duplication underestimates global duplication).  If
+    the device's floor already loses to the CPU's ceiling, choose CPU
+    without touching the batch.
+
+    Stage 2 (exact): run the FULL dedup — its wall is measured in place
+    and its result is handed to the device batch when it engages, so
+    the cost is only 'wasted' when the exact pricing still picks the
+    CPU, which stage 1 bounds.  The round-4 single-stage sampled gate
+    overestimated unique fractions ~20x on real batches (duplication is
+    global, not local) and priced the device out everywhere."""
+    global _dedup_s_per_job_thread
     n = len(gap_jobs)
     eligible = tier_of >= 0
     n_elig = int(eligible.sum())
     if n_elig == 0:
-        return False
+        return None
     eff = max(1.0, 0.7 * n_threads)
     cells = (size * np.minimum(band, 64)).astype(np.float64)
     top_cap = _TIERS[-1][0]
 
-    # Sampled dedup to estimate the unique fraction (cheap: <= 1/16 of
-    # the batch; within-sample duplication underestimates global
-    # duplication, which only biases the estimate toward the CPU path).
-    sel = np.nonzero(eligible)[0]
-    if len(sel) > (1 << 16):
-        sample = sel[:: max(1, len(sel) // (1 << 16))]
+    dev_all = bool(eligible.all())
+    sel = None if dev_all else np.nonzero(eligible)[0]
+    sel_idx = np.arange(n) if dev_all else sel
+    if n_elig > (1 << 16):
+        sample = sel_idx[:: max(1, n_elig // (1 << 16))]
     else:
-        sample = sel
+        sample = sel_idx
     t0 = time.perf_counter()
     uniq_s, _inv_s = nat.dedup_gap_jobs(
         query_jobs, np.ascontiguousarray(gap_jobs[sample]), top_cap,
@@ -352,26 +407,51 @@ def _gate_decision(nat, query_jobs, gap_jobs, tier_of, size, band,
     sample_s = time.perf_counter() - t0
     uniq_frac = len(uniq_s) / max(1, len(sample))
     est_uniq = uniq_frac * n_elig
-    est_uniq_cells = float(cells[sel].mean()) * est_uniq if n_elig else 0.0
+    mean_cells = float(cells[sel_idx].mean()) if n_elig else 0.0
 
-    cpu_est = est_uniq_cells / (_cpu_rate() * eff)
+    cpu_hi = mean_cells * est_uniq / (_cpu_rate() * eff)
     dedup_est = n * _dedup_s_per_job_thread / max(1, n_threads)
-    launch_est = 0.0
-    for ti, (_s, _w, chunk) in enumerate(_TIERS):
-        n_t = est_uniq * float((tier_of[sample] == ti).mean())
-        if n_t > 0:
-            launch_est += np.ceil(n_t / chunk) * warm_s[ti]
-    dev_est = dedup_est + launch_est
-    engage = cpu_est > _CPU_FAVOR * dev_est
+    # Device floor: the sample's unique tiers scaled by nothing — a true
+    # lower bound on global unique work.
+    su_tier = tier_of[sample][uniq_s]
+    uniq_lo_by_tier = [int((su_tier == ti).sum()) for ti in
+                       range(len(_TIERS))]
+    launch_lo = _launches_cost(uniq_lo_by_tier, warm_s)
+    if dedup_est + launch_lo >= cpu_hi:
+        if prof is not None:
+            prof["gate"] = (
+                f"screen: cpu_hi={cpu_hi:.3f}s dev_lo="
+                f"{dedup_est + launch_lo:.3f}s (dedup={dedup_est:.3f}s "
+                f"launch_lo={launch_lo:.3f}s uniq_frac={uniq_frac:.4f} "
+                f"sample={len(sample)} sample_s={sample_s:.3f}s) -> cpu"
+            )
+        return None
+
+    # Stage 2: exact pricing on the full dedup (result reused on engage).
+    t0 = time.perf_counter()
+    dev_jobs = gap_jobs if dev_all else np.ascontiguousarray(gap_jobs[sel])
+    uniq_local, inverse = nat.dedup_gap_jobs(
+        query_jobs, dev_jobs, top_cap, n_threads
+    )
+    dedup_s = time.perf_counter() - t0
+    if len(dev_jobs) >= (1 << 16):
+        _dedup_s_per_job_thread = dedup_s * max(1, n_threads) / len(dev_jobs)
+    uniq_global = uniq_local if dev_all else sel[uniq_local]
+    ut = tier_of[uniq_global]
+    uniq_by_tier = [int((ut == ti).sum()) for ti in range(len(_TIERS))]
+    launch_exact = _launches_cost(uniq_by_tier, warm_s)
+    ucells = float(cells[uniq_global].sum())
+    cpu_exact = ucells / (_cpu_rate() * eff)
+    engage = cpu_exact > _CPU_FAVOR * launch_exact
     if prof is not None:
         prof["gate"] = (
-            f"cpu_est={cpu_est:.3f}s dev_est={dev_est:.3f}s "
-            f"(dedup={dedup_est:.3f}s launch={launch_est:.3f}s "
-            f"uniq_frac={uniq_frac:.4f} sample={len(sample)} "
-            f"sample_s={sample_s:.3f}s) -> "
-            + ("device" if engage else "cpu")
+            f"exact: cpu={cpu_exact:.3f}s launches={launch_exact:.3f}s "
+            f"(dedup spent {dedup_s:.3f}s, uniq={len(uniq_global)}"
+            f"/{n_elig}) -> " + ("device" if engage else "cpu")
         )
-    return engage
+    if not engage:
+        return None
+    return uniq_local, inverse, sel
 
 
 # ---------------------------------------------------------------------------
@@ -445,19 +525,22 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
         s_cap, w_cap, _chunk = _TIERS[ti]
         tier_of[(size <= s_cap) & (band <= w_cap)] = ti
 
+    dedup_reuse = None
     if not _inproc():
         c = _client
         if c is None or not c.ready:
             return None
         warm_s = c.warm_s or [0.3] * len(_TIERS)
-        if not forced and not _gate_decision(
-            nat, query_jobs, gap_jobs, tier_of, size, band, n_threads,
-            warm_s, prof,
-        ):
-            if prof is not None:
-                print(f"[gap-prof] n={n} {prof['gate']}",
-                      file=sys.stderr, flush=True)
-            return None
+        if not forced:
+            dedup_reuse = _gate_decision(
+                nat, query_jobs, gap_jobs, tier_of, size, band, n_threads,
+                warm_s, prof,
+            )
+            if dedup_reuse is None:
+                if prof is not None:
+                    print(f"[gap-prof] n={n} gate[{prof['gate']}]",
+                          file=sys.stderr, flush=True)
+                return None
 
     counts = np.zeros((n, 3), dtype=np.int32)
     done = np.zeros(n, dtype=bool)
@@ -465,29 +548,32 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
     try:
         # ONE global content dedup over all device-eligible jobs (equal
         # content implies equal lengths implies the same tier, so
-        # cross-tier merges are impossible by construction).
-        t0 = time.perf_counter()
+        # cross-tier merges are impossible by construction).  The gate's
+        # stage-2 dedup is reused when it ran.
         dev_all = bool((tier_of >= 0).all())
-        if dev_all:
-            dev_idx = None
-            dev_jobs = gap_jobs
-        else:
-            dev_idx = np.nonzero(tier_of >= 0)[0]
-            dev_jobs = np.ascontiguousarray(gap_jobs[dev_idx])
+        dev_idx = None if dev_all else np.nonzero(tier_of >= 0)[0]
         top_cap = _TIERS[-1][0]
-        uniq_local, inverse = nat.dedup_gap_jobs(
-            query_jobs, dev_jobs, top_cap, n_threads
-        )
-        dedup_dt = time.perf_counter() - t0
-        if len(dev_jobs) >= (1 << 16):  # recalibrate the gate's model
-            _dedup_s_per_job_thread = (
-                dedup_dt * max(1, n_threads) / len(dev_jobs)
+        if dedup_reuse is not None:
+            uniq_local, inverse, _sel = dedup_reuse
+        else:
+            t0 = time.perf_counter()
+            dev_jobs = (
+                gap_jobs if dev_all
+                else np.ascontiguousarray(gap_jobs[dev_idx])
             )
+            uniq_local, inverse = nat.dedup_gap_jobs(
+                query_jobs, dev_jobs, top_cap, n_threads
+            )
+            dedup_dt = time.perf_counter() - t0
+            if len(dev_jobs) >= (1 << 16):  # recalibrate the gate's model
+                _dedup_s_per_job_thread = (
+                    dedup_dt * max(1, n_threads) / len(dev_jobs)
+                )
+            if prof is not None:
+                prof["dedup"] += dedup_dt
         uniq_global = uniq_local if dev_all else dev_idx[uniq_local]
         uniq_tier = tier_of[uniq_global]
         uniq_counts = np.zeros((len(uniq_global), 3), dtype=np.int32)
-        if prof is not None:
-            prof["dedup"] += dedup_dt
 
         launches = []  # (tier, tc, pc, tl, pl) with live rows only
         spans = []  # usel slices per launch

@@ -402,9 +402,12 @@ def _serve_device(proto_in: int, out, tiers) -> None:
         )
         return
 
-    from trust4_tpu.ops.gap_oracle import _get_tier_counts
+    from trust4_tpu.ops.gap_oracle import (
+        _tier_counts_packed_fn,
+        pack_codes_host,
+    )
 
-    tier_counts = _get_tier_counts()
+    tier_counts_packed = _tier_counts_packed_fn()
     rng = np.random.default_rng(0)
 
     def _launch(tier, tc, pc, tl, pl):
@@ -418,7 +421,13 @@ def _serve_device(proto_in: int, out, tiers) -> None:
             ftl = np.zeros(chunk, dtype=np.int32)
             fpl = np.zeros(chunk, dtype=np.int32)
             ftc[:m], fpc[:m], ftl[:m], fpl[:m] = tc, pc, tl, pl
-        return tier_counts(ftc, ftl, fpc, fpl, w=w_cap, p_max=s_cap)
+        # 4-bit pack on host, unpack on device: the tunnel's h2d
+        # bandwidth dominates the warm launch, so half the bytes is
+        # 25-35% off the launch wall (tools round-5 A/B).
+        return tier_counts_packed(
+            pack_codes_host(ftc), ftl, pack_codes_host(fpc), fpl,
+            w=w_cap, p_max=s_cap,
+        )
 
     # Prewarm: trace+compile every tier, then one realistic launch with a
     # full host materialization — the FIRST np.asarray of the process

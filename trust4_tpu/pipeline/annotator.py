@@ -491,22 +491,31 @@ class Annotator:
         # (parallel/gap_mesh.py; SURVEY.md §2.8).
         mesh_n = int(_os.environ.get("TRUST4_TPU_GAP_MESH", "0") or 0)
         if mesh_n > 0:
-            from trust4_tpu.parallel.gap_mesh import (
-                gap_counts_via_mesh,
-                make_mesh,
-            )
-
-            gap_jobs = nat.batch_collect_gaps(jobs, *conf)
-            counts = gap_counts_via_mesh(
-                make_mesh(mesh_n), nat, jobs, gap_jobs, ref_set.seqs,
-                n_threads=conf[0],
-            )
-            if counts is not None:
-                results = nat.query_scored_batch_oracle(
-                    jobs, gap_jobs, counts, *conf
+            # NOTE: unlike the gap_oracle branch below, the mesh path runs
+            # jax IN-PROCESS with no watchdog — a wedged device tunnel can
+            # stall it.  It is an opt-in env knob aimed at CPU-mesh /
+            # multi-chip runs; errors (missing backend, too few devices)
+            # fall back to the CPU DP like the device branch does.
+            try:
+                from trust4_tpu.parallel.gap_mesh import (
+                    gap_counts_via_mesh,
+                    make_mesh,
                 )
-                log(f"Annotation gap DP ran on a {mesh_n}-device mesh "
-                    f"({len(gap_jobs)} gap fills).")
+
+                gap_jobs = nat.batch_collect_gaps(jobs, *conf)
+                counts = gap_counts_via_mesh(
+                    make_mesh(mesh_n), nat, jobs, gap_jobs, ref_set.seqs,
+                    n_threads=conf[0],
+                )
+                if counts is not None:
+                    results = nat.query_scored_batch_oracle(
+                        jobs, gap_jobs, counts, *conf
+                    )
+                    log(f"Annotation gap DP ran on a {mesh_n}-device mesh "
+                        f"({len(gap_jobs)} gap fills).")
+            except Exception as e:  # mesh unavailable -> CPU fallback
+                log(f"Mesh gap-DP pass unavailable ({e}); using CPU DP.")
+                results = None
         # Device path (default when a TPU backend is attached): batched
         # Pallas launches through the watchdogged device child score every
         # gap-fill DP of the whole annotation batch and the traceback-bits
