@@ -220,6 +220,144 @@ def test_gap_counts_dedup_scatter(monkeypatch):
         assert tuple(int(v) for v in counts[i]) == tuple(want), i
 
 
+def _rand_job_universe(seed=11, n_jobs=2000):
+    rng = np.random.default_rng(seed)
+    alpha = list("ACGTN")
+    seqs_str = ["".join(rng.choice(alpha, 80)) for _ in range(4)]
+    reads = ["".join(rng.choice(alpha, 70)) for _ in range(5)]
+    jobs = []
+    for _ in range(n_jobs):
+        q = int(rng.integers(0, len(reads)))
+        sidx = int(rng.integers(0, len(seqs_str)))
+        t_from = int(rng.integers(0, 8)) * 5
+        t_len = min(int(rng.integers(1, 14)), 80 - t_from)
+        rc = bool(rng.integers(0, 2))
+        r_len = int(rng.integers(1, 12))
+        if rc:
+            r_from = int(rng.integers(r_len - 1, 70))
+        else:
+            r_from = int(rng.integers(0, 70 - r_len + 1))
+        jobs.append((q, 0, 0, sidx | ((1 << 30) if rc else 0),
+                     t_from, t_len, r_from, r_len))
+    return seqs_str, reads, np.array(jobs, dtype=np.int32)
+
+
+def test_native_gap_counts_cpu_matches_oracle():
+    """t4o_gap_counts_cpu (the hybrid tier split's CPU half) must equal
+    the Python _job_segments + global_alignment_counts oracle on a
+    random universe including N's and rc (bit-30) jobs."""
+    from trust4_tpu.engine import overlap_native as on
+    from trust4_tpu.ops.gap_oracle import _job_segments
+
+    if not on.available():
+        pytest.skip("native engine unavailable")
+    seqs_str, reads, gap_jobs = _rand_job_universe(seed=13, n_jobs=800)
+
+    eng = on.NativeOverlapEngine(9)
+    for i, s in enumerate(seqs_str):
+        eng.reg_seq(i, True, -1, f"ref{i}", s, None, -1)
+
+    class _SW:
+        def __init__(self, s):
+            self.consensus = s
+
+    seqs = [_SW(s) for s in seqs_str]
+    sel = np.arange(0, len(gap_jobs), 3, dtype=np.int64)  # strided subset
+    got = eng.gap_counts_cpu(reads, gap_jobs, sel, n_threads=4)
+    for k, j in enumerate(sel):
+        t, p = _job_segments(reads, seqs, gap_jobs[j])
+        want = align_native.global_alignment_counts(t, p)
+        assert tuple(int(v) for v in got[k]) == tuple(want), int(j)
+
+
+def test_hybrid_tier_split(monkeypatch):
+    """Per-tier hybrid: with the gate engaging only tier >= 1, parked
+    tier-0 jobs must be filled by the native CPU while the engaged
+    tiers go through the (mocked) device client — full counts array
+    bit-equal to the all-CPU oracle."""
+    from trust4_tpu.engine import overlap_native as on
+    from trust4_tpu.ops import gap_oracle
+    from trust4_tpu.ops.gap_oracle import _job_segments
+
+    if not on.available():
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(29)
+    alpha = list("ACGTN")
+    seqs_str = ["".join(rng.choice(alpha, 120)) for _ in range(4)]
+    reads = ["".join(rng.choice(alpha, 100)) for _ in range(5)]
+    jobs = []
+    for _ in range(600):
+        q = int(rng.integers(0, len(reads)))
+        sidx = int(rng.integers(0, len(seqs_str)))
+        t_from = int(rng.integers(0, 8)) * 5
+        # Mix of tier-0 (<=16), tier-1 (<=48), and beyond-top-tier jobs.
+        t_len = min(int(rng.choice([6, 12, 30, 44, 160])), 120 - t_from)
+        r_len = max(1, t_len + int(rng.integers(-3, 4)))
+        r_from = int(rng.integers(0, max(1, 100 - r_len + 1)))
+        r_len = min(r_len, 100 - r_from)
+        jobs.append((q, 0, 0, sidx, t_from, t_len, r_from, r_len))
+    gap_jobs = np.array(jobs, dtype=np.int32)
+
+    eng = on.NativeOverlapEngine(9)
+    for i, s in enumerate(seqs_str):
+        eng.reg_seq(i, True, -1, f"ref{i}", s, None, -1)
+
+    class _SW:
+        def __init__(self, s):
+            self.consensus = s
+
+    seqs = [_SW(s) for s in seqs_str]
+
+    class _MockClient:
+        ready = True
+        warm_s = [0.001, 0.001, 0.001]
+        launches_seen = []
+
+        def submit_all(self, launches, timeout_s):
+            self._pending = list(launches)
+            _MockClient.launches_seen.extend(t for t, *_ in launches)
+            return True
+
+        def collect(self, n, timeout_s):
+            out = []
+            for tier, tc, pc, tl, pl in self._pending:
+                m = len(tc)
+                rows = np.zeros((m, 3), dtype=np.int32)
+                num = "ACGTN?"
+                for j in range(m):
+                    t = "".join(num[v] for v in tc[j][: int(tl[j])])
+                    p = "".join(num[v] for v in pc[j][: int(pl[j])])
+                    rows[j] = align_native.global_alignment_counts(t, p)
+                out.append(rows)
+            return out
+
+    def _fake_gate(nat, query_jobs, gj, tier_of, size, band, n_threads,
+                   warm_s, prof):
+        top_cap = gap_oracle._TIERS[-1][0]
+        elig = np.nonzero(tier_of >= 0)[0]
+        uniq, inv = nat.dedup_gap_jobs(
+            query_jobs, np.ascontiguousarray(gj[elig]), top_cap, n_threads
+        )
+        sel = None if len(elig) == len(gj) else elig
+        return [False, True, True], uniq, inv, sel
+
+    monkeypatch.setattr(gap_oracle, "_client", _MockClient())
+    monkeypatch.setattr(gap_oracle, "_gate_decision", _fake_gate)
+    monkeypatch.setenv("TRUST4_TPU_DEVICE", "auto")
+
+    counts = gap_oracle.gap_counts_on_device(
+        eng, reads, gap_jobs, seqs, n_threads=2
+    )
+    assert counts is not None
+    # Tier 0 was parked: no tier-0 launches may reach the client.
+    assert 0 not in _MockClient.launches_seen
+    assert len(_MockClient.launches_seen) > 0
+    for i, row in enumerate(gap_jobs):
+        t, p = _job_segments(reads, seqs, row)
+        want = align_native.global_alignment_counts(t, p)
+        assert tuple(int(v) for v in counts[i]) == tuple(want), i
+
+
 def test_native_dedup_matches_python_oracle():
     """t4o_dedup_gap_jobs must group exactly the jobs whose device DP
     inputs (code rows + truncated lengths, rc-walked for bit-30 jobs)

@@ -41,21 +41,83 @@ def _load():
     _TRIED = True
     if os.environ.get("TRUST4_TPU_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_SO_PATH):
+    lib = None
+    so_path = _SO_PATH
+    for attempt in range(2):
+        if lib is None:
+            if not os.path.exists(so_path) and not _rebuild():
+                break
+            try:
+                lib = ctypes.CDLL(so_path)
+            except OSError:
+                if attempt == 0 and _rebuild():
+                    continue
+                break
         try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR),
-                 "libt4overlap.so"],
-                check=True,
-                capture_output=True,
-            )
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(_SO_PATH)
-    except OSError:
-        return None
+            _register_protos(lib)
+            _LIB = lib
+            return _LIB
+        except AttributeError:
+            # Stale library (symbols behind the sources, e.g. after a
+            # pull without `make -C native`): rebuild once and retry.
+            # glibc dlopen dedupes by pathname, so the rebuilt library
+            # must be opened under a FRESH name (same dir: the $ORIGIN
+            # rpath must still find libt4align.so).
+            lib = None
+            if attempt == 0 and _rebuild(force=True):
+                import shutil
+                import uuid
 
+                tmp = os.path.join(
+                    os.path.dirname(_SO_PATH),
+                    f".reload_{uuid.uuid4().hex[:8]}_libt4overlap.so",
+                )
+                try:
+                    shutil.copy2(_SO_PATH, tmp)
+                    so_path = tmp
+                    import atexit
+
+                    atexit.register(
+                        lambda p=tmp: os.path.exists(p) and os.unlink(p)
+                    )
+                except OSError:
+                    pass
+                continue
+            break
+    import sys as _sys
+
+    print(
+        "[trust4-tpu] WARNING: native overlap engine unavailable "
+        f"({_SO_PATH} missing/stale and rebuild failed); falling back "
+        "to the 10-100x slower Python host path.  Run "
+        f"`make -C {os.path.abspath(_NATIVE_DIR)}`.",
+        file=_sys.stderr,
+        flush=True,
+    )
+    return None
+
+
+def _rebuild(force: bool = False) -> bool:
+    try:
+        if force:
+            # The stale library may be dlopen'd by this process: writing
+            # in place would fail with ETXTBSY, so unlink first (the old
+            # mapping stays alive; we discard that handle).
+            try:
+                os.unlink(_SO_PATH)
+            except OSError:
+                pass
+        cmd = ["make", "-C", os.path.abspath(_NATIVE_DIR)]
+        if force:
+            cmd.append("-B")
+        cmd.append("libt4overlap.so")
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def _register_protos(lib):
     c_int = ctypes.c_int
     c_char_p = ctypes.c_char_p
     lib.t4o_create.restype = ctypes.c_void_p
@@ -155,6 +217,11 @@ def _load():
     lib.t4o_dedup_gap_jobs.argtypes = [
         ctypes.c_void_p, c_char_p, _i64p, _i32p, ctypes.c_int64, c_int,
         c_int, _i32p, _i32p,
+    ]
+    lib.t4o_gap_counts_cpu.restype = None
+    lib.t4o_gap_counts_cpu.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i64p, ctypes.c_int64,
+        c_int, _i32p,
     ]
     lib.t4s_pull_data_all.restype = None
     lib.t4s_pull_data_all.argtypes = [
@@ -265,8 +332,6 @@ def _load():
         c_int, c_int, c_int, c_int, c_int, ctypes.c_int64, c_int,
         _i32p, _i32p, _u8p, _i32p, _i32p, _i32p,
     ]
-    _LIB = lib
-    return _LIB
 
 
 def available() -> bool:
@@ -856,6 +921,26 @@ class NativeOverlapEngine:
             inverse.ctypes.data_as(_i32p), uniq.ctypes.data_as(_i32p),
         )
         return uniq[:n_uniq].copy(), inverse
+
+    def gap_counts_cpu(self, jobs, gap_jobs, sel, n_threads: int):
+        """Native threaded (match, mismatch, indel) counts for the gap
+        jobs selected by `sel` (int indices into gap_jobs) — the hybrid
+        tier split's CPU half and the top-tier-miss path.  Segment
+        semantics match _job_segments/t4o_emit_gap_codes."""
+        reads = [j[0] if isinstance(j, tuple) else j for j in jobs]
+        blobs = [r.encode("ascii") for r in reads]
+        offs = np.zeros(len(reads) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = b"".join(blobs)
+        gj = np.ascontiguousarray(gap_jobs, dtype=np.int32)
+        si = np.ascontiguousarray(sel, dtype=np.int64)
+        out = np.empty((len(si), 3), dtype=np.int32)
+        self._lib.t4o_gap_counts_cpu(
+            self._h, blob, offs.ctypes.data_as(_i64p),
+            gj.ctypes.data_as(_i32p), si.ctypes.data_as(_i64p), len(si),
+            n_threads, out.ctypes.data_as(_i32p),
+        )
+        return out
 
     def query_scored_batch_oracle(self, jobs, gap_jobs, gap_counts,
                                   n_threads: int, radius: int,

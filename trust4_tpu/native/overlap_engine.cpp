@@ -4770,6 +4770,52 @@ int t4o_dedup_gap_jobs(void* h, const char* blob, const int64_t* offs,
   return (int)n_uniq;
 }
 
+// Batched CPU (match, mismatch, indel) counts for SELECTED gap jobs —
+// the hybrid tier split's CPU half plus the top-tier-miss path: the
+// device takes the tiers the measured gate says it wins, and worker
+// threads fill the rest while the launches are in flight
+// (ops/gap_oracle.py round 5).  Segment semantics replicate
+// _job_segments / t4o_emit_gap_codes: bit 30 of seq_idx marks a
+// reverse-complement query walked backward from the forward anchor;
+// non-ACGT complements to 'N' (dna.revcomp).
+void t4o_gap_counts_cpu(void* h, const char* blob, const int64_t* offs,
+                        const int32_t* jobs, const int64_t* sel,
+                        int64_t n_sel, int n_threads, int32_t* out) {
+  Engine2& R = registry_for(h);
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (n_sel < 256) nt = 1;
+  steal_for((int)n_sel, nt, 64, [&](int, int lo, int hi) {
+    std::string t, p;
+    for (int i = lo; i < hi; i++) {
+      const int32_t* row = jobs + 8 * sel[i];
+      int seq_idx = row[3] & ~((int32_t)1 << 30);
+      bool rc = (row[3] & ((int32_t)1 << 30)) != 0;
+      const std::string& cons = R.seqs[(size_t)seq_idx].consensus;
+      t.assign(cons, (size_t)row[4], (size_t)row[5]);
+      const char* rd = blob + offs[row[0]];
+      int r_len = row[7];
+      p.clear();
+      if (!rc) {
+        p.assign(rd + row[6], (size_t)r_len);
+      } else {
+        for (int k = 0; k < r_len; k++) {
+          char c = rd[row[6] - k];
+          switch (c) {
+            case 'A': c = 'T'; break;
+            case 'C': c = 'G'; break;
+            case 'G': c = 'C'; break;
+            case 'T': c = 'A'; break;
+            default: c = 'N';
+          }
+          p.push_back(c);
+        }
+      }
+      t4_global_alignment_counts(t.data(), (int)t.size(), p.data(),
+                                 (int)p.size(), out + 3 * (int64_t)i);
+    }
+  });
+}
+
 // Phase 2: the scored batch with device gap counts.  jobs/counts from
 // phase 1 + the device pass; otherwise identical to
 // t4o_query_scored_batch.

@@ -766,7 +766,8 @@ _PK_FIELD = (1 << 10) - 1
 
 
 def _dp_counts_kernel(ts_ref, ps_ref, meta_ref, out_ref, cnt_ref, m_ref,
-                      e_ref, cm_ref, ce_ref, *, w, p_max):
+                      e_ref, cm_ref, ce_ref, *, w, p_max,
+                      packed_out=False):
     import jax.lax as lax
 
     t_len = meta_ref[0, :]
@@ -957,9 +958,14 @@ def _dp_counts_kernel(ts_ref, ps_ref, meta_ref, out_ref, cnt_ref, m_ref,
     # return out_len 0).
     empty = ((t_len == 0) | (p_len == 0))[None, :]
     packed = jnp.where(empty, 0, packed)
-    cnt_ref[0:1, :] = (packed >> 20) & _PK_FIELD
-    cnt_ref[1:2, :] = (packed >> 10) & _PK_FIELD
-    cnt_ref[2:3, :] = packed & _PK_FIELD
+    if packed_out:
+        # One int32 per job (m<<20 | mm<<10 | ind), unpacked host-side:
+        # a third of the d2h bytes on the transfer-bound tunnel.
+        cnt_ref[0:1, :] = packed
+    else:
+        cnt_ref[0:1, :] = (packed >> 20) & _PK_FIELD
+        cnt_ref[1:2, :] = (packed >> 10) & _PK_FIELD
+        cnt_ref[2:3, :] = packed & _PK_FIELD
 
 
 @functools.partial(jax.jit, static_argnames=("band_width",))
@@ -1042,6 +1048,99 @@ def banded_affine_counts_pallas(
         interpret=interpret,
     )(ts_T, ps_T, meta)
     return scores[0, :n], counts[:, :n].T
+
+
+@functools.partial(jax.jit, static_argnames=("band_width",))
+def banded_affine_counts_packed_pallas(
+    t_codes: jnp.ndarray,  # (N, T) int8
+    t_lens: jnp.ndarray,
+    p_codes: jnp.ndarray,  # (N, P) int8
+    p_lens: jnp.ndarray,
+    band_width: int,
+):
+    """Counts kernel with PACKED output: returns (N,) int32 of
+    (match<<20 | mismatch<<10 | indel) per job — the d2h-lean form for
+    the tunnel-transfer-bound launch path (unpack host-side with
+    unpack_counts_host).  Same DP as banded_affine_counts_pallas."""
+    n, t_max = t_codes.shape
+    p_max = p_codes.shape[1]
+    w = band_width
+    assert t_max + p_max + 2 < (1 << 10), "packed count fields overflow"
+
+    t_lens = t_lens.astype(jnp.int32)
+    p_lens = p_lens.astype(jnp.int32)
+    left = jnp.where(t_lens < p_lens, 5 + (p_lens - t_lens), 5).astype(jnp.int32)
+    right = jnp.where(t_lens > p_lens, 5 + (t_lens - p_lens), 5).astype(jnp.int32)
+
+    n_pad = ((n + _LANES - 1) // _LANES) * _LANES
+    pad = n_pad - n
+
+    def padb(x, fill=0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    t_codes = padb(t_codes, _CODE_PAD)
+    p_codes = padb(p_codes, _CODE_PAD)
+    t_lens_p = padb(t_lens)
+    p_lens_p = padb(p_lens)
+    left_p = padb(left, 5)
+    right_p = padb(right, 5)
+
+    t_shift_len = t_max + w + 8
+    ts_T = _build_ts_selshift(
+        t_codes.astype(jnp.int32).T, left_p, t_max, t_shift_len,
+        _shift_hi_bucket(max(5, w - 6)),
+    )
+    ps_T = p_codes.astype(jnp.int32).T
+    meta = jnp.stack(
+        [t_lens_p, p_lens_p, left_p, right_p,
+         jnp.zeros_like(t_lens_p), jnp.zeros_like(t_lens_p),
+         jnp.zeros_like(t_lens_p), jnp.zeros_like(t_lens_p)],
+        axis=0,
+    )
+
+    grid = (n_pad // _LANES,)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    _scores, packed = pl.pallas_call(
+        functools.partial(_dp_counts_kernel, w=w, p_max=p_max,
+                          packed_out=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_shift_len, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_max, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w, _LANES), jnp.int32),
+            pltpu.VMEM((w, _LANES), jnp.int32),
+            pltpu.VMEM((w, _LANES), jnp.int32),
+            pltpu.VMEM((w, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ts_T, ps_T, meta)
+    return packed[0, :n]
+
+
+def unpack_counts_host(packed: np.ndarray) -> np.ndarray:
+    """(N,) packed int32 -> (N, 3) int32 (match, mismatch, indel)."""
+    out = np.empty((len(packed), 3), dtype=np.int32)
+    out[:, 0] = (packed >> 20) & _PK_FIELD
+    out[:, 1] = (packed >> 10) & _PK_FIELD
+    out[:, 2] = packed & _PK_FIELD
+    return out
 
 
 # ---------------------------------------------------------------------------

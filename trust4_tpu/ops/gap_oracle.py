@@ -21,11 +21,17 @@ CPU DP.  The child's prewarm also absorbs the tunnel's one-time
 first-transfer handshake (measured 24-200s) and reports measured warm
 per-launch seconds.
 
-Engagement is a MEASURED decision, not a read-count proxy: in auto mode
-each batch is priced on both paths — CPU cost from a calibrated native
-DP cell rate over the (sampled-dedup-estimated) unique cells, device
-cost from the child's warm launch times plus the full dedup price — and
-the device runs only when it is predicted to win (see _gate_decision).
+Engagement is a MEASURED decision, not a read-count proxy — and since
+round 5 it is PER TIER: each size tier is priced on both paths (CPU
+cost from a calibrated native DP cell rate over the deduped unique
+cells; device cost from the child's measured warm launch seconds), the
+device takes exactly the tiers it wins, and the native CPU fills the
+parked tiers' unique jobs WHILE the launches are in flight — the batch
+wall is max(device, CPU), not the sum (see _gate_decision).  Tier 0's
+16x16-cell jobs are CPU-bound by construction (a full chunk is ~30 ms
+of one CPU thread vs a ~50-80 ms tunnel launch); tier 2's
+144x48-cell chunks run ~3-4x faster on the device than on the 4-thread
+CPU pool, so real batches typically split.
 TRUST4_TPU_DEVICE=1 forces the device path (still watchdogged),
 TRUST4_TPU_DEVICE=0 disables it, TRUST4_TPU_DEVICE_CHECK=1 additionally
 asserts every device count equals the CPU DP's.
@@ -213,7 +219,7 @@ def pack_codes_host(codes: np.ndarray) -> np.ndarray:
 
 def _tier_counts_packed_fn():
     """Tier kernel taking 4-bit packed code rows; unpacks on device.
-    The tunnel's host->device bandwidth (~27 MB/s measured) dominates
+    The tunnel's host->device bandwidth (~22 MB/s measured) dominates
     warm launch cost, so halving the payload roughly halves it."""
     import functools
 
@@ -238,6 +244,68 @@ def _tier_counts_packed_fn():
         return counts
 
     return tier_counts_packed
+
+
+def pack_launch_host(tc, pc, tl, pl, n_rows: int, s_cap: int) -> np.ndarray:
+    """Build the fused v2 launch payload: ONE uint8 buffer =
+    [t_lens u8 | p_lens u8 | t codes 4-bit | p codes 4-bit], with the
+    live rows padded up to n_rows.  One buffer means one tunnel h2d per
+    launch (measured ~29 ms fixed cost per transfer,
+    tools/tunnel_probe.py) and ~2.3x fewer bytes than the v0 protocol."""
+    m = len(tc)
+    half = s_cap // 2
+    buf = np.empty(2 * n_rows + 2 * n_rows * half, dtype=np.uint8)
+    buf[:m] = tl
+    buf[m:n_rows] = 0
+    buf[n_rows : n_rows + m] = pl
+    buf[n_rows + m : 2 * n_rows] = 0
+    o = 2 * n_rows
+    tcp = pack_codes_host(tc)
+    buf[o : o + m * half] = tcp.reshape(-1)
+    buf[o + m * half : o + n_rows * half] = 0x55  # pad codes (5, 5)
+    o += n_rows * half
+    pcp = pack_codes_host(pc)
+    buf[o : o + m * half] = pcp.reshape(-1)
+    buf[o + m * half : o + n_rows * half] = 0x55
+    return buf
+
+
+def _tier_counts_fused_fn():
+    """v2 launch protocol kernel: ONE uint8 input buffer (see
+    pack_launch_host) -> (n_rows,) PACKED int32 counts.  Minimizes both
+    per-transfer fixed cost (one h2d, one d2h) and bytes (4-bit codes,
+    uint8 lens, 1 int32/job out) on the transfer-bound tunnel."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from trust4_tpu.ops.dp_pallas import banded_affine_counts_packed_pallas
+
+    @functools.partial(jax.jit, static_argnames=("w", "p_max", "n_rows"))
+    def tier_counts_fused(buf, *, w, p_max, n_rows):
+        half = p_max // 2
+        tl = buf[:n_rows].astype(jnp.int32)
+        pl = buf[n_rows : 2 * n_rows].astype(jnp.int32)
+        o = 2 * n_rows
+
+        def unpack(p):
+            u = p.astype(jnp.int32)
+            lo = u & 15
+            hi = (u >> 4) & 15
+            return jnp.stack([lo, hi], axis=-1).reshape(
+                n_rows, p_max
+            ).astype(jnp.int8)
+
+        tcu = unpack(buf[o : o + n_rows * half].reshape(n_rows, half))
+        pcu = unpack(
+            buf[o + n_rows * half : o + 2 * n_rows * half].reshape(
+                n_rows, half
+            )
+        )
+        return banded_affine_counts_packed_pallas(tcu, tl, pcu, pl, w)
+
+    return tier_counts_fused
 
 
 _tier_counts = None
@@ -362,28 +430,43 @@ def _launches_cost(uniq_by_tier, warm_s) -> float:
     return float(out)
 
 
+def _tier_launch_cost(n_uniq: int, tier: int, warm_s) -> float:
+    if n_uniq <= 0:
+        return 0.0
+    chunk = _TIERS[tier][2]
+    full, rem = divmod(n_uniq, chunk)
+    cost = full * warm_s[tier]
+    if rem:  # tail launches run in the chunk/4 shape (gap_server v2)
+        cost += np.ceil(rem / (chunk // 4)) * 0.4 * warm_s[tier]
+    return float(cost)
+
+
 def _gate_decision(nat, query_jobs, gap_jobs, tier_of, size, band,
                    n_threads, warm_s, prof):
-    """Measured-win gate, two stages.  Returns None (CPU path) or the
-    (uniq_local, inverse, sel_or_None) full-dedup result to REUSE for
-    the engaged device batch.
+    """PER-TIER measured-win gate, two stages.  Returns None (whole
+    batch to the CPU path) or (engaged bool-per-tier, uniq_local,
+    inverse, sel): the tiers the device is predicted to win plus the
+    full-dedup result, REUSED by the hybrid batch — engaged tiers
+    launch on the device while the native CPU computes the parked
+    tiers' unique jobs in parallel (gap_counts_on_device).
 
-    Stage 1 (cheap screen, <= 1/16 sampled native dedup): the sample's
-    unique count is a LOWER bound on the global unique count, so
-    dedup_est + launches(sample_uniq) is a floor on the device price,
-    and cells(est_uniq)/rate an optimistic ceiling on the CPU price
-    (within-sample duplication underestimates global duplication).  If
-    the device's floor already loses to the CPU's ceiling, choose CPU
-    without touching the batch.
+    Stage 1 (cheap screen, <= 1/16 sampled native dedup): per tier, the
+    sample's unique count floors the global unique count, so
+    launches(sample_uniq_t) floors the device price, and
+    cells(est_uniq_t)/rate is an optimistic ceiling on the CPU price
+    (within-sample duplication underestimates global duplication).
+    Stage 2 runs only when the summed optimistic benefit
+    max(0, cpu_hi_t - launch_lo_t) clears the full-dedup price.
 
-    Stage 2 (exact): run the FULL dedup — its wall is measured in place
-    and its result is handed to the device batch when it engages, so
-    the cost is only 'wasted' when the exact pricing still picks the
-    CPU, which stage 1 bounds.  The round-4 single-stage sampled gate
-    overestimated unique fractions ~20x on real batches (duplication is
-    global, not local) and priced the device out everywhere."""
+    Stage 2 (exact): full dedup (wall measured in place, result handed
+    to the batch), then exact per-tier pricing: tier t engages iff
+    cpu_t > _CPU_FAVOR * launch_t.  The round-4 whole-batch gate both
+    overestimated unique fractions ~20x (duplication is global, not
+    local) and let tier 0 — whose 16x16-cell jobs the CPU always wins —
+    veto the device on the tiers it loses (VERDICT r4 task 1)."""
     global _dedup_s_per_job_thread
     n = len(gap_jobs)
+    n_tiers = len(_TIERS)
     eligible = tier_of >= 0
     n_elig = int(eligible.sum())
     if n_elig == 0:
@@ -405,29 +488,33 @@ def _gate_decision(nat, query_jobs, gap_jobs, tier_of, size, band,
         n_threads,
     )
     sample_s = time.perf_counter() - t0
-    uniq_frac = len(uniq_s) / max(1, len(sample))
-    est_uniq = uniq_frac * n_elig
-    mean_cells = float(cells[sel_idx].mean()) if n_elig else 0.0
-
-    cpu_hi = mean_cells * est_uniq / (_cpu_rate() * eff)
     dedup_est = n * _dedup_s_per_job_thread / max(1, n_threads)
-    # Device floor: the sample's unique tiers scaled by nothing — a true
-    # lower bound on global unique work.
-    su_tier = tier_of[sample][uniq_s]
-    uniq_lo_by_tier = [int((su_tier == ti).sum()) for ti in
-                       range(len(_TIERS))]
-    launch_lo = _launches_cost(uniq_lo_by_tier, warm_s)
-    if dedup_est + launch_lo >= cpu_hi:
+    rate = _cpu_rate() * eff
+    st = tier_of[sample]
+    su_tier = st[uniq_s]
+    benefit = 0.0
+    for ti in range(n_tiers):
+        n_t = int((st == ti).sum())
+        if n_t == 0:
+            continue
+        frac_t = int((su_tier == ti).sum()) / n_t
+        n_elig_t = int((tier_of == ti).sum())
+        mean_cells_t = float(cells[sample[st == ti]].mean())
+        cpu_hi_t = mean_cells_t * frac_t * n_elig_t / rate
+        launch_lo_t = _tier_launch_cost(
+            int((su_tier == ti).sum()), ti, warm_s
+        )
+        benefit += max(0.0, cpu_hi_t - launch_lo_t)
+    if benefit <= dedup_est:
         if prof is not None:
             prof["gate"] = (
-                f"screen: cpu_hi={cpu_hi:.3f}s dev_lo="
-                f"{dedup_est + launch_lo:.3f}s (dedup={dedup_est:.3f}s "
-                f"launch_lo={launch_lo:.3f}s uniq_frac={uniq_frac:.4f} "
-                f"sample={len(sample)} sample_s={sample_s:.3f}s) -> cpu"
+                f"screen: benefit_hi={benefit:.3f}s <= "
+                f"dedup_est={dedup_est:.3f}s (sample={len(sample)} "
+                f"sample_s={sample_s:.3f}s) -> cpu"
             )
         return None
 
-    # Stage 2: exact pricing on the full dedup (result reused on engage).
+    # Stage 2: exact per-tier pricing on the full dedup (result reused).
     t0 = time.perf_counter()
     dev_jobs = gap_jobs if dev_all else np.ascontiguousarray(gap_jobs[sel])
     uniq_local, inverse = nat.dedup_gap_jobs(
@@ -438,20 +525,28 @@ def _gate_decision(nat, query_jobs, gap_jobs, tier_of, size, band,
         _dedup_s_per_job_thread = dedup_s * max(1, n_threads) / len(dev_jobs)
     uniq_global = uniq_local if dev_all else sel[uniq_local]
     ut = tier_of[uniq_global]
-    uniq_by_tier = [int((ut == ti).sum()) for ti in range(len(_TIERS))]
-    launch_exact = _launches_cost(uniq_by_tier, warm_s)
-    ucells = float(cells[uniq_global].sum())
-    cpu_exact = ucells / (_cpu_rate() * eff)
-    engage = cpu_exact > _CPU_FAVOR * launch_exact
+    engaged = [False] * n_tiers
+    detail = []
+    for ti in range(n_tiers):
+        usel_t = ut == ti
+        n_u = int(usel_t.sum())
+        if n_u == 0:
+            continue
+        launch_t = _tier_launch_cost(n_u, ti, warm_s)
+        cpu_t = float(cells[uniq_global[usel_t]].sum()) / rate
+        engaged[ti] = cpu_t > _CPU_FAVOR * launch_t
+        detail.append(
+            f"t{ti}:cpu={cpu_t:.3f}s dev={launch_t:.3f}s u={n_u}"
+            + ("+D" if engaged[ti] else "-C")
+        )
     if prof is not None:
         prof["gate"] = (
-            f"exact: cpu={cpu_exact:.3f}s launches={launch_exact:.3f}s "
-            f"(dedup spent {dedup_s:.3f}s, uniq={len(uniq_global)}"
-            f"/{n_elig}) -> " + ("device" if engage else "cpu")
+            f"exact: {' '.join(detail)} (dedup spent {dedup_s:.3f}s, "
+            f"uniq={len(uniq_global)}/{n_elig})"
         )
-    if not engage:
+    if not any(engaged):
         return None
-    return uniq_local, inverse, sel
+    return engaged, uniq_local, inverse, sel
 
 
 # ---------------------------------------------------------------------------
@@ -525,6 +620,7 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
         s_cap, w_cap, _chunk = _TIERS[ti]
         tier_of[(size <= s_cap) & (band <= w_cap)] = ti
 
+    engaged = [True] * len(_TIERS)
     dedup_reuse = None
     if not _inproc():
         c = _client
@@ -532,15 +628,17 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
             return None
         warm_s = c.warm_s or [0.3] * len(_TIERS)
         if not forced:
-            dedup_reuse = _gate_decision(
+            g = _gate_decision(
                 nat, query_jobs, gap_jobs, tier_of, size, band, n_threads,
                 warm_s, prof,
             )
-            if dedup_reuse is None:
+            if g is None:
                 if prof is not None:
                     print(f"[gap-prof] n={n} gate[{prof['gate']}]",
                           file=sys.stderr, flush=True)
                 return None
+            engaged, uniq_local_g, inverse_g, _sel = g
+            dedup_reuse = (uniq_local_g, inverse_g)
 
     counts = np.zeros((n, 3), dtype=np.int32)
     done = np.zeros(n, dtype=bool)
@@ -554,7 +652,7 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
         dev_idx = None if dev_all else np.nonzero(tier_of >= 0)[0]
         top_cap = _TIERS[-1][0]
         if dedup_reuse is not None:
-            uniq_local, inverse, _sel = dedup_reuse
+            uniq_local, inverse = dedup_reuse
         else:
             t0 = time.perf_counter()
             dev_jobs = (
@@ -577,9 +675,18 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
 
         launches = []  # (tier, tc, pc, tl, pl) with live rows only
         spans = []  # usel slices per launch
+        parked = []  # uniq ordinals of non-engaged tiers (native CPU)
         for ti, (s_cap, w_cap, chunk) in enumerate(_TIERS):
             usel = np.nonzero(uniq_tier == ti)[0]
             if len(usel) == 0:
+                continue
+            if prof is not None:
+                prof["tiers"].append(
+                    (s_cap, int((tier_of == ti).sum()), len(usel),
+                     bool(engaged[ti]))
+                )
+            if not engaged[ti]:
+                parked.append(usel)
                 continue
             gsel = uniq_global[usel]
             t0 = time.perf_counter()
@@ -590,9 +697,6 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
             pl = np.minimum(r_lens[gsel], s_cap).astype(np.int32)
             if prof is not None:
                 prof["emit"] += time.perf_counter() - t0
-                prof["tiers"].append(
-                    (s_cap, int((tier_of == ti).sum()), len(usel))
-                )
             for at in range(0, len(usel), chunk):
                 hi = min(at + chunk, len(usel))
                 launches.append(
@@ -601,11 +705,41 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
                 )
                 spans.append(usel[at:hi])
 
+        # Submit the device launches, then fill the parked tiers and the
+        # beyond-top-tier jobs on the native CPU WHILE the tunnel round
+        # trips — the hybrid's wall is max(device, cpu), not the sum.
         t0 = time.perf_counter()
+        inproc_results = None
         if _inproc():
-            results = _launch_inproc(launches)
+            inproc_results = _launch_inproc(launches)
         else:
-            results = _client.launch_all(launches, LAUNCH_TIMEOUT_S)
+            if not _client.submit_all(launches, LAUNCH_TIMEOUT_S):
+                if check:
+                    raise RuntimeError("device child failed the batch")
+                return None
+        if prof is not None:
+            prof["submit"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        if parked:
+            cus = np.concatenate(parked)
+            uniq_counts[cus] = nat.gap_counts_cpu(
+                query_jobs, gap_jobs, uniq_global[cus], n_threads
+            )
+        miss_idx = np.nonzero(tier_of < 0)[0]
+        if len(miss_idx):
+            counts[miss_idx] = nat.gap_counts_cpu(
+                query_jobs, gap_jobs, miss_idx, n_threads
+            )
+            done[miss_idx] = True
+        if prof is not None:
+            prof["cpu_left"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        if inproc_results is not None:
+            results = inproc_results
+        else:
+            results = _client.collect(len(launches), LAUNCH_TIMEOUT_S)
         if prof is not None:
             prof["device"] += time.perf_counter() - t0
         if results is None:
@@ -627,31 +761,18 @@ def gap_counts_on_device(nat, query_jobs, gap_jobs: np.ndarray,
         if check:
             raise
         return None
-
-    if not done.any():
-        return None
-    if not done.all():
-        # CPU DP for jobs beyond the top tier so phase 2 sees a complete
-        # oracle.
-        import trust4_tpu.align.native as an
-
-        t0 = time.perf_counter()
-        reads = [j[0] if isinstance(j, tuple) else j for j in query_jobs]
-        for i in np.nonzero(~done)[0]:
-            t, p = _job_segments(reads, seqs, gap_jobs[i])
-            counts[i] = an.global_alignment_counts(t, p)
-        if prof is not None:
-            prof["cpu_left"] = time.perf_counter() - t0
     if prof is not None:
-        n_miss = int((~done).sum())
+        n_miss = int((tier_of < 0).sum())
         tiers = " ".join(
-            f"cap{c}:{tot}j/{u}u" for c, tot, u in prof["tiers"]
+            f"cap{c}:{tot}j/{u}u{'D' if eng else 'C'}"
+            for c, tot, u, eng in prof["tiers"]
         )
         print(
             f"[gap-prof] n={n} tiers[{tiers}] miss={n_miss}"
             f" ({100.0 * n_miss / n:.2f}%) gate[{prof['gate']}]"
             f" emit={prof['emit']:.3f}s dedup={prof['dedup']:.3f}s"
-            f" device={prof['device']:.3f}s scatter={prof['scatter']:.3f}s"
+            f" submit={prof['submit']:.3f}s device={prof['device']:.3f}s"
+            f" scatter={prof['scatter']:.3f}s"
             f" cpu_left={prof['cpu_left']:.3f}s"
             f" total={time.perf_counter() - t_all0:.3f}s",
             file=sys.stderr, flush=True,

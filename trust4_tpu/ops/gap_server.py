@@ -256,18 +256,19 @@ class GapDeviceClient:
             self.kill()
             return False
 
-    def launch_all(
+    def submit_all(
         self,
         launches: Sequence[Tuple[int, np.ndarray, np.ndarray,
                                  np.ndarray, np.ndarray]],
         timeout_s: float,
-    ) -> Optional[List[np.ndarray]]:
-        """Run (tier, t_codes, p_codes, tl, pl) batches on the child.
-        Codes are the LIVE rows only (m <= chunk; the child pads).
-        Returns per-launch (m, 3) int32 counts, or None after killing the
-        child on any timeout/failure."""
+    ) -> bool:
+        """Write (tier, t_codes, p_codes, tl, pl) LAUNCH frames to the
+        child without waiting for results — the caller runs CPU work
+        while the tunnel round trips, then calls collect().  Codes are
+        the LIVE rows only (m <= chunk; the child pads).  False after
+        killing the child on timeout/failure."""
         if self._dead or not self._ready:
-            return None
+            return False
         try:
             deadline = time.monotonic() + timeout_s
             for seq, (tier, tc, pc, tl, pl) in enumerate(launches):
@@ -284,8 +285,28 @@ class GapDeviceClient:
                 self._write_all(
                     _HDR.pack(MSG_LAUNCH, len(payload)) + payload, deadline
                 )
-            results: List[Optional[np.ndarray]] = [None] * len(launches)
-            for _ in range(len(launches)):
+            return True
+        except GapServerError as e:
+            print(
+                f"[trust4-tpu] device child failed at submit ({e}); "
+                "CPU DP fallback for the rest of the run.",
+                file=sys.stderr,
+                flush=True,
+            )
+            self.kill()
+            return False
+
+    def collect(self, n_launches: int,
+                timeout_s: float) -> Optional[List[np.ndarray]]:
+        """Read the COUNTS frames of a prior submit_all.  Returns
+        per-launch (m, 3) int32 counts in submit order, or None after
+        killing the child on any timeout/failure."""
+        if self._dead or not self._ready:
+            return None
+        try:
+            deadline = time.monotonic() + timeout_s
+            results: List[Optional[np.ndarray]] = [None] * n_launches
+            for _ in range(n_launches):
                 msg_type, payload = self._read_frame(deadline)
                 if msg_type != MSG_COUNTS:
                     raise GapServerError(
@@ -308,6 +329,17 @@ class GapDeviceClient:
             )
             self.kill()
             return None
+
+    def launch_all(
+        self,
+        launches: Sequence[Tuple[int, np.ndarray, np.ndarray,
+                                 np.ndarray, np.ndarray]],
+        timeout_s: float,
+    ) -> Optional[List[np.ndarray]]:
+        """submit_all + collect in one blocking call (tests, tools)."""
+        if not self.submit_all(launches, timeout_s):
+            return None
+        return self.collect(len(launches), timeout_s)
 
 
 # ---------------------------------------------------------------------------
@@ -403,16 +435,45 @@ def _serve_device(proto_in: int, out, tiers) -> None:
         return
 
     from trust4_tpu.ops.gap_oracle import (
+        _tier_counts_fn,
+        _tier_counts_fused_fn,
         _tier_counts_packed_fn,
         pack_codes_host,
+        pack_launch_host,
     )
+    from trust4_tpu.ops.dp_pallas import unpack_counts_host
 
-    tier_counts_packed = _tier_counts_packed_fn()
+    # Launch protocol (A/B knob; v2 is the shipping default):
+    #   v2  ONE fused uint8 buffer in (u8 lens + 4-bit codes), packed
+    #       int32 counts out, tail launches in a chunk/4-row shape —
+    #       minimizes transfer count AND bytes on the ~29ms-RTT /
+    #       ~22MB/s tunnel (tools/tunnel_probe.py).
+    #   v1  4-bit packed code arrays, int32 lens, (m,3) counts out.
+    #   v0  raw int8 codes, int32 lens, (m,3) counts out (round-4 form).
+    proto = os.environ.get("TRUST4_TPU_LAUNCH_PROTO", "v2")
+    tier_counts_fused = _tier_counts_fused_fn() if proto == "v2" else None
+    tier_counts_packed = (
+        _tier_counts_packed_fn() if proto == "v1" else None
+    )
+    tier_counts_raw = _tier_counts_fn() if proto == "v0" else None
     rng = np.random.default_rng(0)
+
+    def _shape_rows(tier: int, m: int) -> int:
+        # Two compiled shapes per tier: full chunk, and chunk/4 for the
+        # tail launch (less pad-row transfer waste without a recompile
+        # per batch size).
+        chunk = tiers[tier][2]
+        return chunk if m > chunk // 4 else chunk // 4
 
     def _launch(tier, tc, pc, tl, pl):
         s_cap, w_cap, chunk = tiers[tier]
         m = len(tc)
+        if proto == "v2":
+            n_rows = _shape_rows(tier, m)
+            buf = pack_launch_host(tc, pc, tl, pl, n_rows, s_cap)
+            return tier_counts_fused(
+                buf, w=w_cap, p_max=s_cap, n_rows=n_rows
+            )
         if m == chunk:
             ftc, fpc, ftl, fpl = tc, pc, tl, pl
         else:
@@ -421,26 +482,36 @@ def _serve_device(proto_in: int, out, tiers) -> None:
             ftl = np.zeros(chunk, dtype=np.int32)
             fpl = np.zeros(chunk, dtype=np.int32)
             ftc[:m], fpc[:m], ftl[:m], fpl[:m] = tc, pc, tl, pl
-        # 4-bit pack on host, unpack on device: the tunnel's h2d
-        # bandwidth dominates the warm launch, so half the bytes is
-        # 25-35% off the launch wall (tools round-5 A/B).
-        return tier_counts_packed(
-            pack_codes_host(ftc), ftl, pack_codes_host(fpc), fpl,
-            w=w_cap, p_max=s_cap,
-        )
+        if proto == "v1":
+            return tier_counts_packed(
+                pack_codes_host(ftc), ftl, pack_codes_host(fpc), fpl,
+                w=w_cap, p_max=s_cap,
+            )
+        return tier_counts_raw(ftc, ftl, fpc, fpl, w=w_cap, p_max=s_cap)
 
-    # Prewarm: trace+compile every tier, then one realistic launch with a
-    # full host materialization — the FIRST np.asarray of the process
-    # pays the tunnel's one-time transfer handshake (24-200s measured),
-    # which must land here (overlapped with the parent's CPU stages), not
-    # in the first real batch.  Then time one warm launch per tier: those
-    # are the prices the parent's measured auto gate uses.
+    def _materialize(dev, m: int) -> np.ndarray:
+        """Device result -> (m, 3) int32 counts."""
+        arr = np.asarray(dev)
+        if proto == "v2":
+            return unpack_counts_host(arr[:m])
+        return arr[:m]
+
+    # Prewarm: trace+compile every tier shape, then one realistic launch
+    # with a full host materialization — the FIRST np.asarray of the
+    # process pays the tunnel's one-time transfer handshake (24-200s
+    # measured), which must land here (overlapped with the parent's CPU
+    # stages), not in the first real batch.  Then time one warm
+    # full-chunk launch per tier: those are the prices the parent's
+    # measured auto gate uses.
     t0 = time.monotonic()
     warm_s = []
     for tier, (s_cap, w_cap, chunk) in enumerate(tiers):
         tc = rng.integers(0, 4, (chunk, s_cap), dtype=np.int8)
         tl = np.full(chunk, s_cap, dtype=np.int32)
         np.asarray(_launch(tier, tc, tc, tl, tl))
+        if proto == "v2":  # compile the tail shape too
+            q = chunk // 4
+            np.asarray(_launch(tier, tc[:q], tc[:q], tl[:q], tl[:q]))
     handshake_s = time.monotonic() - t0
     for tier, (s_cap, w_cap, chunk) in enumerate(tiers):
         tc = rng.integers(0, 4, (chunk, s_cap), dtype=np.int8)
@@ -500,7 +571,7 @@ def _serve_device(proto_in: int, out, tiers) -> None:
                 pending.append((seq, m, _launch(tier, tc, pc, tl, pl)))
             continue  # drain more frames before blocking on results
         seq, m, dev = pending.popleft()
-        counts = np.asarray(dev)[:m]
+        counts = _materialize(dev, m)
         _child_write(
             out,
             MSG_COUNTS,
