@@ -67,6 +67,26 @@ def test_mock_server_roundtrip():
         c.kill()
 
 
+def test_poll_ready_nonblocking_probe():
+    """The auto gate's poll_ready(0.0) probe must eventually observe
+    READY without ever blocking (round-5 regression: the deadline math
+    returned False before attempting a read, so auto mode could never
+    engage the device)."""
+    c = _client("mock")
+    try:
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 60:
+            t1 = time.monotonic()
+            ok = c.poll_ready(0.0)
+            assert time.monotonic() - t1 < 0.5  # never blocks
+            if ok:
+                break
+            time.sleep(0.05)
+        assert c.ready
+    finally:
+        c.kill()
+
+
 def test_hang_ready_detected():
     """A child that never readies: auto mode must see not-ready fast and
     the poll must never block past its timeout."""

@@ -230,12 +230,19 @@ class GapDeviceClient:
             return True
         deadline = time.monotonic() + timeout_s
         try:
+            first = True
             while True:
                 fd = self._proc.stdout.fileno()
                 if len(self._rbuf) < _HDR.size:
                     budget = deadline - time.monotonic()
-                    if budget < 0:
+                    if budget <= 0 and not first:
                         return False
+                    first = False
+                    # One select is always attempted: with timeout_s=0
+                    # (the auto gate's non-blocking probe) the deadline
+                    # math lands microseconds in the past, and round 4's
+                    # early return meant a READY frame sitting in the
+                    # pipe was NEVER read — auto mode could not engage.
                     if not select.select([fd], [], [], max(budget, 0))[0]:
                         if self._proc.poll() is not None:
                             raise GapServerError("device child exited")
