@@ -306,6 +306,10 @@ def _register_protos(lib):
         ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, _i64p,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.t4kc_add_count_batch_mt.restype = None
+    lib.t4kc_add_count_batch_mt.argtypes = [
+        ctypes.c_void_p, c_char_p, _i64p, c_int, c_int,
+    ]
     lib.t4kc_add_count_batch.restype = None
     lib.t4kc_add_count_batch.argtypes = [
         ctypes.c_void_p, c_char_p, _i64p, c_int,
@@ -412,13 +416,16 @@ class NativeKmerCount:
                 qual = qual[:new_len]
         return read, qual, mn, med, self._f64[0], ok
 
-    def add_count_batch(self, reads) -> None:
-        """One FFI call counting a whole read list in order."""
+    def add_count_batch(self, reads, threads: int = 1) -> None:
+        """One FFI call counting a whole read list.  Counting is
+        commutative and the counter is 8-way hash-sharded, so threads > 1
+        runs the disjoint-shard workers (identical final counts)."""
         blobs = [r.encode("ascii") for r in reads]
         offs = np.zeros(len(blobs) + 1, dtype=np.int64)
         np.cumsum([len(b) for b in blobs], out=offs[1:])
-        self._lib.t4kc_add_count_batch(
-            self._h, b"".join(blobs), offs.ctypes.data_as(_i64p), len(blobs)
+        self._lib.t4kc_add_count_batch_mt(
+            self._h, b"".join(blobs), offs.ctypes.data_as(_i64p),
+            len(blobs), max(1, threads),
         )
 
     def stats_trim_batch(self, reads, quals):

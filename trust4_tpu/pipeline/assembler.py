@@ -290,7 +290,14 @@ class Assembler:
                 if self.count_myself and sorted_reads:
                     nkc = getattr(self.kmer_count, "_native", None)
                     if nkc is not None:
-                        nkc.add_count_batch(got["reads"])
+                        from trust4_tpu.utils.parallel import (
+                            internal_threads,
+                        )
+
+                        nkc.add_count_batch(
+                            got["reads"],
+                            threads=internal_threads(self.threads),
+                        )
                     else:
                         for rd in got["reads"]:
                             self.kmer_count.add_count(rd)
