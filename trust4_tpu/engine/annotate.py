@@ -20,6 +20,49 @@ from trust4_tpu.engine.types import Overlap
 EDIT_MATCH, EDIT_MISMATCH, EDIT_INSERT, EDIT_DELETE = 0, 1, 2, 3
 
 
+class G8View:
+    """Lazy ``gene_overlap[4]``: wraps one read's native annotate0 row
+    block ((4,8) ints + (4,) sims as plain lists) and materializes the
+    Overlap objects only on first element access.  Most bulk reads are
+    only ever asked ``gene_overlap[0].seq_idx == -1`` (served by
+    ``first_seq_idx`` without materializing) and marshaled back into the
+    native greedy loop (served from the raw rows, vectorized across the
+    batch) — skipping ~1s of object builds per 100k reads.  ``a0`` is
+    the read's row index in the batch's stashed (n,4,8) array; ``dirty``
+    is set by the germline trims when they mutate the materialized
+    objects, telling the vectorized marshal to re-read that read the
+    slow way."""
+
+    __slots__ = ("rows", "sims", "a0", "_mat", "dirty")
+
+    def __init__(self, rows, sims, a0: int):
+        self.rows = rows
+        self.sims = sims
+        self.a0 = a0
+        self._mat = None
+        self.dirty = False
+
+    def _materialize(self):
+        if self._mat is None:
+            self._mat = overlaps_from_g8(self.rows, self.sims)
+        return self._mat
+
+    def __getitem__(self, g):
+        return self._materialize()[g]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __len__(self):
+        return 4
+
+    @property
+    def first_seq_idx(self) -> int:
+        if self._mat is not None:
+            return self._mat[0].seq_idx
+        return self.rows[0][0]
+
+
 def overlaps_from_g8(rows, sims) -> List[Overlap]:
     """Build gene_overlap[4] from a native annotate0 (4,8)+(4,) result.
 

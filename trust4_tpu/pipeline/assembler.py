@@ -523,12 +523,20 @@ class Assembler:
                     rows = None
             if rows is None:
                 rows, sims = _nat.annotate0_batch(reads, *conf)
-            # One bulk tolist() beats per-element numpy scalar indexing in
-            # overlaps_from_g8 by ~4x on 100k-read corpora.
+            # One bulk tolist() beats per-element numpy scalar indexing
+            # by ~4x; the G8View wrappers defer the Overlap object
+            # builds entirely (most reads never need them — the raw
+            # rows/sims arrays are stashed for the vectorized loop
+            # marshal, engine/annotate.py G8View).
+            import numpy as np
+            from trust4_tpu.engine.annotate import G8View
+
+            self._g8_rows = np.ascontiguousarray(rows, dtype=np.int32)
+            self._g8_sims = np.ascontiguousarray(sims, dtype=np.float64)
             rows_l = rows.tolist()
             sims_l = sims.tolist()
             for i, r in enumerate(sorted_reads):
-                r.gene_overlap = overlaps_from_g8(rows_l[i], sims_l[i])
+                r.gene_overlap = G8View(rows_l[i], sims_l[i], i)
         elif self.threads > 1 and len(sorted_reads) > 1:
             # Block-split quick annotation (main.cpp:513-532); per-read
             # results are independent, dedup is a pure cache.
@@ -682,7 +690,8 @@ class Assembler:
             if r.read is None:
                 continue
             go = r.gene_overlap
-            if go[0].seq_idx == -1:
+            fsi = getattr(go, "first_seq_idx", None)
+            if (go[0].seq_idx if fsi is None else fsi) == -1:
                 continue
             may_trim = False
             if go[0].seq_start < 31 and go[0].similarity > 0.9:
@@ -721,6 +730,8 @@ class Assembler:
             if r.len - trim_base < 31:
                 r.read = None
                 continue
+            if hasattr(go, "dirty"):
+                go.dirty = True  # vectorized marshal re-reads this read
             if go[0].strand >= 0:
                 r.read = r.read[trim_base:]
             else:
@@ -744,6 +755,12 @@ class Assembler:
             if r.read is None:
                 continue
             go = r.gene_overlap
+            if getattr(go, "_mat", True) is None:
+                # Unmaterialized lazy view: skip without building the
+                # Overlap objects when no C/J gene hit exists.
+                rw = go.rows
+                if rw[2][0] == -1 and rw[3][0] == -1:
+                    continue
             length = r.len
             gidx = 2
             while gidx <= 3 and go[gidx].seq_idx == -1:
@@ -788,6 +805,8 @@ class Assembler:
             if r.len - trim_base < 31:
                 r.read = None
                 continue
+            if hasattr(go, "dirty"):
+                go.dirty = True  # vectorized marshal re-reads this read
             if go[gidx].strand < 0:
                 r.read = r.read[trim_base:]
                 go[3].seq_idx = -1
@@ -880,6 +899,173 @@ class Assembler:
         )
         return name, strand, min_kmer_cnt, similarity_threshold
 
+    def _ref_name4_packed(self):
+        """Per-ref-seq first-4-name-bytes packed little-endian (the
+        plan_name4 encoding), cached for the vectorized marshal."""
+        import numpy as np
+
+        arr = getattr(self, "_ref_name4_arr", None)
+        if arr is None or len(arr) != len(self.ref_set.seqs):
+            vals = []
+            for s in self.ref_set.seqs:
+                packed = 0
+                for k, byte in enumerate(s.name.encode("ascii")[:4]):
+                    packed |= byte << (8 * k)
+                vals.append(packed)
+            arr = np.array(vals, dtype=np.int64)
+            self._ref_name4_arr = arr
+        return arr
+
+    def _marshal_plan_fast(self, sorted_reads):
+        """Vectorized loop marshal: meta/plan/g8 rebuilt straight from
+        the annotate0 batch's stashed row arrays (G8View.a0) instead of
+        reading ~36 Overlap attributes per read in Python (~9us/read —
+        0.7s at 100k bulk, 7.6s at the 897k single-cell scale).  The
+        numpy plan replicates _add_read_params exactly (incl. the
+        strand-ambiguity scan order and the dead min_cnt>=5 clause,
+        main.cpp:1620-1694); reads whose views were mutated by the
+        germline trims (dirty) or replaced by non-view annotate0 paths
+        take the per-read path.  Returns None when the stashed arrays
+        are unavailable — callers fall back to the classic loop."""
+        import numpy as np
+
+        rows_all = getattr(self, "_g8_rows", None)
+        if rows_all is None:
+            return None
+        n = len(sorted_reads)
+        idx_l = []
+        dirty_l = []
+        bc_l = []
+        mate_l = []
+        mc_l = []
+        bmc_l = []
+        len_l = []
+        st_l = []
+        info_l = []
+        rep_l = []
+        prev_read = None
+        prev_bc = None
+        for i, r in enumerate(sorted_reads):
+            go = r.gene_overlap
+            a0 = getattr(go, "a0", -1)
+            if a0 < 0:
+                return None
+            idx_l.append(a0)
+            if go.dirty:
+                dirty_l.append(i)
+            bc_l.append(r.barcode)
+            mate_l.append(r.mate_idx)
+            mc_l.append(r.min_cnt)
+            bmc_l.append(r.barcode_min_cnt)
+            len_l.append(r.len)
+            st_l.append(r.strand)
+            info_l.append(r.info)
+            rep_l.append(r.read == prev_read and r.barcode == prev_bc)
+            prev_read = r.read
+            prev_bc = r.barcode
+        idx = np.array(idx_l, dtype=np.int64)
+        g8 = np.ascontiguousarray(rows_all[idx])
+        gsim = np.ascontiguousarray(self._g8_sims[idx])
+        barcodes = np.array(bc_l, dtype=np.int64)
+        mate_idx = np.array(mate_l, dtype=np.int64)
+        min_cnt = np.array(mc_l, dtype=np.int64)
+        bc_min = np.array(bmc_l, dtype=np.int64)
+        lens = np.array(len_l, dtype=np.int64)
+        io_strand = np.array(st_l, dtype=np.int32)
+        io_info = np.array(info_l, dtype=np.int32)
+        is_rep = np.array(rep_l, dtype=bool)
+
+        valid = g8[:, :, 0] != -1  # (n, 4)
+        # V-D-J-C order filter (main.cpp:1620-1638).
+        filtered = np.zeros(n, dtype=bool)
+        for j in range(4):
+            for l in range(j + 1, 4):
+                filtered |= (
+                    valid[:, j] & valid[:, l]
+                    & (g8[:, j, 2] - 10 > g8[:, l, 1])
+                )
+        # C-only read filters (main.cpp:1640-1651).
+        cge = self.constant_gene_end
+        c_only = valid[:, 3] & ~valid[:, 0] & ~valid[:, 2]
+        f2 = g8[:, 3, 4] >= cge
+        if cge <= 200:
+            f2 = f2 | (
+                (g8[:, 3, 4] >= 100)
+                & ((g8[:, 3, 3] == 1)
+                   | (g8[:, 3, 2] - g8[:, 3, 1] + 1 < lens))
+            )
+        filtered |= c_only & f2
+        has_plan = ~filtered & ~is_rep
+
+        # name4 / strand from ascending gene order (last valid wins;
+        # ambiguity replicates the reference's running comparison).
+        ref_name4 = self._ref_name4_packed()
+        name4 = np.zeros(n, dtype=np.int64)
+        strand = np.zeros(n, dtype=np.int64)
+        ambiguous = np.zeros(n, dtype=bool)
+        for j in range(4):
+            vj = valid[:, j]
+            sj = g8[:, j, 3]
+            name4 = np.where(
+                vj, ref_name4[np.clip(g8[:, j, 0], 0, len(ref_name4) - 1)],
+                name4,
+            )
+            ambiguous |= vj & (strand != 0) & (strand != sj)
+            strand = np.where(vj, sj, strand)
+        strand = np.where(ambiguous, 0, strand)
+
+        sim = np.full(n, 0.9)
+        frl = self.first_read_len
+        cond95 = (min_cnt >= 2) | ((min_cnt >= 5) & (frl > 200))
+        sim = np.where(cond95, 0.95, sim)
+        sim = np.where(min_cnt >= 20, 0.97, sim)
+        is_t = (name4 & 0xFF) == ord("T")
+        sim = np.where(is_t & (sim < 0.95), 0.95, sim)
+        if self.has_barcode or self.trim_level > 1:
+            sim[:] = 0.9
+        if self.has_barcode:
+            min_kmer = (min_cnt + bc_min + 1) // 2
+        else:
+            min_kmer = min_cnt
+
+        plan_sim = np.where(has_plan, sim, 0.0)
+        plan_name4 = np.where(has_plan, name4, 0).astype(np.int32)
+        hp = has_plan.astype(np.int64)
+        meta = np.ascontiguousarray(
+            np.stack(
+                [barcodes, mate_idx, min_cnt, hp, hp * strand,
+                 hp * min_kmer], axis=1
+            ).astype(np.int32)
+        )
+
+        # Trim-mutated reads: re-read through the materialized objects
+        # and the scalar params path (exact slow-path semantics).
+        for i in dirty_l:
+            r = sorted_reads[i]
+            mat = r.gene_overlap._materialize()
+            for g in range(4):
+                o = mat[g]
+                g8[i, g] = (o.seq_idx, o.read_start, o.read_end, o.strand,
+                            o.seq_start, o.seq_end, o.match_cnt,
+                            o.indel_cnt)
+                gsim[i, g] = o.similarity
+            p = None if is_rep[i] else self._add_read_params(r)
+            if p is None:
+                meta[i, 3:6] = 0
+                plan_sim[i] = 0.0
+                plan_name4[i] = 0
+            else:
+                name, strand_v, mk, sv = p
+                packed = 0
+                for k, byte in enumerate(name.encode("ascii")[:4]):
+                    packed |= byte << (8 * k)
+                meta[i, 3] = 1
+                meta[i, 4] = strand_v
+                meta[i, 5] = mk
+                plan_sim[i] = sv
+                plan_name4[i] = packed
+        return (meta, plan_sim, plan_name4, g8, gsim, io_strand, io_info)
+
     # Speculative round size: number of upcoming AddRead calls whose
     # overlap queries run as one threaded phase-A batch before the serial
     # commits replay them (invalid entries re-query serially).
@@ -897,20 +1083,27 @@ class Assembler:
         _t0 = _time.perf_counter()
         seq_set = self.seq_set
         n = len(sorted_reads)
+        io_good = np.zeros(n, dtype=np.uint8)
+        fast = None
+        if _os.environ.get("TRUST4_TPU_FAST_MARSHAL", "1") != "0":
+            fast = self._marshal_plan_fast(sorted_reads)
+        if fast is not None:
+            (meta, plan_sim, plan_name4, g8, gsim, io_strand,
+             io_info) = fast
         # List-building then one bulk conversion: per-row numpy scalar
         # assignment cost ~4x more than list appends at this volume.
         meta_l = []
-        plan_sim = np.zeros(n, dtype=np.float64)
-        plan_name4 = np.zeros(n, dtype=np.int32)
+        if fast is None:
+            plan_sim = np.zeros(n, dtype=np.float64)
+            plan_name4 = np.zeros(n, dtype=np.int32)
         g8_l = []
         gsim_l = []
         io_strand_l = []
         io_info_l = []
-        io_good = np.zeros(n, dtype=np.uint8)
         prev_read = None
         prev_bc = None
         params = self._add_read_params
-        for i, r in enumerate(sorted_reads):
+        for i, r in enumerate(sorted_reads if fast is None else []):
             is_rep = r.read == prev_read and r.barcode == prev_bc
             prev_read = r.read
             prev_bc = r.barcode
@@ -946,12 +1139,13 @@ class Assembler:
             gsim_l.append(
                 (o0.similarity, o1.similarity, o2.similarity, o3.similarity)
             )
-        meta = np.array(meta_l, dtype=np.int32).reshape(n, 6)
-        g8 = np.array(g8_l, dtype=np.int32).reshape(n, 4, 8)
-        gsim = np.array(gsim_l, dtype=np.float64).reshape(n, 4)
-        io_strand = np.array(io_strand_l, dtype=np.int32)
-        io_info = np.array(io_info_l, dtype=np.int32)
-        del meta_l, g8_l, gsim_l, io_strand_l, io_info_l
+        if fast is None:
+            meta = np.array(meta_l, dtype=np.int32).reshape(n, 6)
+            g8 = np.array(g8_l, dtype=np.int32).reshape(n, 4, 8)
+            gsim = np.array(gsim_l, dtype=np.float64).reshape(n, 4)
+            io_strand = np.array(io_strand_l, dtype=np.int32)
+            io_info = np.array(io_info_l, dtype=np.int32)
+        del meta_l, g8_l, gsim_l
         ref_lens = np.array(
             [s.consensus_len for s in self.ref_set.seqs], dtype=np.int32
         )
@@ -979,6 +1173,11 @@ class Assembler:
                     io_strand[i] = r.strand
                     io_info[i] = r.info
                 io_good[:] = 0
+        _prof_loop = _os.environ.get("T4_PROF", "0") == "1"
+        if _prof_loop:
+            from trust4_tpu.engine import overlap_native as _on
+
+            _on.prof_dump()  # reset so the loop's own phases print alone
         add_ret, assembled, final_kl = seq_set.seq_index.native.s_assemble_loop(
             [r.read for r in sorted_reads], meta, plan_sim, plan_name4,
             g8, gsim, ref_lens, ref_names, seq_set._sconf(),
@@ -987,6 +1186,13 @@ class Assembler:
             1 if repetitive else 0, change_kmer_threshold,
             self.index_kmer_length, io_strand, io_info, io_good,
         )
+        if _prof_loop:
+            p = _on.prof_dump()
+            if p:
+                log(f"[t4prof] assemble_loop hits={p['hits_s']:.2f}s"
+                    f" sort={p['sort_s']:.2f}s chain={p['chain_s']:.2f}s"
+                    f" score={p['score_s']:.2f}s (dp={p['score_dp_s']:.2f}s)"
+                    f" n_hits={p['n_hits']}")
         # Mirror the in-loop kmer-length growth on the Python objects
         # (mate extension and later stages read seq_set.kmer_length /
         # nomatch_gap_limit; the native engine already reindexed).

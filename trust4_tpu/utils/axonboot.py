@@ -38,19 +38,32 @@ import threading
 
 _GATE = "PALLAS_AXON_POOL_IPS"
 _STASH = "TRUST4_TPU_AXON_POOL_IPS"
+# Current axon builds register via a PYTHONPATH sitecustomize entry with
+# no gate variable at all (~1.7 s measured at EVERY interpreter start),
+# so the stash also moves that path entry aside.
+_SITE_STASH = "TRUST4_TPU_AXON_SITE"
 
 _lock = threading.Lock()
 _registered = False
 
 
 def stashed_env() -> dict:
-    """A copy of os.environ with the device-boot gate stashed, for
-    spawning trust4_tpu CLI subprocesses that should boot fast and
-    register the device backend lazily."""
+    """A copy of os.environ with the device-boot gate AND the axon
+    sitecustomize PYTHONPATH entry stashed, for spawning trust4_tpu CLI
+    subprocesses that should boot fast (~70 ms vs ~1.8 s) and register
+    the device backend lazily (ensure_registered)."""
     env = dict(os.environ)
     ips = env.pop(_GATE, None)
     if ips:
         env[_STASH] = ips
+    pp = env.get("PYTHONPATH", "")
+    if pp and _SITE_STASH not in env:
+        parts = pp.split(os.pathsep)
+        axon = [p for p in parts if "axon_site" in p]
+        if axon:
+            rest = [p for p in parts if "axon_site" not in p]
+            env[_SITE_STASH] = os.pathsep.join(axon)
+            env["PYTHONPATH"] = os.pathsep.join(rest)
     return env
 
 
@@ -58,18 +71,31 @@ def ensure_registered() -> None:
     """Run the deferred device registration (idempotent, thread-safe).
 
     Must be called before the first ``import jax`` on any path that
-    expects the axon PJRT backend.  Re-executes the sitecustomize module
-    with the gate restored — the identical code the interpreter would
-    have run at boot.
+    expects the axon PJRT backend.  Restores the stashed sys.path entry
+    and/or gate variable and executes the sitecustomize module — the
+    identical code the interpreter would have run at boot.
     """
     global _registered
+    site_stash = os.environ.get(_SITE_STASH)
     ips = os.environ.get(_STASH)
-    if not ips:
+    if not site_stash and not ips:
         return
     with _lock:
         if _registered:
             return
-        os.environ[_GATE] = ips
+        if ips:
+            os.environ[_GATE] = ips
+        if site_stash:
+            for p in reversed(site_stash.split(os.pathsep)):
+                if p and p not in sys.path:
+                    sys.path.insert(0, p)
+            # Children (e.g. the device child itself re-spawning tools)
+            # must see the entry again: restore it in PYTHONPATH.
+            pp = os.environ.get("PYTHONPATH", "")
+            if "axon_site" not in pp:
+                os.environ["PYTHONPATH"] = (
+                    site_stash + (os.pathsep + pp if pp else "")
+                )
         try:
             import sitecustomize
 
