@@ -533,6 +533,9 @@ class Assembler:
 
             self._g8_rows = np.ascontiguousarray(rows, dtype=np.int32)
             self._g8_sims = np.ascontiguousarray(sims, dtype=np.float64)
+            self._g8_lens = np.array(
+                [r.len for r in sorted_reads], dtype=np.int64
+            )
             rows_l = rows.tolist()
             sims_l = sims.tolist()
             for i, r in enumerate(sorted_reads):
@@ -683,13 +686,70 @@ class Assembler:
             -r.barcode_min_cnt if r.barcode != -1 else 0,
         ) + r.sort_key()
 
+    def _trim_v_candidates(self):
+        """Vectorized superset of _trim_before_v's early-exit conditions
+        (valid V hit, may_trim, trim_base > 0), evaluated on the stashed
+        annotate0 rows, indexed by G8View.a0 — reads outside the mask
+        provably take the body's `continue` without ever materializing
+        their Overlap objects.  None disables the fast path (no stashed
+        rows, or trim_level > 1 where may_trim is unconditionally
+        true)."""
+        import numpy as np
+
+        rows = getattr(self, "_g8_rows", None)
+        if rows is None or self.trim_level > 1:
+            return None
+        sims = self._g8_sims
+        conslen = np.array(
+            [s.consensus_len for s in self.ref_set.seqs], dtype=np.int64
+        )
+        sidx = rows[:, 0, 0]
+        v = sidx != -1
+        ss = rows[:, 0, 4]
+        sim = sims[:, 0]
+        cl = conslen[np.clip(sidx, 0, len(conslen) - 1)]
+        may = ((ss < 31) & (sim > 0.9)) | ((sim > 0.95) & (ss <= cl / 3))
+        return v & may & (rows[:, 0, 1] > 0)
+
+    def _trim_c_candidates(self):
+        """Vectorized superset of _trim_after_c's early exits at
+        trim_level <= 1: the only trim trigger is gidx == 3 with
+        seq_start < 9 and similarity > 0.95 and a positive trim_base
+        (main.cpp:1360-1464); gidx lands on 3 when gene 2 is absent or
+        is a *H heavy-chain name."""
+        import numpy as np
+
+        rows = getattr(self, "_g8_rows", None)
+        if rows is None or self.trim_level > 1:
+            return None
+        sims = self._g8_sims
+        lens = self._g8_lens
+        names = self.ref_set.seqs
+        is_h = np.array(
+            [len(s.name) > 2 and s.name[2] == "H" for s in names],
+            dtype=bool,
+        )
+        v2 = rows[:, 2, 0] != -1
+        v3 = rows[:, 3, 0] != -1
+        h2 = is_h[np.clip(rows[:, 2, 0], 0, len(is_h) - 1)]
+        gidx3 = (~v2 & v3) | (v2 & h2 & v3)
+        tb3 = lens - rows[:, 3, 2] - 1 > 0
+        return gidx3 & (rows[:, 3, 4] < 9) & (sims[:, 3] > 0.95) & tb3
+
     def _trim_before_v(self, sorted_reads: List[SortRead]) -> None:
         """Trim bases before the V-gene start (main.cpp:1262-1356)."""
         ref_set = self.ref_set
+        cand = self._trim_v_candidates()
         for r in sorted_reads:
             if r.read is None:
                 continue
             go = r.gene_overlap
+            a0 = getattr(go, "a0", -1)
+            if (
+                cand is not None and a0 >= 0
+                and not getattr(go, "dirty", False) and not cand[a0]
+            ):
+                continue
             fsi = getattr(go, "first_seq_idx", None)
             if (go[0].seq_idx if fsi is None else fsi) == -1:
                 continue
@@ -751,10 +811,17 @@ class Assembler:
     def _trim_after_c(self, sorted_reads: List[SortRead]) -> None:
         """Trim bases after the C gene (main.cpp:1360-1464)."""
         ref_set = self.ref_set
+        cand = self._trim_c_candidates()
         for r in sorted_reads:
             if r.read is None:
                 continue
             go = r.gene_overlap
+            a0 = getattr(go, "a0", -1)
+            if (
+                cand is not None and a0 >= 0
+                and not getattr(go, "dirty", False) and not cand[a0]
+            ):
+                continue
             if getattr(go, "_mat", True) is None:
                 # Unmaterialized lazy view: skip without building the
                 # Overlap objects when no C/J gene hit exists.
