@@ -60,35 +60,6 @@ def test_final_out_parity(assembled, tmp_path):
     assert (tmp_path / "t_final.out").read_text() == golden
 
 
-def test_speculative_rounds_parity(tmp_path, monkeypatch):
-    """Round-based speculative assembly (TRUST4_TPU_SPEC=1) produces a
-    byte-identical _raw.out: phase A batch-queries are replayed only when
-    the mutated-key Bloom + contig-epoch validation proves the serial
-    query would return the same overlaps (overlap_engine.cpp SpecState)."""
-    monkeypatch.setenv("TRUST4_TPU_SPEC", "1")
-    asm = Assembler(
-        os.path.join(GOLDEN, "..", "..", ".refbuild", "hg38_bcrtcr.fa")
-        if os.path.exists(
-            os.path.join(GOLDEN, "..", "..", ".refbuild", "hg38_bcrtcr.fa")
-        )
-        else "/root/reference/hg38_bcrtcr.fa",
-        output_prefix=str(tmp_path / "t"),
-    )
-    sr = asm.ingest(
-        [os.path.join(GOLDEN, "gold_toassemble_1.fq")],
-        [os.path.join(GOLDEN, "gold_toassemble_2.fq")],
-    )
-    sr = asm.prepare(sr)
-    asm.assemble(sr)
-    spec, replayed, invalid = asm.seq_set.spec_stats()
-    assert spec > 0  # the speculative phase actually ran
-    out = tmp_path / "raw.out"
-    with open(out, "w") as fp:
-        asm.output_seqset(asm.seq_set, fp)
-    golden = open(os.path.join(GOLDEN, "gold_raw.out")).read()
-    assert out.read_text() == golden
-
-
 def test_native_loop_matches_python_loop(tmp_path, monkeypatch):
     """The fully-native greedy loop (t4s_assemble_loop) and the Python
     loop (TRUST4_TPU_NATIVE_LOOP=0) must produce identical _raw.out,

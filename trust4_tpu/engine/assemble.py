@@ -262,27 +262,6 @@ class AssembleMixin:
     # AddRead (SeqSet.hpp:3426-4473)
     # ------------------------------------------------------------------
 
-    def speculate(self, reads, strands, barcodes, repetitives,
-                  base_ord: int, threads: int) -> int:
-        """Round-based assembly phase A: run the scored overlap query for a
-        window of upcoming add_read calls in parallel against the frozen
-        contig state (native master mode; no-op otherwise).  Commits replay
-        validated results via add_read(..., spec_ord=...)."""
-        if not self.native_master:
-            return 0
-        return self.seq_index.native.s_speculate(
-            reads, strands, barcodes, repetitives, base_ord, threads,
-            self._sconf(),
-        )
-
-    def spec_stats(self):
-        """(speculated, replayed, invalidated) counters — survive leaving
-        master mode (the handle keeps its SpecState)."""
-        nat = self.seq_index.native
-        if nat is None:
-            return (0, 0, 0)
-        return nat.s_spec_stats()
-
     def add_read(
         self,
         read: str,
@@ -292,22 +271,13 @@ class AssembleMixin:
         min_kmer_count: int,
         repetitive_data: bool,
         similarity_threshold: float,
-        spec_ord: int = -1,
     ) -> Tuple[int, int]:
         """Place a read: extend/merge/create contigs.
 
         Returns (ret, strand): ret is the contig idx, -1 on hard reject, -2
         when overlaps existed but no placement was possible (rescue queue).
-        spec_ord >= 0 names this call's ordinal in the current speculative
-        round (native master mode only; see speculate()).
         """
         if self.native_master:
-            if spec_ord >= 0:
-                return self.seq_index.native.s_add_read_spec(
-                    read, gene_name, strand, barcode, min_kmer_count,
-                    repetitive_data, similarity_threshold, self._sconf(),
-                    spec_ord,
-                )
             return self.seq_index.native.s_add_read(
                 read, gene_name, strand, barcode, min_kmer_count,
                 repetitive_data, similarity_threshold, self._sconf(),

@@ -255,18 +255,6 @@ def _register_protos(lib):
         c_int, c_int, c_dbl, c_int, c_int, c_int, c_int, c_dbl, c_dbl,
         c_dbl, _i32p,
     ]
-    lib.t4s_add_read_spec.argtypes = [
-        ctypes.c_void_p, c_char_p, c_int, c_char_p, c_int, c_int, c_int,
-        c_int, c_int, c_dbl, c_int, c_int, c_int, c_int, c_dbl, c_dbl,
-        c_dbl, ctypes.c_int64, _i32p,
-    ]
-    lib.t4s_speculate.restype = ctypes.c_int64
-    lib.t4s_speculate.argtypes = [
-        ctypes.c_void_p, c_char_p, _i64p, _i32p, _i32p, _i32p, c_int,
-        ctypes.c_int64, c_int, c_int, c_int, c_int, c_int, c_dbl, c_dbl,
-        c_dbl,
-    ]
-    lib.t4s_spec_stats.argtypes = [ctypes.c_void_p, _i64p]
     lib.t4s_substring_relation.argtypes = [ctypes.c_void_p, _i32p]
     lib.t4s_repeat_add_read.restype = c_int
     lib.t4s_repeat_add_read.argtypes = [ctypes.c_void_p, c_char_p, c_int]
@@ -1106,45 +1094,6 @@ class NativeOverlapEngine:
             out_final_kl.ctypes.data_as(_i32p),
         )
         return out_add_ret, out_assembled[:cnt], int(out_final_kl[0])
-
-    def s_add_read_spec(self, read: str, gene_name: str, strand: int,
-                        barcode: int, min_kmer_count: int, repetitive: bool,
-                        sim_threshold: float, conf,
-                        spec_ord: int) -> tuple:
-        """add_read consuming a validated speculative query when possible
-        (round-based assembly; see t4s_add_read_spec)."""
-        b = read.encode("ascii")
-        g = gene_name.encode("ascii")
-        out2 = np.empty(2, dtype=np.int32)
-        self._lib.t4s_add_read_spec(
-            self._h, b, len(b), g, len(g), strand, barcode, min_kmer_count,
-            1 if repetitive else 0, sim_threshold, *conf, spec_ord,
-            out2.ctypes.data_as(_i32p),
-        )
-        return int(out2[0]), int(out2[1])
-
-    def s_speculate(self, reads, strands, barcodes, repetitives,
-                    base_ord: int, n_threads: int, conf) -> int:
-        """Phase A of a round: threaded scored-overlap queries for the
-        upcoming read window against frozen contig state."""
-        blobs = [r.encode("ascii") for r in reads]
-        offs = np.zeros(len(blobs) + 1, dtype=np.int64)
-        np.cumsum([len(b) for b in blobs], out=offs[1:])
-        blob = b"".join(blobs)
-        st = np.asarray(strands, dtype=np.int32)
-        bc = np.asarray(barcodes, dtype=np.int32)
-        rp = np.asarray(repetitives, dtype=np.int32)
-        return int(self._lib.t4s_speculate(
-            self._h, blob, offs.ctypes.data_as(_i64p),
-            st.ctypes.data_as(_i32p), bc.ctypes.data_as(_i32p),
-            rp.ctypes.data_as(_i32p), len(blobs), base_ord, n_threads,
-            *conf,
-        ))
-
-    def s_spec_stats(self) -> tuple:
-        out3 = np.zeros(3, dtype=np.int64)
-        self._lib.t4s_spec_stats(self._h, out3.ctypes.data_as(_i64p))
-        return int(out3[0]), int(out3[1]), int(out3[2])
 
     def substring_relation(self, seq_cnt: int):
         """BuildSeqSubstringRelation over the synced seqs + index

@@ -187,58 +187,7 @@ inline void engine_ensure_csr(Engine *E) {
   E->csr_valid = true;
 }
 
-// ---------------------------------------------------------------------------
-// Speculative-batch state (round-based assembly, SURVEY.md §7.1): phase A
-// runs the overlap query for a window of upcoming reads in parallel
-// against frozen contig state; the serial commit loop replays each cached
-// result only if provably unchanged — (a) no index mutation since the
-// batch touched any key the read probes (Bloom filter over mutated index
-// keys), and (b) every contig the read's k-mers hit kept its epoch.
-// Sound validation => byte-identical outputs by construction.
-// ---------------------------------------------------------------------------
-
 struct SOv;  // fwd
-
-struct SpecEntry {
-  bool have = false;
-  int overlap_cnt = 0;
-  std::vector<uint64_t> keys;  // index keys the read can probe (both strands)
-  std::vector<std::pair<int32_t, uint32_t>> touched;  // (sid, epoch at spec)
-  std::vector<SOv> overlaps;
-};
-
-struct SpecState {
-  bool active = false;
-  int64_t base_ord = -1;
-  std::vector<SpecEntry> entries;
-  std::vector<uint64_t> bloom;  // mutated-key filter, bits
-  // stats (queried by Python for tuning/telemetry)
-  int64_t n_spec = 0, n_hit = 0, n_invalid = 0;
-  int64_t n_inv_bloom = 0, n_inv_epoch = 0;
-  void reset_bloom() { bloom.assign(1 << 16, 0); }  // 4M bits
-  inline void mark(uint64_t h) {
-    bloom[(h >> 6) & ((1 << 16) - 1)] |= 1ull << (h & 63);
-  }
-  inline bool test(uint64_t h) const {
-    return bloom[(h >> 6) & ((1 << 16) - 1)] >> (h & 63) & 1;
-  }
-};
-
-inline uint64_t spec_hash(const Key &k) {
-  uint64_t x = k.code * 0x9E3779B97F4A7C15ull ^ (uint64_t)k.h;
-  x ^= x >> 29;
-  x *= 0xBF58476D1CE4E5B9ull;
-  x ^= x >> 32;
-  return x;
-}
-
-std::unordered_map<void *, SpecState> g_spec;
-
-inline void spec_note_mutation(void *h, const Key &k) {
-  auto it = g_spec.find(h);
-  if (it != g_spec.end() && it->second.active)
-    it->second.mark(spec_hash(k));
-}
 
 inline int nuc2num(unsigned char c) {
   switch (c) {
@@ -991,10 +940,7 @@ void *t4o_create(int kmer_len) {
   return E;
 }
 
-void t4o_destroy(void *h) {
-  g_spec.erase(h);
-  delete (Engine *)h;
-}
+void t4o_destroy(void *h) { delete (Engine *)h; }
 
 void t4o_set_kmer_len(void *h, int kl) { ((Engine *)h)->kmer_len = kl; }
 
@@ -1005,9 +951,6 @@ void t4o_set_consider_barcode(void *h, int v) {
 void t4o_clear(void *h) {
   ((Engine *)h)->index.clear();
   invalidate_csr((Engine *)h);
-  // wholesale index change: every speculative result is void
-  auto it = g_spec.find(h);
-  if (it != g_spec.end()) it->second.active = false;
 }
 
 // KmerIndex.build_from_read (ops/kmer_index.py:79-96).
@@ -1025,7 +968,6 @@ void t4o_build_from_read(void *h, const char *s, int len, int kl, int sid,
       if (codes[w] == prev) continue;
     }
     Key key = make_key(*E, codes[w], barcode);
-    spec_note_mutation(h, key);
     E->index[key].push_back({sid, w + shift});
   }
   invalidate_csr(E);
@@ -1064,12 +1006,7 @@ void t4o_build_batch_mt(void *h, const char *blob, const int64_t *offs,
   int nw = threads;
   if (nw > ShardedIndex::NS) nw = ShardedIndex::NS;
   if (nw < 1) nw = 1;
-  // SPEC instrumentation marks are not thread-safe; when it is active on
-  // this handle, take the serial path (which notes mutations) instead of
-  // racing SpecState.mark from the shard workers (ADVICE r4).
-  auto spec_it = g_spec.find(h);
-  bool spec_on = spec_it != g_spec.end() && spec_it->second.active;
-  if (nw == 1 || spec_on || total < (int64_t)1 << 20) {
+  if (nw == 1 || total < (int64_t)1 << 20) {
     for (int i = 0; i < n; i++)
       t4o_build_from_read(h, blob + offs[i], (int)(offs[i + 1] - offs[i]),
                           kl, sids[i], barcodes[i], 0);
@@ -1134,7 +1071,6 @@ void t4o_remove_from_read(void *h, const char *s, int len, int kl, int sid,
     Key key = make_key(*E, codes[w], barcode);
     PostVec *pv = E->index.find(key);
     if (pv == nullptr) continue;
-    spec_note_mutation(h, key);
     PostVec &lst = *pv;
     for (int i = 0; i < lst.size(); i++) {
       if (lst[i].first == sid && lst[i].second == w + offset) {
@@ -1163,7 +1099,6 @@ extern "C" void t4o_resync_seq(void *h, const char *olds, int old_len,
       if (codes[w] == prev) continue;
     }
     Key key = make_key(*E, codes[w], barcode);
-    spec_note_mutation(h, key);
     auto &lst = E->index[key];
     auto it = std::lower_bound(lst.begin(), lst.end(), std::make_pair(sid, w));
     lst.insert(it, {sid, w});
@@ -1184,7 +1119,6 @@ void t4o_update_from_read(void *h, const char *s, int len, int kl,
     Key key = make_key(*E, codes[w], barcode);
     PostVec *pv = E->index.find(key);
     if (pv == nullptr) continue;
-    spec_note_mutation(h, key);
     for (auto &p : *pv) {
       if (p.first == old_id && p.second == w) {
         p.first = new_id;
@@ -1828,10 +1762,6 @@ struct SeqRec {
   bool index_flag = true;
   bool pw_compressed = false;
   bool info_zero = false;  // info was zeroed (input_novel_read)
-  // Mutation counter for speculative-batch validation (round-based
-  // assembly): bumped on every content change the overlap query can
-  // observe (consensus, posWeight, name, active/len via ms_sync).
-  uint32_t epoch = 0;
   // CDR1/2 IMGT coords for V refs (engine/types.py info[0..1]; set by
   // t4o_reg_seq_cdr after registration): {c1s, c1e, c2s, c2e}.
   int32_t cdr_info[4] = {-1, -1, -1, -1};
@@ -3118,7 +3048,6 @@ std::map<void*, PrevAdd> g_prev_add;
 // and the flat meta arrays current.
 void ms_sync(Engine2& R, int sid) {
   SeqRec& s = R.seqs[sid];
-  s.epoch++;  // any synced change invalidates speculative query results
   s.pw = (s.own_pw.empty() || s.pw_compressed) ? nullptr : s.own_pw.data();
   R.m_is_ref[sid] = s.is_ref ? 1 : 0;
   R.m_barcode[sid] = s.barcode;
@@ -3141,34 +3070,14 @@ int ms_new_seq(Engine2& R) {
 // accumulate_read (engine/assemble.py:34-40): N skipped; the reference's
 // nucToNum maps other non-ACGT to -1, which numpy's add.at folds into
 // column 3 (negative index) — reproduced.
-// The scored-overlap query observes a posWeight column only through the
-// profile-DP equality classes — "equal" iff sum == 0 or 3*count[b] > sum
-// (AlignAlgo.hpp:49-55, align_kernels.cpp is_base_equal) — so a count
-// bump that flips no class is invisible to speculation (round-based
-// assembly) and need not bump the contig epoch.
-inline uint8_t pw_class(const int32_t* row) {
-  int32_t sum = row[0] + row[1] + row[2] + row[3];
-  if (sum == 0) return 0x10;
-  uint8_t m = 0;
-  for (int b = 0; b < 4; b++)
-    if (sum < 3 * row[b]) m |= (uint8_t)(1 << b);
-  return m;
-}
-
-// Returns true when any touched position's equality class changed.
-bool ms_accumulate(SeqRec& s, int offset, const char* r, int len) {
-  bool cls_changed = false;
+void ms_accumulate(SeqRec& s, int offset, const char* r, int len) {
   for (int i = 0; i < len; i++) {
     char c = r[i];
     if (c == 'N') continue;
     int v = nuc2num((unsigned char)c);
     int col = v < 0 ? 3 : v;
-    int32_t* row = s.own_pw.data() + (size_t)(offset + i) * 4;
-    uint8_t before = pw_class(row);
-    row[col]++;
-    if (pw_class(row) != before) cls_changed = true;
+    s.own_pw[(size_t)(offset + i) * 4 + col]++;
   }
-  return cls_changed;
 }
 
 void ms_pw_from_seq(SeqRec& s) {
@@ -3558,7 +3467,7 @@ int ms_accumulate_into_contig(Engine* E, Engine2& R, void* h, const char* r,
                               int strand) {
   SeqRec& sw = R.seqs[seq_idx];
   int kl = E->kmer_len;
-  bool cls_changed = ms_accumulate(sw, offset, r, len);
+  ms_accumulate(sw, offset, r, len);
   static thread_local std::vector<int> n_pos;
   n_pos.clear();
   for (int i = 0; i < len; i++)
@@ -3579,11 +3488,8 @@ int ms_accumulate_into_contig(Engine* E, Engine2& R, void* h, const char* r,
                         end - start + 1, kl, seq_idx, barcode, start);
     i = j;
   }
-  if (size > 0) {
-    ms_sync(R, seq_idx);  // consensus N-repair: structural, epoch bumps
-  } else if (cls_changed) {
-    sw.epoch++;  // pure accumulate that flipped a DP equality class
-  }
+  if (size > 0)
+    ms_sync(R, seq_idx);  // consensus N-repair: structural resync
   return seq_idx;
 }
 
@@ -4168,178 +4074,6 @@ void t4s_add_read(void* h, const char* read, int len, const char* gene_name,
   out2[1] = o2[1];
 }
 
-// ---------------------------------------------------------------------------
-// Round-based assembly (SURVEY.md §7.1): speculative batch match + serial
-// commit.  t4s_speculate runs the scored overlap query for a window of
-// upcoming reads in parallel against the frozen contig state;
-// t4s_add_read_spec replays a cached result when provably still valid
-// (no index-key mutation the read probes — Bloom over mutated keys — and
-// unchanged epochs for every contig the read's k-mers hit), else falls
-// back to a fresh serial query.  Outputs are byte-identical by
-// construction; TRUST4_TPU_SPEC_CHECK=1 re-queries on every replay and
-// asserts equality (fuzz harness hook).
-// ---------------------------------------------------------------------------
-
-// Record every index key the read can probe: valid window codes of the
-// read and its reverse complement, keyed with the read's barcode (the
-// exact keys get_hits_from_read can look up).
-void spec_record_keys(Engine* E, const char* read, int len, int barcode,
-                      std::vector<uint64_t>& out) {
-  out.clear();
-  int kl = E->kmer_len;
-  if (len < kl) return;
-  static thread_local std::vector<uint64_t> codes;
-  static thread_local std::vector<uint8_t> valid;
-  static thread_local std::string rc;
-  window_codes(read, len, kl, codes, valid);
-  for (size_t w = 0; w < codes.size(); w++)
-    if (valid[w]) out.push_back(spec_hash(make_key(*E, codes[w], barcode)));
-  revcomp(read, len, rc);
-  window_codes(rc.data(), len, kl, codes, valid);
-  for (size_t w = 0; w < codes.size(); w++)
-    if (valid[w]) out.push_back(spec_hash(make_key(*E, codes[w], barcode)));
-  std::sort(out.begin(), out.end());
-  out.erase(std::unique(out.begin(), out.end()), out.end());
-}
-
-int64_t t4s_speculate(void* h, const char* blob, const int64_t* offs,
-                      const int32_t* strands, const int32_t* barcodes,
-                      const int32_t* repetitives, int n, int64_t base_ord,
-                      int n_threads, int radius, int hit_len_required,
-                      int is_long_seq_set, int nomatch_gap_limit,
-                      double novel_sim, double ref_sim, double repeat_sim) {
-  Engine* E = (Engine*)h;
-  Engine2& R = registry_for(h);
-  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
-          novel_sim, ref_sim, repeat_sim};
-  SpecState& sp = g_spec[h];
-  sp.entries.assign((size_t)n, SpecEntry{});
-  sp.base_ord = base_ord;
-  sp.n_spec += n;
-
-  auto work = [&](int lo, int hi) {
-    std::vector<int32_t> sids;
-    for (int i = lo; i < hi; i++) {
-      SpecEntry& e = sp.entries[i];
-      const char* r = blob + offs[i];
-      int len = (int)(offs[i + 1] - offs[i]);
-      sids.clear();
-      e.overlap_cnt = query_scored_core(
-          E, R, C, r, len, strands[i], barcodes[i], 0, repetitives[i] != 0,
-          nullptr, e.overlaps, nullptr, &sids);
-      std::sort(sids.begin(), sids.end());
-      sids.erase(std::unique(sids.begin(), sids.end()), sids.end());
-      e.touched.reserve(sids.size());
-      for (int32_t sid : sids)
-        e.touched.push_back({sid, R.seqs[sid].epoch});
-      spec_record_keys(E, r, len, barcodes[i], e.keys);
-      e.have = true;
-    }
-  };
-  if (n_threads <= 1 || n < 4) {
-    work(0, n);
-  } else {
-    steal_for(n, n_threads, 16, [&](int, int lo, int hi) { work(lo, hi); });
-  }
-  sp.reset_bloom();
-  sp.active = true;
-  return n;
-}
-
-void t4s_add_read_spec(void* h, const char* read, int len,
-                       const char* gene_name, int gene_name_len, int strand,
-                       int barcode, int min_kmer_count, int repetitive,
-                       double sim_threshold, int radius, int hit_len_required,
-                       int is_long_seq_set, int nomatch_gap_limit,
-                       double novel_sim, double ref_sim, double repeat_sim,
-                       int64_t spec_ord, int32_t* out2) {
-  SConf C{radius, hit_len_required, is_long_seq_set != 0, nomatch_gap_limit,
-          novel_sim, ref_sim, repeat_sim};
-  Engine2& R = registry_for(h);
-  auto sit = g_spec.find(h);
-  SpecState* sp = sit != g_spec.end() ? &sit->second : nullptr;
-  SpecEntry* e = nullptr;
-  if (sp != nullptr && sp->active && spec_ord >= sp->base_ord &&
-      spec_ord < sp->base_ord + (int64_t)sp->entries.size()) {
-    e = &sp->entries[spec_ord - sp->base_ord];
-    if (!e->have) e = nullptr;
-  }
-  bool valid = e != nullptr;
-  if (valid) {
-    for (uint64_t k : e->keys)
-      if (sp->test(k)) {
-        valid = false;
-        sp->n_inv_bloom++;
-        break;
-      }
-  }
-  if (valid) {
-    for (auto& t : e->touched)
-      if (R.seqs[t.first].epoch != t.second) {
-        valid = false;
-        sp->n_inv_epoch++;
-        break;
-      }
-  }
-  int o2[2];
-  if (valid) {
-    static int check = -1;
-    if (check == -1) {
-      const char* env = getenv("TRUST4_TPU_SPEC_CHECK");
-      check = (env && env[0] == '1') ? 1 : 0;
-    }
-    if (check == 1) {
-      std::vector<SOv> fresh;
-      int cnt = query_scored_core((Engine*)h, R, C, read, len, strand,
-                                  barcode, 0, repetitive != 0, nullptr,
-                                  fresh);
-      bool same = cnt == e->overlap_cnt && fresh.size() == e->overlaps.size();
-      for (size_t i = 0; same && i < fresh.size(); i++) {
-        const SOv &a = fresh[i], &b = e->overlaps[i];
-        same = a.seq_idx == b.seq_idx && a.read_start == b.read_start &&
-               a.read_end == b.read_end && a.strand == b.strand &&
-               a.seq_start == b.seq_start && a.seq_end == b.seq_end &&
-               a.match_cnt == b.match_cnt && a.indel_cnt == b.indel_cnt &&
-               a.similarity == b.similarity;
-      }
-      if (!same) {
-        fprintf(stderr,
-                "t4s_add_read_spec: VALIDATION BUG ord %lld (%d vs %d)\n",
-                (long long)spec_ord, cnt, e->overlap_cnt);
-        abort();
-      }
-    }
-    sp->n_hit++;
-    e->have = false;
-    ms_add_read_commit(h, read, len, gene_name, gene_name_len, strand,
-                       barcode, min_kmer_count, repetitive != 0,
-                       sim_threshold, C, e->overlaps, e->overlap_cnt, o2);
-  } else {
-    if (e != nullptr) {
-      if (sp != nullptr) sp->n_invalid++;
-      e->have = false;
-    }
-    ms_add_read(h, read, len, gene_name, gene_name_len, strand, barcode,
-                min_kmer_count, repetitive != 0, sim_threshold, C, o2);
-  }
-  out2[0] = o2[0];
-  out2[1] = o2[1];
-}
-
-void t4s_spec_stats(void* h, int64_t* out3) {
-  auto it = g_spec.find(h);
-  if (it == g_spec.end()) {
-    out3[0] = out3[1] = out3[2] = 0;
-    return;
-  }
-  out3[0] = it->second.n_spec;
-  out3[1] = it->second.n_hit;
-  out3[2] = it->second.n_invalid;
-  fprintf(stderr, "spec: bloom_inv=%lld epoch_inv=%lld\n",
-          (long long)it->second.n_inv_bloom,
-          (long long)it->second.n_inv_epoch);
-}
-
 // repeat_add_read (engine/assemble.py:985-999).
 int t4s_repeat_add_read(void* h, const char* read, int len) {
   Engine2& R = registry_for(h);
@@ -4352,10 +4086,8 @@ int t4s_repeat_add_read(void* h, const char* read, int len) {
     r = rc.c_str();
   }
   SeqRec& sw = R.seqs[info.seq_idx];
-  if (ms_accumulate(sw, info.read_start + info.seq_start,
-                    r + info.read_start,
-                    info.read_end - info.read_start + 1))
-    sw.epoch++;  // accumulate flipped a DP equality class
+  ms_accumulate(sw, info.read_start + info.seq_start, r + info.read_start,
+                info.read_end - info.read_start + 1);
   sw.num_read += 1;
   return info.seq_idx;
 }

@@ -896,8 +896,8 @@ class Assembler:
         """Pure per-read AddRead parameters (main.cpp:1620-1694): the
         V-D-J-C order / C-gene filters and the name/strand/threshold
         derivation depend only on the read's cached quick annotation, so
-        they can be computed ahead of the greedy loop — which is what lets
-        the speculative round prefetch overlap queries (SURVEY.md §7.1).
+        they can be computed ahead of the greedy loop — which is what
+        lets the marshal vectorize them (_marshal_plan_fast).
         Returns None when the read is filtered, else
         (name, strand, min_kmer_cnt, sim_threshold)."""
         gene_overlap = r.gene_overlap
@@ -1132,11 +1132,6 @@ class Assembler:
                 plan_sim[i] = sv
                 plan_name4[i] = packed
         return (meta, plan_sim, plan_name4, g8, gsim, io_strand, io_info)
-
-    # Speculative round size: number of upcoming AddRead calls whose
-    # overlap queries run as one threaded phase-A batch before the serial
-    # commits replay them (invalid entries re-query serially).
-    SPEC_ROUND = 256
 
     def _assemble_native(self, sorted_reads: List[SortRead],
                          repetitive: bool) -> List[int]:
@@ -1452,13 +1447,11 @@ class Assembler:
         return loop_idx + rescue_idx
 
     def assemble(self, sorted_reads: List[SortRead]) -> List[int]:
-        """Greedy assembly loop (main.cpp:1583-1940) restructured as
-        speculative rounds: phase A batch-matches the next SPEC_ROUND
-        reads against the current contig set in parallel, the serial
-        commit loop replays each result only when provably unchanged
-        (native validation via mutated-key Bloom + contig epochs), so
-        outputs stay byte-identical to the read-at-a-time reference order.
-        Returns the indices of assembled reads."""
+        """Greedy assembly loop (main.cpp:1583-1940): per-read plans are
+        precomputed/vectorized, the loop itself runs natively
+        (t4s_assemble_loop) or per-barcode-partitioned, byte-identical to
+        the read-at-a-time reference order.  Returns the indices of
+        assembled reads."""
         seq_set = self.seq_set
         read_cnt = len(sorted_reads)
 
@@ -1491,50 +1484,20 @@ class Assembler:
                 if r.barcode != -1:
                     barcode_total[r.barcode] = barcode_total.get(r.barcode, 0) + 1
 
-        # Speculation plan: which reads reach AddRead (the dedup and
-        # filter tests are pure per-read functions) and with what params.
-        spec_plan: List = [None] * read_cnt
-        spec_idx: List[int] = []  # read index of each AddRead ordinal
-        # Round-based speculation is opt-in: measured on the bulk corpora,
-        # only ~3% of speculative queries survive validation, because the
-        # greedy loop consumes reads in content-sorted order (main.cpp:103-136)
-        # so consecutive reads hit exactly the contigs the previous commits
-        # just mutated.  The batch phase is therefore pure overhead at any
-        # thread count (VALIDATION.md §speculation); the machinery stays for
-        # corpora with low contig contention and as the multi-chip building
-        # block.
-        use_spec = (
-            seq_set.native_master
-            and _os.environ.get("TRUST4_TPU_SPEC", "0") == "1"
-        )
         repetitive = self.trim_level > 1
-        if use_spec:
-            for i in range(read_cnt):
-                r = sorted_reads[i]
-                if (
-                    i > 0
-                    and r.read == sorted_reads[i - 1].read
-                    and r.barcode == sorted_reads[i - 1].barcode
-                ):
-                    continue  # RepeatAddRead replay
-                p = self._add_read_params(r)
-                if p is not None:
-                    spec_plan[i] = (len(spec_idx),) + p
-                    spec_idx.append(i)
-        spec_done = 0  # ordinals speculated so far
-        from trust4_tpu.utils.parallel import internal_threads
-
-        spec_threads = max(1, internal_threads(self.threads))
-
         dbg = _dbg()
         # Fully-native greedy loop (t4s_assemble_loop): one FFI call runs
         # the whole AddRead/rescue loop against the master-mode engine —
         # the per-read Python iteration + marshalling cost ~35us/read.
-        # The Python loop below remains the debug-trace and
-        # speculative-round path (and the non-master fallback).
+        # The Python loop below remains the debug-trace path and the
+        # non-master fallback.  (The round-based speculative variant was
+        # removed in round 5: measured on the bulk corpora only ~3% of
+        # speculative queries survived validation — the content-sorted
+        # greedy order makes consecutive reads collide by construction —
+        # and it had no production consumer; see VALIDATION.md
+        # §speculation for the negative result.)
         if (
             seq_set.native_master
-            and not use_spec
             and not dbg
             and _os.environ.get("TRUST4_TPU_NATIVE_LOOP", "1") != "0"
         ):
@@ -1555,31 +1518,13 @@ class Assembler:
                 or r.barcode != sorted_reads[i - 1].barcode
             ):
                 gene_overlap = r.gene_overlap
-                if use_spec:
-                    plan = spec_plan[i]
-                else:
-                    p = self._add_read_params(r)
-                    plan = None if p is None else (-1,) + p
+                p = self._add_read_params(r)
 
-                if plan is None:
+                if p is None:
                     add_ret = -1
                 else:
-                    (ord_, name, strand, min_kmer_cnt,
-                     similarity_threshold) = plan
-                    if use_spec and ord_ >= spec_done:
-                        # Phase A: batch-match the next round's reads
-                        # against the current contig set in parallel.
-                        hi = min(ord_ + self.SPEC_ROUND, len(spec_idx))
-                        window = spec_idx[ord_:hi]
-                        seq_set.speculate(
-                            [sorted_reads[j].read for j in window],
-                            [spec_plan[j][2] for j in window],
-                            [sorted_reads[j].barcode for j in window],
-                            [1 if repetitive else 0] * len(window),
-                            ord_,
-                            spec_threads,
-                        )
-                        spec_done = hi
+                    (name, strand, min_kmer_cnt,
+                     similarity_threshold) = p
                     add_ret, strand = seq_set.add_read(
                         r.read,
                         name,
@@ -1588,7 +1533,6 @@ class Assembler:
                         min_kmer_cnt,
                         repetitive,
                         similarity_threshold,
-                        spec_ord=ord_,
                     )
                     if add_ret < 0:
                         # Reference-anchor rescue (main.cpp:1703-1759).
