@@ -55,15 +55,6 @@ import numpy as np
 # several launches of the same shape.
 _TIERS = ((16, 16, 65536), (48, 24, 32768), (144, 48, 16384))
 
-# Spawn threshold only: starting the device child costs the parent ~ms
-# but the child burns a core on jax import + prewarm, which is pure
-# waste on corpora whose whole pipeline finishes before the tunnel
-# handshake could.  This does NOT gate engagement (that is the measured
-# _gate_decision below); it only skips spawning the child for tiny runs.
-SPAWN_MIN_READS = int(
-    os.environ.get("TRUST4_TPU_DEVICE_MIN_READS", "10000")
-)
-
 # Deadlines (seconds).  Every parent-side wait on the device child is
 # bounded by one of these; a run can NEVER hang on the device.
 LAUNCH_TIMEOUT_S = float(
@@ -95,6 +86,26 @@ _warned_fallback = False
 def mode() -> str:
     """'1' force-on, '0' off, 'auto' (default)."""
     return os.environ.get("TRUST4_TPU_DEVICE", "auto")
+
+
+def collect_profitable() -> bool:
+    """Whether the collect-oracle restructuring can pay at all — the
+    PRE-collect gate consulted by the annotator/assembler branches.
+
+    Round-5 measured verdict (VALIDATION.md §gap-oracle): the oracle
+    path restructures one query pass into collect + dedup + counts +
+    oracle-consume, where the collect pass costs ~the full original pass
+    (it runs the same hits/chain work in sink mode; 897k annotator:
+    collect+dedup ~67s vs the 63s monolithic pass) while the DP it can
+    offload is ~5% of the pass after the engine's own content memo
+    (t4-prof: dp 35 of 225 thread-s at 897k; dedup leaves 567k unique
+    jobs of 43.1M ~= 2.4s of CPU DP).  No launch speed — not even a
+    zero-cost device — recovers a ~100% structural overhead to save
+    ~5%, so auto mode never takes this path.  Forced ('1'), check, and
+    in-process modes still do: they are the byte-identity/parity
+    harness for the device stack, and the per-tier hybrid gate still
+    prices each tier honestly there."""
+    return mode() == "1" or check_mode() or _inproc()
 
 
 def check_mode() -> bool:

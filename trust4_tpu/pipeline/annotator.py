@@ -523,7 +523,8 @@ class Annotator:
         # (ops/gap_oracle.py).
         from trust4_tpu.ops import gap_oracle
 
-        if results is None and gap_oracle.active():
+        if (results is None and gap_oracle.collect_profitable()
+                and gap_oracle.active()):
             try:
                 gap_jobs = nat.batch_collect_gaps(jobs, *conf)
                 counts = gap_oracle.gap_counts_on_device(

@@ -505,7 +505,7 @@ class Assembler:
             # counts instead of the CPU DP.
             from trust4_tpu.ops import gap_oracle
 
-            if gap_oracle.active():
+            if gap_oracle.collect_profitable() and gap_oracle.active():
                 try:
                     gap_jobs = _nat.annotate0_collect_gaps(reads, *conf)
                     counts = gap_oracle.gap_counts_on_device(
@@ -966,6 +966,30 @@ class Assembler:
         )
         return name, strand, min_kmer_cnt, similarity_threshold
 
+    def _run_partitions(self, run_part, bounds, workers):
+        """Execute run_part over the whole-barcode partition spans.
+
+        The execution fabric is pluggable: the default is the host
+        thread pool (the t4s_assemble_loop FFI call releases the GIL, so
+        spans run truly in parallel); setting ``_partition_executor``
+        swaps in another fabric — parallel/asm_mesh.py's jax-mesh shard
+        executor uses this to run the SAME spans as a shard_map program
+        over a device mesh's ``dp`` axis (per-shard io_callbacks into
+        the native engines + one psum), which is how per-barcode
+        assembly lays out on a multi-host TPU slice (SURVEY.md §2.8:
+        share-nothing over barcodes -> per-host engines)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex_fn = getattr(self, "_partition_executor", None)
+        if ex_fn is not None:
+            return ex_fn(run_part, bounds, workers)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [
+                ex.submit(run_part, bounds[k], bounds[k + 1])
+                for k in range(len(bounds) - 1)
+            ]
+            return [f.result() for f in futs]
+
     def _ref_name4_packed(self):
         """Per-ref-seq first-4-name-bytes packed little-endian (the
         plan_name4 encoding), cached for the vectorized marshal."""
@@ -1397,13 +1421,7 @@ class Assembler:
 
         _sub = _os.environ.get("TRUST4_TPU_STAGE_TIMES", "0") == "1"
         _t0 = _time.perf_counter()
-        parts = []
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            futs = [
-                ex.submit(run_part, bounds[k], bounds[k + 1])
-                for k in range(len(bounds) - 1)
-            ]
-            parts = [f.result() for f in futs]
+        parts = self._run_partitions(run_part, bounds, workers)
         if _sub:
             log(f"[stage-time]     loop/parts({len(bounds) - 1}): "
                 f"{_time.perf_counter() - _t0:.3f}s")

@@ -179,20 +179,16 @@ def run_trust4(
     if stage <= 2:
         from trust4_tpu.ops import gap_oracle
 
-        if gap_oracle.mode() != "auto":
+        if gap_oracle.mode() != "auto" or gap_oracle.collect_profitable():
+            # Forced/check/in-process device modes: start the child now so
+            # its backend attach + per-tier compiles + the tunnel's
+            # one-time first-transfer handshake overlap the CPU stages.
+            # Plain auto mode spawns NOTHING: the collect-oracle
+            # restructuring is measured structurally unprofitable
+            # (gap_oracle.collect_profitable), so a child would burn a
+            # core on jax import + prewarm that no batch ever consults —
+            # the round-4 default paid ~10% wall for exactly that.
             gap_oracle.prewarm()
-        else:
-            n_cand = 0
-            for f in asm_reads:
-                try:
-                    with open(f, "rb") as fh:
-                        n_cand += sum(1 for _ in fh) // 4
-                except OSError:
-                    pass
-                if n_cand >= gap_oracle.SPAWN_MIN_READS:
-                    break
-            if n_cand >= gap_oracle.SPAWN_MIN_READS:
-                gap_oracle.prewarm()
 
     # Stage 1: assembly (run-trust4:506-508).
     if stage <= 1:
