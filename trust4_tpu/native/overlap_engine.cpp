@@ -618,21 +618,25 @@ int get_overlaps_from_hits(int kmer_len, const Conf &C, const Meta &M,
     int64_t tg0 = gprof ? now_ns() : 0;
     keys.clear();
     hcd.clear();
+    // Build keys optimistically while range-checking (the packed form
+    // holds for every real domain — reads/contigs << 2M); the pre-scan
+    // this fuses away was a full extra pass over the batch's hits
+    // (1.7B at the 897k annotate scale).
     bool packed = true;
-    for (int k = i; k < j; k++)
-      if ((unsigned)hits[k].ro() >= (1u << 21) ||
-          (unsigned)hits[k].seq_off >= (1u << 21)) {
+    keys.reserve(j - i);
+    for (int k = i; k < j; k++) {
+      uint32_t ro = (uint32_t)hits[k].ro();
+      uint32_t so = (uint32_t)hits[k].seq_off;
+      if ((ro | so) >= (1u << 21)) {
         packed = false;
+        keys.clear();
         break;
       }
+      int64_t diff = (int64_t)ro - (int64_t)so;
+      keys.push_back(((uint64_t)(diff + (1 << 21)) << 42) |
+                     ((uint64_t)so << 21) | (uint64_t)ro);
+    }
     if (packed) {
-      keys.reserve(j - i);
-      for (int k = i; k < j; k++) {
-        int64_t diff = (int64_t)hits[k].ro() - hits[k].seq_off;
-        keys.push_back(((uint64_t)(diff + (1 << 21)) << 42) |
-                       ((uint64_t)hits[k].seq_off << 21) |
-                       (uint64_t)hits[k].ro());
-      }
       std::sort(keys.begin(), keys.end());
     } else {
       hcd.reserve(j - i);
