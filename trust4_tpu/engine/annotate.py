@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import numpy as np
+from dataclasses import replace as _dc_replace
 
 from trust4_tpu.align import host as align_host
 from trust4_tpu.dna import dna_to_aa, revcomp
@@ -356,7 +357,7 @@ class AnnotateMixin:
         # Cross-contig overlap stitching (SeqSet.hpp:6070-6165).
         if detail_level >= 1:
             extended_overlaps = [
-                [Overlap(**o.__dict__) for o in ovs] for ovs in contig_overlaps
+                [_dc_replace(o) for o in ovs] for ovs in contig_overlaps
             ]
             for k in range(contig_cnt):
                 seq_used = {}
@@ -2086,7 +2087,7 @@ class AnnotateMixin:
             if g.seq_idx == -1:
                 continue
             if g.seq_idx == seq_idx:
-                anchor_overlap = Overlap(**g.__dict__)
+                anchor_overlap = _dc_replace(g)
                 if seq_start < g.seq_start:
                     g.seq_start = seq_start
                 if g.seq_end < seq_start + seq_insert_len - 1:

@@ -16,6 +16,7 @@ on host in reference order.
 """
 
 from __future__ import annotations
+from dataclasses import replace as _dc_replace
 
 from typing import List, Optional, Tuple
 
@@ -646,7 +647,7 @@ class OverlapMixin:
         if (sw.is_ref and ext.similarity < self.ref_seq_similarity) or (
             not sw.is_ref and ext.similarity < self.novel_seq_similarity
         ):
-            ext = Overlap(**{**overlap.__dict__})
+            ext = _dc_replace(overlap)
             ret = 0
 
         if ret == 0:

@@ -8,6 +8,7 @@ cxx_sort, a faithful libstdc++ introsort.
 """
 
 from __future__ import annotations
+from dataclasses import replace as _dc_replace
 
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -139,7 +140,7 @@ class ScaffoldMixin:
                     else other.pos_weight[:0],
                 )
 
-                ext = Overlap(**o.__dict__)
+                ext = _dc_replace(o)
                 ext.read_start -= left_extend
                 ext.seq_start -= left_extend
                 ext.read_end += right_extend
@@ -152,7 +153,7 @@ class ScaffoldMixin:
                 if ext.read_end - ext.read_start + 1 < least_overlap_len:
                     continue
                 if ext.similarity < self.repeat_similarity:
-                    ext = Overlap(**o.__dict__)
+                    ext = _dc_replace(o)
                 if ext.similarity >= self.repeat_similarity:
                     adj[i].append(ext)
                     if TRACE:
@@ -307,7 +308,7 @@ class ScaffoldMixin:
 
     def _get_gap_extend_seq_coord(self, from_, mate_info: Overlap, direction):
         """SeqSet.hpp:9582-9602."""
-        coord = Overlap(**{k: v for k, v in mate_info.__dict__.items()})
+        coord = _dc_replace(mate_info)
         coord.read_start = 0
         coord.read_end = self.seqs[from_].consensus_len - 1
         coord.match_cnt = 0

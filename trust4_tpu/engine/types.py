@@ -70,9 +70,10 @@ class Hit:
     repeats: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class Overlap:
-    """A read/contig-vs-seq overlap candidate (reference: _overlap)."""
+    """A read/contig-vs-seq overlap candidate (reference: _overlap).
+    slots: millions of instances at single-cell scale."""
 
     seq_idx: int = -1
     read_start: int = -1

@@ -7,6 +7,7 @@ EM, and the _annot.fa/_cdr3.out writers.
 """
 
 from __future__ import annotations
+from dataclasses import replace as _dc_replace
 
 import sys
 from dataclasses import dataclass, field
@@ -1276,7 +1277,7 @@ class Annotator:
                 ):
                     nr = AssignedRead(
                         id=r.id, read=r.read, umi=r.umi,
-                        overlap=Overlap(**assign.__dict__),
+                        overlap=_dc_replace(assign),
                     )
                     if assign.strand == -1:
                         nr.read = revcomp(r.read)
