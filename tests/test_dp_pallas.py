@@ -141,3 +141,37 @@ def test_counts_pallas_matches_xla():
     sp, cp = banded_affine_counts_pallas(tc, tl, pc, pl_, w)
     np.testing.assert_array_equal(np.asarray(sx), np.asarray(sp))
     np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
+
+
+def test_fused_launch_protocol_matches_raw():
+    """The v2 fused launch path (pack_launch_host + tier_counts_fused:
+    one uint8 buffer in, packed int32 counts out, incl. the chunk/4 tail
+    shape) must be bit-equal to the raw tier kernel for every tier."""
+    from trust4_tpu.ops.dp_pallas import unpack_counts_host
+    from trust4_tpu.ops.gap_oracle import (
+        _tier_counts_fn,
+        _tier_counts_fused_fn,
+        pack_launch_host,
+    )
+
+    rng = np.random.default_rng(5)
+    raw = _tier_counts_fn()
+    fused = _tier_counts_fused_fn()
+    for (s_cap, w_cap, chunk) in ((16, 16, 512), (48, 24, 256)):
+        for m in (chunk, chunk // 4 - 3):
+            tl = rng.integers(1, s_cap + 1, m).astype(np.int32)
+            pl_ = rng.integers(1, s_cap + 1, m).astype(np.int32)
+            pos = np.arange(s_cap)[None, :]
+            tc = np.where(pos < tl[:, None],
+                          rng.integers(0, 5, (m, s_cap)), 5).astype(np.int8)
+            pc = np.where(pos < pl_[:, None],
+                          rng.integers(0, 5, (m, s_cap)), 5).astype(np.int8)
+            want = np.asarray(raw(tc, tl, pc, pl_, w=w_cap, p_max=s_cap))
+            n_rows = chunk if m > chunk // 4 else chunk // 4
+            buf = pack_launch_host(tc, pc, tl, pl_, n_rows, s_cap)
+            packed = np.asarray(
+                fused(buf, w=w_cap, p_max=s_cap, n_rows=n_rows)
+            )
+            got = unpack_counts_host(packed[:m])
+            np.testing.assert_array_equal(want, got,
+                                          err_msg=f"{s_cap}/{m}")

@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Kernel lab: experiments toward >=4 G cells/s on the banded-DP kernel.
 
-Round-5 gate work (VERDICT task 1).  Measures the SHIPPING kernel
-truthfully (materialization-first, device-resident inputs) and A/Bs it
-against candidate restructurings.  The main candidate: G-way software
-pipelining — each grid step processes G independent (W, 128) query
-tiles with the recurrence ops interleaved across the groups, so the
-~30-op row dependency chain of one tile no longer serializes the VPU.
+ROUND-5 CLOSURE: `base` (the shipping kernel, device-resident inputs,
+materialization-first) measures **57-60 G cells/s** (5.5 ms/launch at
+N=65536 L=150 W=32) — round 4's "2.0 G truthful sustained" was the
+since-removed take_along_axis host-shim gather, not the VPU.  The
+kernel is ~0.02 cycles/cell, BEYOND the round-4 issue-bound estimate,
+so the G-way interleave candidates below are moot (inter2/inter4 also
+crash the Mosaic vector-layout pass on strided lane slices:
+`Check failed: limits[i] <= dim(i)` in ApplyVectorLayoutPass).  All
+remaining launch cost is the tunnel (tools/tunnel_probe.py: ~29 ms per
+transfer + ~22 MB/s h2d) — addressed by the v2 fused launch protocol
+in ops/gap_server.py, not by kernel work.
 
 Usage: python tools/dp_kernel_lab.py [base|inter2|inter4|...]
 """
