@@ -1512,7 +1512,60 @@ int64_t t4x_ingest_single(
     delete us;
     return -1;
   }
+  // Interning: barcodes/UMIs are short ACGT strings (16bp/10bp in the
+  // 10x format), so the common case packs into a uint64 key — integer
+  // hashing instead of per-record string hashing + key allocation
+  // (~1.5s at the 897k single-cell scale).  Anything unpackable (>31bp
+  // or non-ACGT, e.g. N-containing barcodes) falls back to the string
+  // map; ids stay first-seen-ordered either way.
+  std::unordered_map<uint64_t, int32_t> bc_pmap, umi_pmap;
   std::unordered_map<std::string, int32_t> bc_map, umi_map;
+  bc_pmap.reserve(1 << 16);
+  umi_pmap.reserve(1 << 16);
+  auto pack_key = [](const std::string &q, uint64_t &out) -> bool {
+    size_t L = q.size();
+    if (L == 0 || L > 31) return false;
+    uint64_t v = 1;  // length sentinel bit keeps different lengths apart
+    for (size_t x = 0; x < L; x++) {
+      uint64_t b2;
+      switch (q[x]) {
+        case 'A': b2 = 0; break;
+        case 'C': b2 = 1; break;
+        case 'G': b2 = 2; break;
+        case 'T': b2 = 3; break;
+        default: return false;
+      }
+      v = (v << 2) | b2;
+    }
+    out = v;
+    return true;
+  };
+  auto intern = [&](const std::string &q,
+                    std::unordered_map<uint64_t, int32_t> &pmap,
+                    std::unordered_map<std::string, int32_t> &smap,
+                    int32_t next_id, int32_t &id_out) -> bool {
+    // returns true when q is NEW (id_out = next_id, caller registers)
+    uint64_t k;
+    if (pack_key(q, k)) {
+      auto it = pmap.find(k);
+      if (it != pmap.end()) {
+        id_out = it->second;
+        return false;
+      }
+      pmap.emplace(k, next_id);
+      id_out = next_id;
+      return true;
+    }
+    auto it = smap.find(q);
+    if (it != smap.end()) {
+      id_out = it->second;
+      return false;
+    }
+    smap.emplace(q, next_id);
+    id_out = next_id;
+    return true;
+  };
+  int32_t n_bc_ids = 0, n_umi_ids = 0;
   int64_t n = 0, r_at = 0, i_at = 0, bct_at = 0;
   int64_t first_read_len = -1, n_total = 0;
   Rec r, b, u;
@@ -1534,21 +1587,17 @@ int64_t t4x_ingest_single(
         break;
       }
       if (!keep_missing_barcode && b.seq == "missing_barcode") continue;
-      auto it = bc_map.find(b.seq);
-      if (it == bc_map.end()) {
-        bc = (int32_t)bc_map.size();
+      if (intern(b.seq, bc_pmap, bc_map, n_bc_ids, bc)) {
         if (bc >= bct_n_cap ||
             bct_at + (int64_t)b.seq.size() > bct_cap) {
           fail = true;
           break;
         }
-        bc_map.emplace(b.seq, bc);
+        n_bc_ids++;
         memcpy(bct_blob + bct_at, b.seq.data(), b.seq.size());
         bct_at += (int64_t)b.seq.size();
         bct_offs[bc + 1] = bct_at;
         if (want_bc_totals) bc_totals[bc] = 0;
-      } else {
-        bc = it->second;
       }
       if (want_bc_totals) bc_totals[bc] += 1;
     } else if (us) {
@@ -1558,13 +1607,7 @@ int64_t t4x_ingest_single(
       }
     }
     if (us) {
-      auto it = umi_map.find(u.seq);
-      if (it == umi_map.end()) {
-        um = (int32_t)umi_map.size();
-        umi_map.emplace(u.seq, um);
-      } else {
-        um = it->second;
-      }
+      if (intern(u.seq, umi_pmap, umi_map, n_umi_ids, um)) n_umi_ids++;
     }
     n_total++;
     if (!r.has_qual) {
@@ -1602,7 +1645,7 @@ int64_t t4x_ingest_single(
   delete us;
   if (fail) return -1;
   out_meta[0] = first_read_len;
-  out_meta[1] = (int64_t)bc_map.size();
+  out_meta[1] = (int64_t)n_bc_ids;
   out_meta[2] = n_total;
   return n;
 }
