@@ -264,6 +264,7 @@ def pack_launch_host(tc, pc, tl, pl, n_rows: int, s_cap: int) -> np.ndarray:
     launch (measured ~29 ms fixed cost per transfer,
     tools/tunnel_probe.py) and ~2.3x fewer bytes than the v0 protocol."""
     m = len(tc)
+    assert s_cap % 2 == 0, "4-bit packing needs an even tier cap"
     half = s_cap // 2
     buf = np.empty(2 * n_rows + 2 * n_rows * half, dtype=np.uint8)
     buf[:m] = tl
