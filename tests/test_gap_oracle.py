@@ -420,3 +420,25 @@ def test_native_dedup_matches_python_oracle():
         assert key_of(row) == key_of(rep), j
     # 2. Unique count matches the oracle's distinct-key count.
     assert len(uniq) == len({key_of(r) for r in gap_jobs})
+
+
+def test_collect_profitable_modes(monkeypatch):
+    """Auto mode must decline the collect-oracle restructuring (the
+    round-5 measured verdict: collect costs ~a full query pass to
+    offload ~5% of one); forced/check/in-process modes keep it as the
+    parity harness."""
+    from trust4_tpu.ops import gap_oracle
+
+    monkeypatch.delenv("TRUST4_TPU_DEVICE", raising=False)
+    monkeypatch.delenv("TRUST4_TPU_DEVICE_CHECK", raising=False)
+    monkeypatch.delenv("TRUST4_TPU_GAP_INPROC", raising=False)
+    assert not gap_oracle.collect_profitable()
+    monkeypatch.setenv("TRUST4_TPU_DEVICE", "1")
+    assert gap_oracle.collect_profitable()
+    monkeypatch.setenv("TRUST4_TPU_DEVICE", "auto")
+    assert not gap_oracle.collect_profitable()
+    monkeypatch.setenv("TRUST4_TPU_DEVICE_CHECK", "1")
+    assert gap_oracle.collect_profitable()
+    monkeypatch.delenv("TRUST4_TPU_DEVICE_CHECK")
+    monkeypatch.setenv("TRUST4_TPU_GAP_INPROC", "1")
+    assert gap_oracle.collect_profitable()
