@@ -181,10 +181,20 @@ def bench_barcoded(refdir: str, threads: int, reps: int = 3):
         return time.time() - t0
 
     walls = {"ref": [], "auto": [], "off": []}
+    # Rotate the within-rep order: a fixed order hands whichever config
+    # runs last the warmest page cache every rep (observed as a
+    # systematic ~10% split between the auto and off rows, which are
+    # the same code path since round 5).
+    runners = {
+        "ref": lambda rep: run_ref(f"r{rep}"),
+        "auto": lambda rep: run_ours(f"a{rep}", "auto"),
+        "off": lambda rep: run_ours(f"o{rep}", "0"),
+    }
+    order = ["ref", "auto", "off"]
     for rep in range(reps):
-        walls["ref"].append(run_ref(f"r{rep}"))
-        walls["auto"].append(run_ours(f"a{rep}", "auto"))
-        walls["off"].append(run_ours(f"o{rep}", "0"))
+        for k in order:
+            walls[k].append(runners[k](rep))
+        order = order[1:] + order[:1]
 
     med = {k: float(np.median(v)) for k, v in walls.items()}
     wedged = []
